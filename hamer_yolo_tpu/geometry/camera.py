@@ -1,0 +1,156 @@
+"""Camera models: projection, crop->full-image camera lift, uvd<->xyz.
+
+Behavioral parity targets:
+- ``perspective_projection`` (reference hamer/hamer/utils/geometry.py:72-109)
+- ``cam_crop_to_full`` / ``custom_cam_crop_to_full`` incl. ``depth_refine``
+  (reference hamer/hamer/utils/renderer.py:12-74) — the geometric bridge
+  that lifts the weak-perspective crop camera (s, tx, ty) predicted by the
+  MANO head into a full-image translation under real intrinsics.
+- ``uvd2xyz`` / ``xyz2uvd`` pinhole transforms
+  (reference rootnet/preprocessing.py:11-25).
+- HaMeR's internal crop-space cam translation tz = 2f/(IMAGE_SIZE * s)
+  (reference hamer/hamer/models/hamer.py:525-527).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def perspective_projection(
+    points: jax.Array,
+    translation: jax.Array,
+    focal_length: jax.Array,
+    camera_center: Optional[jax.Array] = None,
+    rotation: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Project (B, N, 3) points with per-batch focal (B, 2) and center (B, 2).
+
+    Returns (B, N, 2) pixel coordinates.
+    """
+    B = points.shape[0]
+    if rotation is not None:
+        points = jnp.einsum("bij,bkj->bki", rotation, points)
+    points = points + translation[:, None, :]
+    proj = points / points[..., 2:3]
+    uv = proj[..., :2] * focal_length[:, None, :]
+    if camera_center is not None:
+        uv = uv + camera_center.reshape(B, 1, 2)
+    return uv
+
+
+def project_with_intrinsics(
+    points_cam: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    eps: float = 1e-9,
+) -> jax.Array:
+    """u = fx*X/Z + cx, v = fy*Y/Z + cy for (B, N, 3) camera-frame points.
+
+    Matches the manual projection in reference infer.py:449-476 (incl. the
+    ``+1e-9`` depth regularizer).
+    """
+    z = points_cam[..., 2:3] + eps
+    u = points_cam[..., 0:1] / z * jnp.reshape(fx, (-1, 1, 1)) + jnp.reshape(cx, (-1, 1, 1))
+    v = points_cam[..., 1:2] / z * jnp.reshape(fy, (-1, 1, 1)) + jnp.reshape(cy, (-1, 1, 1))
+    return jnp.concatenate([u, v], axis=-1)
+
+
+def cam_to_translation(pred_cam: jax.Array, focal_length: float, image_size: float) -> jax.Array:
+    """Weak-perspective (s, tx, ty) -> crop-space translation (tx, ty, tz).
+
+    tz = 2 f / (image_size * s + 1e-9); reference hamer.py:525-527.
+    """
+    s, tx, ty = pred_cam[:, 0], pred_cam[:, 1], pred_cam[:, 2]
+    tz = 2.0 * focal_length / (image_size * s + 1e-9)
+    return jnp.stack([tx, ty, tz], axis=-1)
+
+
+def cam_crop_to_full(
+    cam_bbox: jax.Array,
+    box_center: jax.Array,
+    box_size: jax.Array,
+    img_size: jax.Array,
+    focal_length: float = 5000.0,
+) -> jax.Array:
+    """Default-intrinsics crop-cam -> full-image translation (renderer.py:12-22)."""
+    img_w, img_h = img_size[:, 0], img_size[:, 1]
+    cx, cy = box_center[:, 0], box_center[:, 1]
+    b = jnp.reshape(box_size, (-1,))
+    bs = b * cam_bbox[:, 0] + 1e-9
+    tz = 2.0 * focal_length / bs
+    tx = (2.0 * (cx - img_w / 2.0) / bs) + cam_bbox[:, 1]
+    ty = (2.0 * (cy - img_h / 2.0) / bs) + cam_bbox[:, 2]
+    return jnp.stack([tx, ty, tz], axis=-1)
+
+
+def custom_cam_crop_to_full(
+    cam_bbox: jax.Array,
+    box_center: jax.Array,
+    box_size: jax.Array,
+    fx: jax.Array,
+    fy: jax.Array,
+    cx: jax.Array,
+    cy: jax.Array,
+    depth_refine: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Real-intrinsics crop-cam -> full-image translation (renderer.py:24-74).
+
+    If ``depth_refine`` (B,) is given (e.g. RootNet output), tz is forced to
+    it and the effective scale is back-derived: bs = 2 fx / tz.
+    The fx != fy correction ty *= fx/fy is applied unconditionally (it is
+    the identity when fx == fy, which is what the reference's allclose
+    branch reduces to).
+    """
+    b = jnp.reshape(box_size, (-1,))
+    fx = jnp.broadcast_to(jnp.reshape(fx, (-1,)), b.shape).astype(cam_bbox.dtype)
+    fy = jnp.broadcast_to(jnp.reshape(fy, (-1,)), b.shape).astype(cam_bbox.dtype)
+    cx = jnp.broadcast_to(jnp.reshape(cx, (-1,)), b.shape).astype(cam_bbox.dtype)
+    cy = jnp.broadcast_to(jnp.reshape(cy, (-1,)), b.shape).astype(cam_bbox.dtype)
+
+    if depth_refine is not None:
+        tz = jnp.broadcast_to(jnp.reshape(depth_refine, (-1,)), b.shape)
+        bs = 2.0 * fx / (tz + 1e-9)
+    else:
+        bs = b * cam_bbox[:, 0] + 1e-9
+        tz = 2.0 * fx / bs
+
+    tx = (2.0 * (box_center[:, 0] - cx) / bs) + cam_bbox[:, 1]
+    ty = (2.0 * (box_center[:, 1] - cy) / bs) + cam_bbox[:, 2]
+    ty = ty * (fx / fy)
+    return jnp.stack([tx, ty, tz], axis=-1)
+
+
+def uvd2xyz(uvd: jax.Array, K: jax.Array) -> jax.Array:
+    """(..., N, 3) pixel-space (u, v, depth) -> camera-space xyz."""
+    fx, fy, fu, fv = K[..., 0, 0], K[..., 1, 1], K[..., 0, 2], K[..., 1, 2]
+    fx, fy, fu, fv = (jnp.reshape(a, a.shape + (1,)) for a in (fx, fy, fu, fv))
+    x = (uvd[..., 0] - fu) * uvd[..., 2] / fx
+    y = (uvd[..., 1] - fv) * uvd[..., 2] / fy
+    return jnp.stack([x, y, uvd[..., 2]], axis=-1)
+
+
+def xyz2uvd(xyz: jax.Array, K: jax.Array) -> jax.Array:
+    """(..., N, 3) camera-space xyz -> pixel-space (u, v, depth)."""
+    fx, fy, fu, fv = K[..., 0, 0], K[..., 1, 1], K[..., 0, 2], K[..., 1, 2]
+    fx, fy, fu, fv = (jnp.reshape(a, a.shape + (1,)) for a in (fx, fy, fu, fv))
+    u = xyz[..., 0] * fx / xyz[..., 2] + fu
+    v = xyz[..., 1] * fy / xyz[..., 2] + fv
+    return jnp.stack([u, v, xyz[..., 2]], axis=-1)
+
+
+def calculate_k_value(
+    bbox_wh: jax.Array, fx: jax.Array, fy: jax.Array, real_area: float = 0.09
+) -> jax.Array:
+    """RootNet k-value: sqrt(area_real * fx * fy / bbox_pixel_area).
+
+    Reference rootnet/Model_RGB.py:494-498 with bbox_real = (0.3, 0.3) m
+    (sar_config_stage_1.py:19), so real_area defaults to 0.09 m^2.
+    bbox_wh: (..., 2) processed-bbox width/height in pixels.
+    """
+    area = bbox_wh[..., 0] * bbox_wh[..., 1]
+    return jnp.sqrt(real_area * fx * fy / area)
