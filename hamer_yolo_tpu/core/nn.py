@@ -1,0 +1,232 @@
+"""Minimal functional NN layer library (pure JAX, NHWC, pytree params).
+
+Every layer is an (init, apply) pair over explicit parameter dicts — no
+module framework. This keeps weight conversion (PyTorch ckpt -> pytree),
+sharding annotation, and Pallas kernel substitution trivial.
+
+Conventions:
+- images are NHWC (TPU-native); conv weights are HWIO;
+- linear weights are (in, out) so y = x @ w + b;
+- params are float32; ``cast`` the activations for bf16 compute.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def _fan_in_out(shape: Sequence[int]) -> Tuple[int, int]:
+    if len(shape) == 2:
+        return shape[0], shape[1]
+    receptive = math.prod(shape[:-2])
+    return shape[-2] * receptive, shape[-1] * receptive
+
+
+def kaiming_uniform(key, shape, dtype=jnp.float32):
+    fan_in, _ = _fan_in_out(shape)
+    bound = math.sqrt(6.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Linear / LayerNorm
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    kw, _ = jax.random.split(key)
+    p = {"w": kaiming_uniform(kw, (in_dim, out_dim))}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,))
+    return p
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conv / BatchNorm (NHWC, HWIO)
+# ---------------------------------------------------------------------------
+
+def conv_init(key, k: int | Tuple[int, int], c_in: int, c_out: int,
+              groups: int = 1, bias: bool = False) -> Params:
+    kh, kw = (k, k) if isinstance(k, int) else k
+    p = {"w": kaiming_uniform(key, (kh, kw, c_in // groups, c_out))}
+    if bias:
+        p["b"] = jnp.zeros((c_out,))
+    return p
+
+
+def conv2d(
+    p: Params,
+    x: jax.Array,
+    stride: int | Tuple[int, int] = 1,
+    padding: Any = "SAME",
+    groups: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """x: (B, H, W, C) -> (B, H', W', C_out)."""
+    strides = (stride, stride) if isinstance(stride, int) else stride
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def batch_norm_init(dim: int) -> Params:
+    return {
+        "scale": jnp.ones((dim,)),
+        "bias": jnp.zeros((dim,)),
+        "mean": jnp.zeros((dim,)),
+        "var": jnp.ones((dim,)),
+    }
+
+
+def batch_norm(p: Params, x: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """Inference-mode BN with running stats (torch BatchNorm2d eps=1e-3 in
+    YOLO's Conv; pass eps explicitly where it differs)."""
+    inv = jax.lax.rsqrt(p["var"].astype(x.dtype) + eps)
+    return (x - p["mean"].astype(x.dtype)) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def fold_bn_into_conv(conv_p: Params, bn_p: Params, eps: float = 1e-3) -> Params:
+    """Fuse conv (no bias) + BN into a single conv with bias (deploy path).
+
+    Equivalent of the reference's fuse_conv_and_bn (torch_utils.py) /
+    RepConv._fuse_bn_tensor, done once at weight-conversion time.
+    """
+    inv = 1.0 / jnp.sqrt(bn_p["var"] + eps)
+    scale = bn_p["scale"] * inv  # (C_out,)
+    w = conv_p["w"] * scale[None, None, None, :]
+    b = bn_p["bias"] - bn_p["mean"] * scale
+    if "b" in conv_p:
+        b = b + conv_p["b"] * scale
+    return {"w": w, "b": b}
+
+
+def max_pool(x: jax.Array, k: int, stride: int, padding: int = 0) -> jax.Array:
+    pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pad,
+    )
+
+
+def avg_pool_global(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, C) global average pool."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Attention (XLA reference path; Pallas flash kernel in ops/attention.py)
+# ---------------------------------------------------------------------------
+
+def mha_qkv_init(key, dim: int, num_heads: int, head_dim: Optional[int] = None,
+                 qkv_bias: bool = True, out_bias: bool = True) -> Params:
+    head_dim = head_dim or dim // num_heads
+    inner = head_dim * num_heads
+    k1, k2 = jax.random.split(key)
+    return {
+        "qkv": linear_init(k1, dim, inner * 3, bias=qkv_bias),
+        "proj": linear_init(k2, inner, dim, bias=out_bias),
+    }
+
+
+def mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """Fused-qkv softmax self-attention. x: (B, N, D).
+
+    num_heads is static (params hold only arrays; head_dim is inferred
+    from the qkv projection width).
+    """
+    B, N, _ = x.shape
+    h = num_heads
+    hd = p["qkv"]["w"].shape[1] // 3 // h
+    qkv = linear(p["qkv"], x).reshape(B, N, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, hd)
+    scale = hd ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+    return linear(p["proj"], out)
+
+
+def cross_attention_init(key, dim: int, context_dim: int, num_heads: int,
+                         head_dim: int) -> Params:
+    inner = head_dim * num_heads
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "to_q": linear_init(k1, dim, inner, bias=False),
+        "to_kv": linear_init(k2, context_dim, inner * 2, bias=False),
+        "proj": linear_init(k3, inner, dim, bias=True),
+    }
+
+
+def cross_attention(p: Params, x: jax.Array, context: jax.Array,
+                    num_heads: int) -> jax.Array:
+    """x: (B, N, D) queries over context (B, M, Dc)."""
+    B, N, _ = x.shape
+    M = context.shape[1]
+    h = num_heads
+    hd = p["to_q"]["w"].shape[1] // h
+    q = linear(p["to_q"], x).reshape(B, N, h, hd)
+    kv = linear(p["to_kv"], context).reshape(B, M, 2, h, hd)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    scale = hd ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+    return linear(p["proj"], out)
+
+
+def mlp_init(key, dim: int, hidden: int, out_dim: Optional[int] = None) -> Params:
+    out_dim = out_dim or dim
+    k1, k2 = jax.random.split(key)
+    return {"fc1": linear_init(k1, dim, hidden), "fc2": linear_init(k2, hidden, out_dim)}
+
+
+def mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+
+
+def num_params(tree) -> int:
+    leaves = [x.size for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "size")]
+    return sum(leaves)

@@ -1,0 +1,97 @@
+"""ViT-Huge (ViTPose-H) backbone for HaMeR, TPU-first.
+
+Architecture parity (reference hamer/hamer/models/backbones/vit.py:12-24,
+168, 320-339): input (256, 192) RGB crop, patch-embed conv k16 s16 pad4
+(-> 16x12 = 192 tokens), embed 1280, depth 32, 16 heads, mlp_ratio 4,
+qkv_bias, learned absolute pos-embed with a cls slot whose embedding is
+*added* to every token (vit.py:327: x + pos[1:] + pos[:1]), pre-LN blocks,
+plain softmax attention, final LayerNorm; output is the token sequence
+(B, 192, 1280).
+
+TPU design notes: tokens stay (B, 192, 1280) — 192 = 1.5 MXU tiles and
+1280 = 10 lanes of 128, so every matmul tiles cleanly. Attention can route
+through the Pallas flash kernel (ops/attention.py) via ``attn_impl``.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core import nn
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    img_size: tuple = (256, 192)  # (H, W) after the pipeline's center crop
+    patch_size: int = 16
+    patch_padding: int = 4
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+
+    @property
+    def grid_hw(self) -> tuple:
+        h = (self.img_size[0] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
+        w = (self.img_size[1] + 2 * self.patch_padding - self.patch_size) // self.patch_size + 1
+        return h, w
+
+    @property
+    def num_tokens(self) -> int:
+        h, w = self.grid_hw
+        return h * w
+
+
+VITH_CONFIG = ViTConfig()
+
+
+def init_vit(key: jax.Array, cfg: ViTConfig = VITH_CONFIG) -> nn.Params:
+    keys = jax.random.split(key, cfg.depth + 2)
+    d = cfg.embed_dim
+    params = {
+        "patch_embed": nn.conv_init(keys[0], cfg.patch_size, 3, d, bias=True),
+        "pos_embed": nn.trunc_normal(keys[1], (1, cfg.num_tokens + 1, d)),
+        "blocks": [],
+        "last_norm": nn.layer_norm_init(d),
+    }
+    for i in range(cfg.depth):
+        k1, k2 = jax.random.split(keys[2 + i])
+        params["blocks"].append(
+            {
+                "norm1": nn.layer_norm_init(d),
+                "attn": nn.mha_qkv_init(k1, d, cfg.num_heads, qkv_bias=cfg.qkv_bias),
+                "norm2": nn.layer_norm_init(d),
+                "mlp": nn.mlp_init(k2, d, int(d * cfg.mlp_ratio)),
+            }
+        )
+    return params
+
+
+def vit_forward(
+    params: nn.Params,
+    x: jax.Array,
+    cfg: ViTConfig = VITH_CONFIG,
+    attn_impl: Optional[Callable] = None,
+) -> jax.Array:
+    """x: (B, H, W, 3) normalized crop -> (B, N_tokens, embed_dim).
+
+    ``attn_impl(attn_params, tokens) -> tokens`` overrides the attention op
+    (e.g. Pallas flash attention); defaults to the XLA softmax path.
+    """
+    attn = attn_impl or nn.mha_self_attention
+    B = x.shape[0]
+    tok = nn.conv2d(
+        params["patch_embed"], x,
+        stride=cfg.patch_size, padding=cfg.patch_padding,
+    )  # (B, Hp, Wp, D)
+    tok = tok.reshape(B, -1, cfg.embed_dim)
+    pos = params["pos_embed"].astype(tok.dtype)
+    tok = tok + pos[:, 1:] + pos[:, :1]
+    for blk in params["blocks"]:
+        tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+        tok = tok + nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+    return nn.layer_norm(params["last_norm"], tok)

@@ -1,0 +1,147 @@
+"""YOLOv7 building blocks as (init, apply) pure functions (NHWC).
+
+Parity targets (reference yolo/yolov7/models/common.py):
+- Conv = conv + BN + SiLU (:103); deploy form folds BN (fuseforward :113).
+- MP = 2x2/2 max-pool (:34), SP = kxk/1 max-pool (:43).
+- SPPCSPC cross-stage-partial SPP (:266-283).
+- RepConv (:467-560): train-time 3x3+1x1+identity branches; deploy-time a
+  single fused 3x3 conv+bias (+SiLU). Both forms and the fusion math are
+  implemented (fuse happens at weight-conversion time).
+- ImplicitA/M (:437-462) are fused into the Detect head convs at convert
+  time (IDetect.fuse, models/yolo.py:186-198), so they exist here only in
+  the training-form parameters.
+- ReOrg (:52), Concat (:60), nearest-2x Upsample.
+
+Everything is inference-BN-free where possible: the deploy graph is pure
+conv+bias+SiLU, which XLA fuses into single HLO convolutions.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core import nn
+
+Params = Dict[str, Any]
+
+
+def autopad(k: int) -> int:
+    return k // 2
+
+
+# --- Conv (+BN+SiLU). Deploy params: {"w", "b"}; train params add "bn". ---
+
+def conv_block_init(key, c1: int, c2: int, k: int = 1, s: int = 1,
+                    deploy: bool = True) -> Params:
+    # s is not stored (params hold only arrays); pass it to conv_block.
+    p: Params = {"conv": nn.conv_init(key, k, c1, c2, bias=deploy)}
+    if not deploy:
+        p["bn"] = nn.batch_norm_init(c2)
+    return p
+
+
+def conv_block(p: Params, x: jax.Array, s: int = 1, act: bool = True) -> jax.Array:
+    k = p["conv"]["w"].shape[0]
+    y = nn.conv2d(p["conv"], x, stride=s, padding=autopad(k))
+    if "bn" in p:
+        y = nn.batch_norm(p["bn"], y)
+    return jax.nn.silu(y) if act else y
+
+
+# --- Pooling / reshuffle ---
+
+def mp(x: jax.Array, k: int = 2) -> jax.Array:
+    return nn.max_pool(x, k, k)
+
+
+def sp(x: jax.Array, k: int = 3, s: int = 1) -> jax.Array:
+    return nn.max_pool(x, k, s, padding=k // 2)
+
+
+def reorg(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) space-to-depth."""
+    return jnp.concatenate(
+        [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
+    )
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample."""
+    B, H, W, C = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+# --- SPPCSPC ---
+
+SPP_POOL_KS = (5, 9, 13)
+
+
+def sppcspc_init(key, c1: int, c2: int, e: float = 0.5,
+                 deploy: bool = True) -> Params:
+    c_ = int(2 * c2 * e)
+    keys = jax.random.split(key, 7)
+    return {
+        "cv1": conv_block_init(keys[0], c1, c_, 1, 1, deploy),
+        "cv2": conv_block_init(keys[1], c1, c_, 1, 1, deploy),
+        "cv3": conv_block_init(keys[2], c_, c_, 3, 1, deploy),
+        "cv4": conv_block_init(keys[3], c_, c_, 1, 1, deploy),
+        "cv5": conv_block_init(keys[4], 4 * c_, c_, 1, 1, deploy),
+        "cv6": conv_block_init(keys[5], c_, c_, 3, 1, deploy),
+        "cv7": conv_block_init(keys[6], 2 * c_, c2, 1, 1, deploy),
+    }
+
+
+def sppcspc(p: Params, x: jax.Array) -> jax.Array:
+    x1 = conv_block(p["cv4"], conv_block(p["cv3"], conv_block(p["cv1"], x)))
+    pools = [sp(x1, k) for k in SPP_POOL_KS]
+    y1 = conv_block(p["cv6"], conv_block(p["cv5"], jnp.concatenate([x1] + pools, axis=-1)))
+    y2 = conv_block(p["cv2"], x)
+    return conv_block(p["cv7"], jnp.concatenate([y1, y2], axis=-1))
+
+
+# --- RepConv ---
+
+def repconv_init(key, c1: int, c2: int, s: int = 1, deploy: bool = True) -> Params:
+    if deploy:
+        return {"reparam": nn.conv_init(key, 3, c1, c2, bias=True)}
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        "dense": nn.conv_init(k1, 3, c1, c2),
+        "dense_bn": nn.batch_norm_init(c2),
+        "1x1": nn.conv_init(k2, 1, c1, c2),
+        "1x1_bn": nn.batch_norm_init(c2),
+    }
+    if c1 == c2 and s == 1:
+        p["id_bn"] = nn.batch_norm_init(c1)
+    return p
+
+
+def repconv(p: Params, x: jax.Array, s: int = 1) -> jax.Array:
+    if "reparam" in p:
+        return jax.nn.silu(nn.conv2d(p["reparam"], x, stride=s, padding=1))
+    y = nn.batch_norm(p["dense_bn"], nn.conv2d(p["dense"], x, stride=s, padding=1))
+    y = y + nn.batch_norm(p["1x1_bn"], nn.conv2d(p["1x1"], x, stride=s, padding=0))
+    if "id_bn" in p:
+        y = y + nn.batch_norm(p["id_bn"], x)
+    return jax.nn.silu(y)
+
+
+def repconv_fuse(p: Params) -> Params:
+    """Train-form RepConv -> deploy single 3x3 conv (RepConv fusion math)."""
+    if "reparam" in p:
+        return p
+    dense = nn.fold_bn_into_conv({"w": p["dense"]["w"]}, p["dense_bn"])
+    one = nn.fold_bn_into_conv({"w": p["1x1"]["w"]}, p["1x1_bn"])
+    w = dense["w"] + jnp.pad(one["w"], ((1, 1), (1, 1), (0, 0), (0, 0)))
+    b = dense["b"] + one["b"]
+    if "id_bn" in p:
+        c = p["dense"]["w"].shape[3]
+        ident = jnp.zeros((3, 3, c, c)).at[1, 1].set(jnp.eye(c))
+        idf = nn.fold_bn_into_conv({"w": ident}, p["id_bn"])
+        w = w + idf["w"]
+        b = b + idf["b"]
+    return {"reparam": {"w": w, "b": b}}

@@ -1,0 +1,258 @@
+"""YOLOv7 detector: spec-driven graph builder + anchor decode (NHWC).
+
+The reference builds its network from a YAML layer list via ``parse_model``
+(yolo/yolov7/models/yolo.py:516-851). Here the same topology (deploy
+`cfg/deploy/yolov7.yaml`) is expressed as a Python spec and compiled by
+walking the list once at trace time — XLA sees a flat chain of fused
+conv+SiLU ops. Route/Concat feature caching mirrors forward_once's y[]
+(yolo.py:609-639), computed statically.
+
+Decode parity (yolo.py:31-146 Detect/IDetect inference):
+  xy = (2*sigmoid - 0.5 + grid) * stride, wh = (2*sigmoid)^2 * anchor,
+  flattened in (anchor, row, col) order per level, levels concatenated
+  P3(80x80) -> P4(40x40) -> P5(20x20) at 640 input => (B, 25200, nc+5).
+
+ImplicitA/ImplicitM of IDetect are fused into the head convs at weight
+conversion (IDetect.fuse, yolo.py:186-198), so the deploy graph here is
+identical for Detect and IDetect checkpoints.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hamer_yolo_tpu.core import nn
+from hamer_yolo_tpu.models.yolov7 import blocks as B
+
+# --- Architecture spec -----------------------------------------------------
+# Entries: (from, op, args). from: int or tuple of ints (negative = relative).
+# ops: C(c2, k, s) conv+bn+silu; MP maxpool2x2; CAT concat; SPP SPPCSPC(c2);
+# UP nearest2x; REP RepConv(c2); DET detect head.
+
+C, MP_, CAT, SPP, UP, REP, DET = "C", "MP", "CAT", "SPP", "UP", "REP", "DET"
+
+
+def _elan(c_mid: int, c_out: int) -> List[Tuple[Any, str, tuple]]:
+    """ELAN block: 2 parallel 1x1 + chain of four 3x3, concat 4 taps, 1x1 out."""
+    return [
+        (-1, C, (c_mid, 1, 1)),
+        (-2, C, (c_mid, 1, 1)),
+        (-1, C, (c_mid, 3, 1)),
+        (-1, C, (c_mid, 3, 1)),
+        (-1, C, (c_mid, 3, 1)),
+        (-1, C, (c_mid, 3, 1)),
+        ((-1, -3, -5, -6), CAT, ()),
+        (-1, C, (c_out, 1, 1)),
+    ]
+
+
+def _elan_head(c_mid: int, c_out: int) -> List[Tuple[Any, str, tuple]]:
+    """Head ELAN: denser taps (all six intermediate outputs concatenated)."""
+    half = c_mid // 2
+    return [
+        (-1, C, (c_mid, 1, 1)),
+        (-2, C, (c_mid, 1, 1)),
+        (-1, C, (half, 3, 1)),
+        (-1, C, (half, 3, 1)),
+        (-1, C, (half, 3, 1)),
+        (-1, C, (half, 3, 1)),
+        ((-1, -2, -3, -4, -5, -6), CAT, ()),
+        (-1, C, (c_out, 1, 1)),
+    ]
+
+
+def _down(c: int) -> List[Tuple[Any, str, tuple]]:
+    """MP-Conv downsampling: parallel maxpool+1x1 / 1x1+3x3s2, concat."""
+    return [
+        (-1, MP_, ()),
+        (-1, C, (c, 1, 1)),
+        (-3, C, (c, 1, 1)),
+        (-1, C, (c, 3, 2)),
+        ((-1, -3), CAT, ()),
+    ]
+
+
+def yolov7_spec() -> List[Tuple[Any, str, tuple]]:
+    """Deploy YOLOv7 (cfg/deploy/yolov7.yaml topology), 106 layers."""
+    spec: List[Tuple[Any, str, tuple]] = []
+    # Backbone
+    spec += [(-1, C, (32, 3, 1)), (-1, C, (64, 3, 2)), (-1, C, (64, 3, 1)),
+             (-1, C, (128, 3, 2))]                      # 0-3
+    spec += _elan(64, 256)                              # 4-11
+    spec += _down(128)                                  # 12-16 (P3 in)
+    spec += _elan(128, 512)                             # 17-24
+    spec += _down(256)                                  # 25-29 (P4 in)
+    spec += _elan(256, 1024)                            # 30-37
+    spec += _down(512)                                  # 38-42 (P5 in)
+    spec += _elan(256, 1024)                            # 43-50
+    # Head
+    spec += [(-1, SPP, (512,))]                         # 51
+    spec += [(-1, C, (256, 1, 1)), (-1, UP, ()), (37, C, (256, 1, 1)),
+             ((-1, -2), CAT, ())]                       # 52-55
+    spec += _elan_head(256, 256)                        # 56-63
+    spec += [(-1, C, (128, 1, 1)), (-1, UP, ()), (24, C, (128, 1, 1)),
+             ((-1, -2), CAT, ())]                       # 64-67
+    spec += _elan_head(128, 128)                        # 68-75
+    spec += [(-1, MP_, ()), (-1, C, (128, 1, 1)), (-3, C, (128, 1, 1)),
+             (-1, C, (128, 3, 2)), ((-1, -3, 63), CAT, ())]  # 76-80
+    spec += _elan_head(256, 256)                        # 81-88
+    spec += [(-1, MP_, ()), (-1, C, (256, 1, 1)), (-3, C, (256, 1, 1)),
+             (-1, C, (256, 3, 2)), ((-1, -3, 51), CAT, ())]  # 89-93
+    spec += _elan_head(512, 512)                        # 94-101
+    spec += [(75, REP, (256,)), (88, REP, (512,)), (101, REP, (1024,))]  # 102-104
+    spec += [((102, 103, 104), DET, ())]                # 105
+    return spec
+
+
+YOLOV7_ANCHORS = np.array(
+    [
+        [[12, 16], [19, 36], [40, 28]],      # P3/8
+        [[36, 75], [76, 55], [72, 146]],     # P4/16
+        [[142, 110], [192, 243], [459, 401]],  # P5/32
+    ],
+    np.float32,
+)
+YOLOV7_STRIDES = (8, 16, 32)
+
+
+@dataclass(frozen=True)
+class YoloConfig:
+    nc: int = 3  # hand detector classes (config/yolo_config.py:9)
+    img_size: int = 640
+    anchors: tuple = tuple(map(tuple, YOLOV7_ANCHORS.reshape(3, 6).tolist()))
+    strides: tuple = YOLOV7_STRIDES
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5
+
+    @property
+    def na(self) -> int:
+        return 3
+
+
+def _resolve(frm, idx: int) -> List[int]:
+    frs = frm if isinstance(frm, tuple) else (frm,)
+    return [idx + f if f < 0 else f for f in frs]
+
+
+def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
+                deploy: bool = True) -> nn.Params:
+    """Build parameter pytree by walking the spec and tracking channels."""
+    spec = yolov7_spec()
+    keys = jax.random.split(key, len(spec) + 3)
+    channels: List[int] = []
+    layers: List[Any] = []
+    c_in_img = 3
+    for i, (frm, op, args) in enumerate(spec):
+        srcs = _resolve(frm, i)
+        if i == 0:
+            c_srcs = [c_in_img]
+        else:
+            c_srcs = [channels[s] for s in srcs]
+        c1 = c_srcs[0]
+        if op == C:
+            c2, k, s = args
+            layers.append(B.conv_block_init(keys[i], c1, c2, k, s, deploy))
+        elif op == MP_:
+            c2 = c1
+            layers.append(None)
+        elif op == CAT:
+            c2 = sum(c_srcs)
+            layers.append(None)
+        elif op == SPP:
+            (c2,) = args
+            layers.append(B.sppcspc_init(keys[i], c1, c2, deploy=deploy))
+        elif op == UP:
+            c2 = c1
+            layers.append(None)
+        elif op == REP:
+            (c2,) = args
+            layers.append(B.repconv_init(keys[i], c1, c2, deploy=deploy))
+        elif op == DET:
+            heads = []
+            det_keys = jax.random.split(keys[i], len(srcs))
+            for j, s in enumerate(srcs):
+                heads.append(nn.conv_init(det_keys[j], 1, channels[s], cfg.na * cfg.no, bias=True))
+            layers.append({"m": heads})
+            c2 = 0
+        else:
+            raise ValueError(op)
+        channels.append(c2)
+    return {"layers": layers}
+
+
+def _save_set(spec) -> set:
+    saved = set()
+    for i, (frm, op, args) in enumerate(spec):
+        for s in _resolve(frm, i):
+            if s != i - 1:
+                saved.add(s)
+    return saved
+
+
+def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
+                            cfg: YoloConfig = YoloConfig()) -> List[jax.Array]:
+    """x: (B, H, W, 3) in [0, 1] -> list of 3 raw head maps (B, Hl, Wl, na*no)."""
+    spec = yolov7_spec()
+    saved = _save_set(spec)
+    y: Dict[int, jax.Array] = {}
+    out = x
+    det_maps: List[jax.Array] = []
+    for i, (frm, op, args) in enumerate(spec):
+        srcs = _resolve(frm, i)
+        inputs = [out if s == i - 1 else y[s] for s in srcs]
+        p = params["layers"][i]
+        if op == C:
+            out = B.conv_block(p, inputs[0], s=args[2])
+        elif op == MP_:
+            out = B.mp(inputs[0])
+        elif op == CAT:
+            out = jnp.concatenate(inputs, axis=-1)
+        elif op == SPP:
+            out = B.sppcspc(p, inputs[0])
+        elif op == UP:
+            out = B.upsample2x(inputs[0])
+        elif op == REP:
+            out = B.repconv(p, inputs[0])
+        elif op == DET:
+            for head_p, inp in zip(p["m"], inputs):
+                det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            out = inputs[-1]
+        if i in saved:
+            y[i] = out
+    return det_maps
+
+
+def decode_detections(det_maps: Sequence[jax.Array],
+                      cfg: YoloConfig = YoloConfig()) -> jax.Array:
+    """Raw head maps -> (B, sum(Hl*Wl*na), nc+5) decoded boxes (input-pixel xywh).
+
+    Matches IDetect inference decode incl. flatten order (anchor-major).
+    """
+    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(3, 3, 2))
+    outs = []
+    for lvl, m in enumerate(det_maps):
+        Bz, H, W, _ = m.shape
+        stride = cfg.strides[lvl]
+        m = m.reshape(Bz, H, W, cfg.na, cfg.no)
+        m = jnp.transpose(m, (0, 3, 1, 2, 4))  # (B, na, H, W, no) torch order
+        ys = jax.nn.sigmoid(m)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        grid = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+        xy = (ys[..., 0:2] * 2.0 - 0.5 + grid) * stride
+        wh = (ys[..., 2:4] * 2.0) ** 2 * anchors[lvl][None, :, None, None, :]
+        out = jnp.concatenate([xy, wh, ys[..., 4:]], axis=-1)
+        outs.append(out.reshape(Bz, -1, cfg.no))
+    return jnp.concatenate(outs, axis=1)
+
+
+def yolov7_forward(params: nn.Params, x: jax.Array,
+                   cfg: YoloConfig = YoloConfig()) -> jax.Array:
+    """Full inference graph: image (B, H, W, 3) -> decoded (B, N, nc+5)."""
+    return decode_detections(yolov7_backbone_forward(params, x, cfg), cfg)

@@ -1,0 +1,157 @@
+"""YOLOv7 graph + decode + NMS tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core import nn
+from hamer_yolo_tpu.models.yolov7 import (
+    YoloConfig, init_yolov7, yolov7_forward, yolov7_backbone_forward,
+    yolov7_spec,
+)
+from hamer_yolo_tpu.models.yolov7 import blocks as B
+from hamer_yolo_tpu.ops import non_max_suppression
+
+
+class TestSpec:
+    def test_spec_length_matches_reference(self):
+        # cfg/deploy/yolov7.yaml has 106 layers (51 backbone + 55 head).
+        assert len(yolov7_spec()) == 106
+
+    def test_param_count_plausible(self):
+        params = init_yolov7(jax.random.PRNGKey(0), YoloConfig(nc=3))
+        n = nn.num_params(params)
+        # Deploy yolov7 ~36.5M params (nc=80); nc=3 trims the heads only.
+        assert 34e6 < n < 38e6, n
+
+
+class TestForward:
+    def test_output_shape_and_decode_range(self):
+        cfg = YoloConfig(nc=3, img_size=320)
+        params = init_yolov7(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((1, 320, 320, 3))
+        pred = jax.jit(lambda p, x: yolov7_forward(p, x, cfg))(params, x)
+        # 320/8=40, /16=20, /32=10 -> 3*(40^2+20^2+10^2) = 6300
+        assert pred.shape == (1, 6300, 8)
+        p = np.asarray(pred)
+        # obj/cls are sigmoids
+        assert (p[..., 4:] >= 0).all() and (p[..., 4:] <= 1).all()
+        # xy within ~input range, wh positive
+        assert (p[..., 2:4] > 0).all()
+
+    def test_head_map_shapes(self):
+        cfg = YoloConfig(nc=3)
+        params = init_yolov7(jax.random.PRNGKey(1), cfg)
+        maps = yolov7_backbone_forward(params, jnp.zeros((1, 320, 320, 3)), cfg)
+        assert [m.shape for m in maps] == [
+            (1, 40, 40, 24), (1, 20, 20, 24), (1, 10, 10, 24)
+        ]
+
+
+class TestBlocks:
+    def test_repconv_fuse_equivalence(self, rng):
+        key = jax.random.PRNGKey(0)
+        p = B.repconv_init(key, 8, 8, deploy=False)
+        # randomize BN stats so fusion is non-trivial
+        for bn in ("dense_bn", "1x1_bn", "id_bn"):
+            p[bn]["mean"] = jnp.asarray(rng.normal(size=8).astype(np.float32))
+            p[bn]["var"] = jnp.asarray(rng.uniform(0.5, 2.0, 8).astype(np.float32))
+            p[bn]["scale"] = jnp.asarray(rng.uniform(0.5, 1.5, 8).astype(np.float32))
+            p[bn]["bias"] = jnp.asarray(rng.normal(size=8).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+        y_train = B.repconv(p, x)
+        y_deploy = B.repconv(B.repconv_fuse(p), x)
+        np.testing.assert_allclose(np.asarray(y_train), np.asarray(y_deploy), atol=1e-4)
+
+    def test_reorg(self):
+        x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+        y = B.reorg(x)
+        assert y.shape == (1, 2, 2, 4)
+
+    def test_upsample2x(self):
+        x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+        y = np.asarray(B.upsample2x(x))
+        assert y.shape == (1, 4, 4, 1)
+        assert (y[0, :2, :2, 0] == 0).all()
+
+
+class TestNMS:
+    def _torch_nms(self, boxes, scores, iou_thres):
+        """Independent greedy NMS oracle (torchvision.ops.nms semantics)."""
+        order = np.argsort(-scores, kind="stable")
+        keep = []
+        suppressed = np.zeros(len(scores), bool)
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        for i in order:
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+            yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+            xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+            yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+            inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+            iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+            suppressed |= iou > iou_thres
+        return np.array(keep, np.int64)
+
+    def test_matches_greedy_oracle(self, rng):
+        N, nc = 200, 3
+        pred = np.zeros((1, N, 5 + nc), np.float32)
+        pred[0, :, 0:2] = rng.uniform(50, 600, (N, 2))
+        pred[0, :, 2:4] = rng.uniform(10, 120, (N, 2))
+        pred[0, :, 4] = rng.uniform(0, 1, N)
+        pred[0, :, 5:] = rng.dirichlet(np.ones(nc), N)
+        out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45)
+        got = np.asarray(out.boxes[0])[np.asarray(out.valid[0])]
+        got_scores = np.asarray(out.scores[0])[np.asarray(out.valid[0])]
+        got_cls = np.asarray(out.classes[0])[np.asarray(out.valid[0])]
+
+        # reference computation (general.py:611-706 semantics)
+        p = pred[0]
+        conf = p[:, 5:] * p[:, 4:5]
+        score = conf.max(1)
+        cls = conf.argmax(1)
+        mask = (p[:, 4] > 0.25) & (score > 0.25)
+        boxes = np.stack([
+            p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+            p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2,
+        ], 1)
+        shifted = boxes + cls[:, None] * 4096.0
+        keep = self._torch_nms(shifted[mask], score[mask], 0.45)
+        exp_boxes = boxes[mask][keep]
+        exp_scores = score[mask][keep]
+        exp_cls = cls[mask][keep]
+
+        assert len(got) == len(exp_boxes)
+        order = np.argsort(-exp_scores)
+        np.testing.assert_allclose(got_scores, exp_scores[order], rtol=1e-5)
+        np.testing.assert_allclose(got, exp_boxes[order], rtol=1e-4)
+        np.testing.assert_array_equal(got_cls, exp_cls[order])
+
+    def test_class_filter(self, rng):
+        pred = np.zeros((1, 10, 8), np.float32)
+        pred[0, :, 0:4] = [100, 100, 20, 20]
+        pred[0, :, 4] = 0.9
+        pred[0, :5, 5] = 1.0  # class 0
+        pred[0, 5:, 7] = 1.0  # class 2
+        out = non_max_suppression(jnp.asarray(pred), classes=(2,))
+        assert np.asarray(out.valid).sum() == 1
+        assert np.asarray(out.classes[0])[0] == 2
+
+    def test_agnostic_cross_class_suppression(self):
+        pred = np.zeros((1, 2, 8), np.float32)
+        pred[0, :, 0:4] = [100, 100, 20, 20]
+        pred[0, :, 4] = 0.9
+        pred[0, 0, 5] = 1.0
+        pred[0, 1, 6] = 0.9
+        out_cls = non_max_suppression(jnp.asarray(pred), agnostic=False)
+        assert np.asarray(out_cls.valid).sum() == 2  # different classes survive
+        out_ag = non_max_suppression(jnp.asarray(pred), agnostic=True)
+        assert np.asarray(out_ag.valid).sum() == 1
+
+    def test_empty_input(self):
+        pred = np.zeros((2, 50, 8), np.float32)
+        out = non_max_suppression(jnp.asarray(pred))
+        assert not np.asarray(out.valid).any()
