@@ -1,0 +1,194 @@
+"""Unified CLI (replaces the reference's four entry scripts + four config
+systems with one argparse tree over a single dataclass config).
+
+Subcommands:
+  infer        image dir -> per-frame .npy MANO dicts + .obj meshes
+               (parity with `python infer.py --input --output`,
+               reference infer.py:1495-1536)
+  detect       standalone hand detection boxes (detect.py equivalent)
+  depth        standalone RootNet absolute depth (estimate_root_depth)
+  reconstruct  saved .npy dir -> .obj meshes
+               (reconstruct_and_save_obj_with_wrapper equivalent)
+  bench        single-chip throughput/latency benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _load_runtime(args):
+    import jax
+
+    from hamer_yolo_tpu.core.checkpoint import init_pipeline_params, load_checkpoint
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
+
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right", getattr(args, "mano_dir", None)))
+    except Exception as e:
+        print(f"warning: MANO assets unavailable ({e}); using synthetic model", file=sys.stderr)
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+
+    cfg = PipelineConfig(
+        max_hands=getattr(args, "max_hands", 4),
+        conf_thres=getattr(args, "conf_thres", 0.25),
+        iou_thres=getattr(args, "iou_thres", 0.35),
+        use_depth_refine=getattr(args, "depth_refine", False),
+    )
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt and os.path.exists(ckpt):
+        params = load_checkpoint(ckpt)
+    else:
+        if ckpt:
+            print(f"warning: checkpoint {ckpt} not found; random init", file=sys.stderr)
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+    return params, mano, cfg
+
+
+def cmd_infer(args) -> int:
+    from hamer_yolo_tpu.pipeline.runner import process_image_dir
+
+    params, mano, cfg = _load_runtime(args)
+    stats = process_image_dir(
+        args.input, args.output, params, mano, cfg,
+        intrinsics_path=args.intrinsics, save_obj=not args.no_obj,
+    )
+    print(f"processed {stats.frames} frames / {stats.hands} hands "
+          f"({stats.skipped} skipped) in {stats.total_s:.1f}s")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import cv2
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.io.writers import list_images
+    from hamer_yolo_tpu.pipeline.runner import FrameProgram
+
+    params, mano, cfg = _load_runtime(args)
+    program = FrameProgram(params, mano, cfg)
+    for path in list_images(args.input):
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        out = program(img.astype(np.float32), _default_K(img.shape))
+        dets = [
+            {"label": "right" if out["is_right"][i] > 0.5 else "left",
+             "box": out["boxes"][i].tolist(), "score": float(out["scores"][i])}
+            for i in range(len(out["valid"])) if out["valid"][i]
+        ]
+        print(json.dumps({"image": os.path.basename(path), "detections": dets}))
+    return 0
+
+
+def cmd_depth(args) -> int:
+    import cv2
+
+    from hamer_yolo_tpu.io.writers import list_images, load_intrinsics
+    from hamer_yolo_tpu.pipeline.runner import FrameProgram
+
+    params, mano, cfg = _load_runtime(args)
+    program = FrameProgram(params, mano, cfg)
+    K = load_intrinsics(args.intrinsics) if args.intrinsics else None
+    for path in list_images(args.input):
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        out = program(img.astype(np.float32), K if K is not None else _default_K(img.shape))
+        depths = [float(out["root_depth"][i]) for i in range(len(out["valid"]))
+                  if out["valid"][i]]
+        print(json.dumps({"image": os.path.basename(path), "root_depths": depths}))
+    return 0
+
+
+def cmd_reconstruct(args) -> int:
+    from hamer_yolo_tpu.io.writers import load_hand_npy
+    from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_and_save_obj
+
+    params, mano, cfg = _load_runtime(args)
+    os.makedirs(args.output, exist_ok=True)
+    count = 0
+    for f in sorted(os.listdir(args.input)):
+        if not f.endswith(".npy"):
+            continue
+        results = load_hand_npy(os.path.join(args.input, f))
+        obj_path = os.path.join(args.output, f.replace(".npy", ".obj"))
+        if reconstruct_and_save_obj(mano, results, obj_path) is not None:
+            count += 1
+    print(f"wrote {count} OBJ files to {args.output}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def _default_K(shape) -> np.ndarray:
+    h, w = shape[:2]
+    f = 5000.0 / 256.0 * max(h, w)
+    return np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser(prog="hamer-yolo-tpu",
+                                     description=__doc__,
+                                     formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+        p.add_argument("--mano-dir", default=None, help="dir with MANO_*.pkl")
+        p.add_argument("--max-hands", type=int, default=4)
+        p.add_argument("--conf-thres", type=float, default=0.25)
+        p.add_argument("--iou-thres", type=float, default=0.35)
+
+    p = sub.add_parser("infer", help="full pipeline over an image dir")
+    common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--intrinsics", default=None, help="cam_K.txt path")
+    p.add_argument("--depth-refine", action="store_true",
+                   help="force tz from RootNet depth (d_infer.py behavior)")
+    p.add_argument("--no-obj", action="store_true")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("detect", help="hand detection only")
+    common(p)
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("depth", help="RootNet absolute depth only")
+    common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--intrinsics", default=None)
+    p.set_defaults(fn=cmd_depth)
+
+    p = sub.add_parser("reconstruct", help=".npy dir -> .obj meshes")
+    common(p)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

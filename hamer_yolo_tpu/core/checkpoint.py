@@ -1,0 +1,55 @@
+"""Checkpointing (orbax) + parameter bootstrapping.
+
+Replaces the reference's torch .pt/.pth/.ckpt files (SURVEY.md 5) with
+orbax pytree checkpoints. Weight converters from the reference's torch
+checkpoints live in core/convert.py and are gated on file availability.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from hamer_yolo_tpu.models.hamer import HamerConfig, init_hamer
+from hamer_yolo_tpu.models.mano import ManoModel
+from hamer_yolo_tpu.models.sar import SarConfig, init_sar
+from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7
+
+
+def init_pipeline_params(
+    key: jax.Array,
+    mano_model: ManoModel,
+    yolo_cfg: Optional[YoloConfig] = None,
+    hamer_cfg: Optional[HamerConfig] = None,
+    sar_cfg: Optional[SarConfig] = None,
+    with_sar: bool = True,
+) -> Dict[str, Any]:
+    """Random-init parameter set for the full pipeline."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    params: Dict[str, Any] = {
+        "yolo": init_yolov7(k1, yolo_cfg or YoloConfig()),
+        "hamer": init_hamer(k2, hamer_cfg or HamerConfig()),
+    }
+    if with_sar:
+        params["sar"] = init_sar(k3, mano_model.v_template, sar_cfg or SarConfig())
+    return params
+
+
+def save_checkpoint(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, template)
+        return ckptr.restore(path)

@@ -1,0 +1,212 @@
+"""End-to-end single-frame pipeline as ONE jitted XLA program.
+
+Replaces the reference's per-hand Python loop (infer.py:1268-1304) and its
+CPU<->GPU ping-pong with a fixed-capacity masked formulation:
+
+  raw frame (bucketed static shape)
+    -> device letterbox -> YOLOv7 -> NMS -> top MAX_HANDS slots
+    -> vmapped fused crops -> HaMeR (batch = slots) -> flip corrections
+    -> camera lift with real intrinsics (+ optional RootNet depth refine)
+    -> full-image 2D projection -> MANO params in axis-angle
+
+Call stacks mirrored (SURVEY.md 3.1): Detector.detect, estimate_from_rgb,
+estimate_root_depth_custom, save-side rotmat->aa conversion.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.geometry.boxes import hamer_box_params, process_bbox, scale_coords
+from hamer_yolo_tpu.geometry.camera import calculate_k_value, custom_cam_crop_to_full, project_with_intrinsics
+from hamer_yolo_tpu.geometry.flip import correct_pred_cam, flip_keypoints3d
+from hamer_yolo_tpu.geometry.rotations import rotmat_to_aa
+from hamer_yolo_tpu.models.hamer import HamerConfig, hamer_forward
+from hamer_yolo_tpu.models.mano import ManoModel
+from hamer_yolo_tpu.models.sar import SarConfig, estimate_root_depth
+from hamer_yolo_tpu.models.yolov7 import YoloConfig, yolov7_forward
+from hamer_yolo_tpu.ops.nms import non_max_suppression
+from hamer_yolo_tpu.pipeline.preprocess import device_letterbox, hamer_crop, sar_patch
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    max_hands: int = 4
+    det_size: int = 640
+    conf_thres: float = 0.25   # config/yolo_config.py:7
+    iou_thres: float = 0.35    # config/yolo_config.py:8
+    classes: Tuple[int, ...] = (0, 1, 2)  # config/yolo_config.py:9
+    agnostic_nms: bool = True  # config/yolo_config.py:10
+    right_class: int = 1       # cls==1 -> right (yolo/detector.py:144-148)
+    crop_size: int = 256
+    use_depth_refine: bool = False  # d_infer.py behavior when True
+    yolo: YoloConfig = field(default_factory=lambda: YoloConfig(nc=3))
+    hamer: HamerConfig = field(default_factory=HamerConfig)
+    sar: SarConfig = field(default_factory=SarConfig)
+
+
+def detect_hands(
+    yolo_params: Dict[str, Any],
+    image_bgr: jax.Array,
+    orig_hw: jax.Array,
+    cfg: PipelineConfig,
+) -> Dict[str, jax.Array]:
+    """Detector stage: letterbox -> YOLO -> NMS -> original-frame boxes.
+
+    Returns top-max_hands slots: boxes (S, 4) xyxy, scores (S,),
+    is_right (S,), valid (S,).
+    """
+    letterboxed, r, pad = device_letterbox(image_bgr, orig_hw, cfg.det_size)
+    det_in = letterboxed[..., ::-1] / 255.0  # BGR -> RGB, [0, 1]
+    pred = yolov7_forward(yolo_params, det_in[None], cfg.yolo)
+    nms = non_max_suppression(
+        pred,
+        conf_thres=cfg.conf_thres,
+        iou_thres=cfg.iou_thres,
+        classes=cfg.classes,
+        agnostic=cfg.agnostic_nms,
+        max_det=cfg.max_hands,
+    )
+    boxes = scale_coords(nms.boxes[0], r, pad, (orig_hw[0], orig_hw[1]))
+    boxes = jnp.round(boxes)  # detector rounds (yolo/detector.py:142)
+    return {
+        "boxes": boxes,
+        "scores": nms.scores[0],
+        "is_right": (nms.classes[0] == cfg.right_class).astype(jnp.float32),
+        "valid": nms.valid[0],
+    }
+
+
+def recover_hands(
+    hamer_params: Dict[str, Any],
+    mano_model: ManoModel,
+    image_bgr: jax.Array,
+    dets: Dict[str, jax.Array],
+    K: jax.Array,
+    cfg: PipelineConfig,
+    depth_refine: Optional[jax.Array] = None,
+    attn_impl=None,
+) -> Dict[str, jax.Array]:
+    """HaMeR stage over all hand slots at once (estimate_from_rgb parity)."""
+    do_flip = 1.0 - dets["is_right"]  # left hands are flipped
+    center, size = hamer_box_params(dets["boxes"])
+    crops = jax.vmap(
+        lambda c, s, f: hamer_crop(image_bgr, c, s, f, cfg.crop_size)
+    )(center, size, do_flip)
+
+    out = hamer_forward(hamer_params, mano_model, crops, cfg.hamer, attn_impl=attn_impl)
+
+    # Reference-compatible kp3d flip handling (infer.py:391) is a known bug;
+    # apply the corrected mirror (flip.py docstring).
+    kp3d = flip_keypoints3d(out["pred_keypoints_3d"], do_flip)
+    pred_cam = correct_pred_cam(out["pred_cam"], do_flip)
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    S = do_flip.shape[0]
+    cam_t_full = custom_cam_crop_to_full(
+        pred_cam, center, size,
+        jnp.full((S,), fx), jnp.full((S,), fy),
+        jnp.full((S,), cx), jnp.full((S,), cy),
+        depth_refine=depth_refine,
+    )
+    kp2d_full = project_with_intrinsics(
+        kp3d + cam_t_full[:, None], jnp.full((S,), fx), jnp.full((S,), fy),
+        jnp.full((S,), cx), jnp.full((S,), cy),
+    )
+    return {
+        "pred_cam": pred_cam,
+        "pred_cam_t_full": cam_t_full,
+        "pred_keypoints_3d": kp3d,
+        "pred_keypoints_2d_full": kp2d_full,
+        "pred_vertices": out["pred_vertices"],
+        "global_orient": out["pred_mano_params"]["global_orient"],
+        "hand_pose": out["pred_mano_params"]["hand_pose"],
+        "betas": out["pred_mano_params"]["betas"],
+        "do_flip": do_flip,
+    }
+
+
+def estimate_depths(
+    sar_params: Dict[str, Any],
+    image_bgr: jax.Array,
+    dets: Dict[str, jax.Array],
+    orig_hw: jax.Array,
+    K: jax.Array,
+    cfg: PipelineConfig,
+) -> jax.Array:
+    """RootNet stage: per-slot absolute root depth (S,)."""
+    b = dets["boxes"]
+    xywh = jnp.stack(
+        [b[:, 0], b[:, 1], b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], axis=-1
+    )
+    pb, _ = process_bbox(xywh, orig_hw[1], orig_hw[0],
+                         (float(cfg.sar.input_size), float(cfg.sar.input_size)), 1.5)
+    patches = jax.vmap(lambda bb: sar_patch(image_bgr, bb, cfg.sar.input_size))(pb)
+    k_val = calculate_k_value(
+        pb[:, 2:4], K[0, 0], K[1, 1],
+        real_area=cfg.sar.bbox_real[0] * cfg.sar.bbox_real[1],
+    )
+    return estimate_root_depth(sar_params, patches, k_val, cfg.sar)
+
+
+def infer_frame(
+    params: Dict[str, Any],
+    mano_model: ManoModel,
+    image_bgr: jax.Array,
+    orig_hw: jax.Array,
+    K: jax.Array,
+    cfg: PipelineConfig,
+    attn_impl=None,
+) -> Dict[str, jax.Array]:
+    """The full program. image_bgr: (Hb, Wb, 3) float32 raw BGR 0..255
+    (bucket-padded); orig_hw: (2,) float32; K: (3, 3).
+
+    Returns per-slot outputs incl. the npy-schema fields (betas, theta,
+    pose_hand, pose_global, cam_t, is_right) as masked arrays.
+    """
+    dets = detect_hands(params["yolo"], image_bgr, orig_hw, cfg)
+
+    depth = None
+    if cfg.use_depth_refine or "sar" in params:
+        depth = estimate_depths(params["sar"], image_bgr, dets, orig_hw, K, cfg)
+    refine = depth if cfg.use_depth_refine else None
+
+    rec = recover_hands(
+        params["hamer"], mano_model, image_bgr, dets, K, cfg,
+        depth_refine=refine, attn_impl=attn_impl,
+    )
+
+    # Save-side axis-angle conversion (infer.py:1281-1296).
+    global_aa = rotmat_to_aa(rec["global_orient"][:, 0])       # (S, 3)
+    hand_aa = rotmat_to_aa(rec["hand_pose"]).reshape(global_aa.shape[0], -1)  # (S, 45)
+    theta = jnp.concatenate([global_aa, hand_aa], axis=-1)     # (S, 48)
+
+    out = {
+        **dets,
+        "betas": rec["betas"],
+        "theta": theta,
+        "pose_hand": hand_aa,
+        "pose_global": global_aa,
+        "cam_t": rec["pred_cam_t_full"],
+        "pred_cam": rec["pred_cam"],
+        "keypoints_3d": rec["pred_keypoints_3d"],
+        "keypoints_2d": rec["pred_keypoints_2d_full"],
+        "vertices": rec["pred_vertices"],
+    }
+    if depth is not None:
+        out["root_depth"] = depth
+    return out
+
+
+def make_infer_fn(params, mano_model, cfg: PipelineConfig, attn_impl=None):
+    """jit-wrapped frame program with params/mano baked as constants closed
+    over donation-free; bucket shape is static via input shapes."""
+    @jax.jit
+    def fn(image_bgr, orig_hw, K):
+        return infer_frame(params, mano_model, image_bgr, orig_hw, K, cfg,
+                           attn_impl=attn_impl)
+    return fn

@@ -1,0 +1,122 @@
+"""Device-side fused preprocessing: letterbox, HaMeR crops, SAR patches.
+
+The reference does all preprocessing on the CPU with cv2 (letterbox at
+datasets.py:999, HaMeR crops at infer.py:217-238, SAR patches at
+preprocessing.py:39) and re-uploads each result. Here the ORIGINAL frame is
+uploaded once (padded to a static bucket shape) and every view the models
+need — the 640x640 letterboxed detector input, the per-hand 256x256 HaMeR
+crops, the 256x256 SAR depth patch — is produced on-device by affine
+bilinear gathers inside the same XLA program. Dynamic box geometry stays
+traced (affine matrices are data), while all output shapes are static.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.geometry.affine import bilinear_sample, gen_trans_from_patch, invert_affine
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def device_letterbox(
+    img: jax.Array,
+    orig_hw: jax.Array,
+    out_size: int = 640,
+    pad_value: float = 114.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Letterbox with dynamic source size on a static canvas.
+
+    img: (Hb, Wb, 3) raw frame padded (bottom/right) to the bucket shape;
+    orig_hw: (2,) actual (h, w). Returns (letterboxed (S, S, 3),
+    gain r, pad (dw, dh)). Matches reference letterbox geometry with
+    auto=False (full square pad), scaleup=True.
+    """
+    h, w = orig_hw[0], orig_hw[1]
+    r = jnp.minimum(out_size / h, out_size / w)
+    new_w = w * r
+    new_h = h * r
+    dw = (out_size - new_w) / 2.0
+    dh = (out_size - new_h) / 2.0
+    # Map output pixel -> source pixel: x_src = (x_out - dw) / r.
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_size, dtype=jnp.float32),
+        jnp.arange(out_size, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # Align with cv2.resize sampling: src = (dst + 0.5) / r - 0.5.
+    src_x = (xs - dw + 0.5) / r - 0.5
+    src_y = (ys - dh + 0.5) / r - 0.5
+    out = bilinear_sample(img, src_x, src_y, border_value=pad_value)
+    # Padding region must be exactly pad_value (not blended with edges)
+    inside = (
+        (xs >= jnp.floor(dw)) & (xs < jnp.ceil(out_size - dw))
+        & (ys >= jnp.floor(dh)) & (ys < jnp.ceil(out_size - dh))
+    )
+    out = jnp.where(inside[..., None], out, pad_value)
+    return out, r, jnp.stack([dw, dh])
+
+
+def normalize_imagenet(patch_rgb01: jax.Array) -> jax.Array:
+    mean = jnp.asarray(IMAGENET_MEAN, patch_rgb01.dtype)
+    std = jnp.asarray(IMAGENET_STD, patch_rgb01.dtype)
+    return (patch_rgb01 - mean) / std
+
+
+def crop_square_patch(
+    img: jax.Array,
+    center: jax.Array,
+    size_wh: jax.Array,
+    out_hw: Tuple[int, int],
+) -> jax.Array:
+    """Affine crop of a (w, h) box centered at ``center`` -> (out_h, out_w, 3).
+
+    Exact gen_trans_from_patch + warpAffine semantics (scale 1, rot 0).
+    """
+    out_h, out_w = out_hw
+    trans = gen_trans_from_patch(
+        center[0], center[1], size_wh[0], size_wh[1], float(out_w), float(out_h)
+    )
+    inv = invert_affine(trans)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_h, dtype=jnp.float32),
+        jnp.arange(out_w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    return bilinear_sample(img, src_x, src_y, 0.0)
+
+
+def hamer_crop(
+    img_bgr: jax.Array,
+    center: jax.Array,
+    size: jax.Array,
+    do_flip: jax.Array,
+    out_size: int = 256,
+) -> jax.Array:
+    """One HaMeR model input from the raw BGR frame (infer.py:217-238):
+    square crop -> BGR->RGB -> lr-flip left hands -> ImageNet normalize."""
+    patch = crop_square_patch(img_bgr, center, jnp.stack([size, size]), (out_size, out_size))
+    patch = patch[:, :, ::-1]  # BGR -> RGB
+    patch = jnp.where(do_flip > 0.5, patch[:, ::-1, :], patch)
+    return normalize_imagenet(patch / 255.0)
+
+
+def sar_patch(
+    img_bgr: jax.Array,
+    bbox_xywh: jax.Array,
+    out_size: int = 256,
+) -> jax.Array:
+    """One SAR/RootNet input patch (Model_RGB.py:596-612): processed-bbox
+    crop -> BGR->RGB -> ImageNet normalize (no flip in the depth path)."""
+    cx = bbox_xywh[0] + 0.5 * bbox_xywh[2]
+    cy = bbox_xywh[1] + 0.5 * bbox_xywh[3]
+    patch = crop_square_patch(
+        img_bgr, jnp.stack([cx, cy]), bbox_xywh[2:4], (out_size, out_size)
+    )
+    patch = patch[:, :, ::-1]
+    return normalize_imagenet(patch / 255.0)

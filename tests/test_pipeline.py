@@ -1,0 +1,138 @@
+"""End-to-end pipeline tests on tiny configs (CPU)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core.checkpoint import init_pipeline_params
+from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+from hamer_yolo_tpu.models.hamer import HamerConfig
+from hamer_yolo_tpu.models.mano import ManoModel
+from hamer_yolo_tpu.models.mano_head import ManoHeadConfig
+from hamer_yolo_tpu.models.sar import SarConfig
+from hamer_yolo_tpu.models.vit import ViTConfig
+from hamer_yolo_tpu.models.yolov7 import YoloConfig
+from hamer_yolo_tpu.pipeline import (
+    PipelineConfig, infer_frame, reconstruct_and_save_obj,
+)
+from hamer_yolo_tpu.pipeline.runner import FrameProgram, pick_bucket
+from hamer_yolo_tpu.io.writers import frame_outputs_to_hand_dicts, load_hand_npy, save_hand_npy
+
+
+def tiny_cfg() -> PipelineConfig:
+    return PipelineConfig(
+        max_hands=2,
+        det_size=64,
+        crop_size=64,
+        yolo=YoloConfig(nc=3, img_size=64),
+        hamer=HamerConfig(
+            image_size=64, crop_margin=8,
+            vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4),
+            head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2,
+                                dim_head=8, mlp_dim=32),
+        ),
+        sar=SarConfig(backbone="resnet34", input_size=64, feature_hw=2, heatmap_size=8),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+    params = init_pipeline_params(
+        jax.random.PRNGKey(0), mano,
+        yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer, sar_cfg=cfg.sar,
+    )
+    return cfg, mano, params
+
+
+class TestFrameProgram:
+    def test_infer_frame_shapes(self, setup, rng):
+        cfg, mano, params = setup
+        img = jnp.asarray(rng.integers(0, 255, (120, 160, 3)).astype(np.float32))
+        out = jax.jit(
+            lambda i, hw, K: infer_frame(params, mano, i, hw, K, cfg)
+        )(img, jnp.array([120.0, 160.0]),
+          jnp.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]]))
+        S = cfg.max_hands
+        assert out["boxes"].shape == (S, 4)
+        assert out["betas"].shape == (S, 10)
+        assert out["theta"].shape == (S, 48)
+        assert out["pose_hand"].shape == (S, 45)
+        assert out["pose_global"].shape == (S, 3)
+        assert out["cam_t"].shape == (S, 3)
+        assert out["vertices"].shape == (S, 778, 3)
+        assert out["keypoints_2d"].shape == (S, 21, 2)
+        assert out["root_depth"].shape == (S,)
+
+    def test_bucketing(self):
+        assert pick_bucket(480, 640) == (480, 640)
+        assert pick_bucket(481, 640) == (720, 1280)
+        assert pick_bucket(3000, 5000) == (3008, 5056)
+
+    def test_frame_program_numpy_roundtrip(self, setup, rng):
+        cfg, mano, params = setup
+        program = FrameProgram(params, mano, cfg)
+        img = rng.integers(0, 255, (100, 140, 3)).astype(np.float32)
+        K = np.array([[200.0, 0, 70], [0, 200.0, 50], [0, 0, 1]], np.float32)
+        out = program(img, K)
+        assert isinstance(out["boxes"], np.ndarray)
+        # bucket reuse: second call hits the cached jit
+        out2 = program(img, K)
+        np.testing.assert_allclose(out["boxes"], out2["boxes"])
+
+
+class TestIO:
+    def test_npy_schema_roundtrip(self, tmp_path, setup, rng):
+        cfg, mano, params = setup
+        S = 2
+        out = {
+            "valid": np.array([True, True]),
+            "is_right": np.array([1.0, 0.0]),
+            "scores": np.array([0.9, 0.8]),
+            "betas": rng.normal(size=(S, 10)).astype(np.float32),
+            "theta": rng.normal(size=(S, 48)).astype(np.float32),
+            "pose_hand": rng.normal(size=(S, 45)).astype(np.float32),
+            "pose_global": rng.normal(size=(S, 3)).astype(np.float32),
+            "cam_t": rng.normal(size=(S, 3)).astype(np.float32),
+        }
+        results = frame_outputs_to_hand_dicts(out)
+        assert results["right"]["is_right"] is True
+        assert results["left"]["is_right"] is False
+        np.testing.assert_allclose(results["right"]["theta"], out["theta"][0])
+        path = str(tmp_path / "frame.npy")
+        save_hand_npy(path, results)
+        loaded = load_hand_npy(path)
+        assert set(loaded) == {"left", "right"}
+        np.testing.assert_allclose(loaded["left"]["betas"], out["betas"][1])
+
+    def test_obj_reconstruction(self, tmp_path, setup, rng):
+        cfg, mano, params = setup
+        hand = {
+            "theta": 0.1 * rng.normal(size=48).astype(np.float32),
+            "betas": np.zeros(10, np.float32),
+            "cam_t": np.array([0.0, 0.0, 0.5], np.float32),
+            "is_right": True,
+        }
+        left = dict(hand, is_right=False)
+        path = str(tmp_path / "mesh.obj")
+        mesh = reconstruct_and_save_obj(mano, {"left": left, "right": hand}, path)
+        assert mesh is not None
+        assert mesh["vertices"].shape == (2 * 778, 3)
+        assert mesh["faces"].shape == (2 * (1538 + 14), 3)
+        assert os.path.exists(path)
+        txt = open(path).read()
+        assert txt.count("\nv ") == 2 * 778
+        # left-hand verts mirrored: x of left block negative of a
+        # right-hand run with same params
+        right_only = reconstruct_and_save_obj(mano, {"left": None, "right": hand},
+                                              str(tmp_path / "r.obj"))
+        np.testing.assert_allclose(
+            mesh["vertices"][:778, 0], -right_only["vertices"][:, 0], atol=1e-5
+        )
