@@ -1,0 +1,100 @@
+"""Single-chip benchmark: end-to-end frame pipeline (detect -> mesh).
+
+Runs the full-size jitted frame program (YOLOv7 640 detect + NMS + fused
+crops + HaMeR ViT-H + MANO LBS + camera lift + RootNet depth) on one TPU
+chip over a synthetic 720p frame and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline compares against the reference's only published single-image
+throughput figure: YOLOv7 batch-1 @640 = 161 fps on V100
+(yolo/yolov7/README.md:26) — NOTE that figure is detector-only, while our
+value is the FULL pipeline (detector + ViT-H mesh recovery + depth), so
+vs_baseline is a conservative lower bound on relative speed.
+
+Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (4),
+BENCH_HW ("720x1280").
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.checkpoint import init_pipeline_params
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig, infer_frame
+
+    frames = int(os.environ.get("BENCH_FRAMES", "20"))
+    max_hands = int(os.environ.get("BENCH_MAX_HANDS", "4"))
+    hw = os.environ.get("BENCH_HW", "720x1280")
+    H, W = (int(x) for x in hw.split("x"))
+
+    cfg = PipelineConfig(max_hands=max_hands)
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+
+    key = jax.random.PRNGKey(0)
+    params = init_pipeline_params(key, mano, yolo_cfg=cfg.yolo,
+                                  hamer_cfg=cfg.hamer, sar_cfg=cfg.sar)
+
+    @jax.jit
+    def frame_fn(image, orig_hw, K):
+        out = infer_frame(params, mano, image, orig_hw, K, cfg)
+        # Return the full npy-schema payload (what a serving loop fetches).
+        return (out["boxes"], out["scores"], out["valid"], out["betas"],
+                out["theta"], out["cam_t"], out["vertices"], out["root_depth"])
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 255, (H, W, 3)).astype(np.float32))
+    orig_hw = jnp.asarray([H, W], jnp.float32)
+    K = jnp.asarray([[906.96, 0, W / 2], [0, 906.79, H / 2], [0, 0, 1]], jnp.float32)
+
+    t_compile = time.time()
+    out = frame_fn(image, orig_hw, K)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t_compile
+
+    # Warmup steady-state.
+    for _ in range(3):
+        jax.block_until_ready(frame_fn(image, orig_hw, K))
+
+    lat = []
+    for _ in range(frames):
+        t0 = time.time()
+        jax.block_until_ready(frame_fn(image, orig_hw, K))
+        lat.append(time.time() - t0)
+    lat = np.array(lat)
+    p50 = float(np.percentile(lat, 50))
+    fps = 1.0 / p50
+
+    baseline_fps = 161.0  # YOLOv7 batch-1 @640 V100, detector-only
+    print(json.dumps({
+        "metric": "e2e_images_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 4),
+        "extra": {
+            "p50_latency_ms": round(p50 * 1e3, 2),
+            "p90_latency_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+            "frame_hw": [H, W],
+            "max_hands": max_hands,
+            "device": str(jax.devices()[0]),
+            "baseline_note": "vs YOLOv7-only 161fps V100 (reference publishes no e2e number)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+from hamer_yolo_tpu.models.hamer import HamerConfig
+from hamer_yolo_tpu.models.mano import ManoModel
+from hamer_yolo_tpu.models.mano_head import ManoHeadConfig
+from hamer_yolo_tpu.models.vit import ViTConfig
+from hamer_yolo_tpu.parallel.mesh import (
+    make_mesh, vit_tp_shardings, shard_params, shard_batch, batch_sharding,
+)
+from hamer_yolo_tpu.training.train_hamer import (
+    init_train_state, make_train_step, synthetic_batch, make_optimizers,
+)
+
+TINY_CFG = HamerConfig(
+    image_size=64, crop_margin=8,
+    vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4),
+    head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2, dim_head=8, mlp_dim=32),
+)
+
+
+def _mano():
+    try:
+        return ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        return ManoModel.from_arrays(synthetic_mano_model())
+
+
+class TestMesh:
+    def test_device_count(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_tp_sharding_rules(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        params = {"attn": {"qkv": {"w": jnp.zeros((64, 192))},
+                           "proj": {"w": jnp.zeros((64, 64))}},
+                  "norm": {"scale": jnp.zeros((64,))}}
+        sh = vit_tp_shardings(params, mesh)
+        assert sh["attn"]["qkv"]["w"].spec == P(None, "model")
+        assert sh["attn"]["proj"]["w"].spec == P("model", None)
+        assert sh["norm"]["scale"].spec == P()
+
+
+class TestTrainStep:
+    def test_dp_train_step_runs_and_matches_single_device(self):
+        mano = _mano()
+        state, (gen_tx, disc_tx) = init_train_state(jax.random.PRNGKey(0), TINY_CFG)
+        step_fn = make_train_step(mano, TINY_CFG, gen_tx, disc_tx)
+        batch = synthetic_batch(jax.random.PRNGKey(1), 8, TINY_CFG)
+
+        # Single-device reference.
+        s1, m1 = jax.jit(step_fn)(state, batch)
+
+        # 4-way DP + 2-way TP.
+        mesh = make_mesh(n_data=4, n_model=2)
+        with jax.set_mesh(mesh):
+            sh_params = shard_params(state.params, vit_tp_shardings(state.params, mesh))
+            sh_state = state._replace(params=sh_params)
+            sh_batch = shard_batch(batch, mesh)
+            s2, m2 = jax.jit(step_fn)(sh_state, sh_batch)
+
+        np.testing.assert_allclose(
+            float(m1["total"]), float(m2["total"]), rtol=2e-4
+        )
+        # params actually updated
+        d = jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float(jnp.abs(x).sum()),
+            jax.tree_util.tree_map(lambda a, b: a - b, s1.params, state.params), 0.0,
+        )
+        assert d > 0.0
+
+    def test_grad_sync_equivalence(self):
+        """DP gradients == full-batch gradients (the DDP allreduce check)."""
+        mano = _mano()
+        state, (gen_tx, disc_tx) = init_train_state(jax.random.PRNGKey(0), TINY_CFG)
+        step = make_train_step(mano, TINY_CFG, gen_tx, disc_tx)
+        batch = synthetic_batch(jax.random.PRNGKey(2), 4, TINY_CFG)
+
+        s_full, m_full = jax.jit(step)(state, batch)
+        mesh = make_mesh(n_data=4, n_model=1)
+        with jax.set_mesh(mesh):
+            s_dp, m_dp = jax.jit(step)(state, shard_batch(batch, mesh))
+        lead = jax.tree_util.tree_leaves(s_full.params)
+        lead_dp = jax.tree_util.tree_leaves(s_dp.params)
+        for a, b in zip(lead[:10], lead_dp[:10]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
