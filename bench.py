@@ -49,11 +49,13 @@ def main() -> None:
                                   hamer_cfg=cfg.hamer, sar_cfg=cfg.sar)
 
     @jax.jit
-    def frame_fn(image, orig_hw, K):
+    def frame_fn(params, image, orig_hw, K):
         out = infer_frame(params, mano, image, orig_hw, K, cfg)
         # Return the full npy-schema payload (what a serving loop fetches).
         return (out["boxes"], out["scores"], out["valid"], out["betas"],
                 out["theta"], out["cam_t"], out["vertices"], out["root_depth"])
+
+    params = jax.device_put(params)
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 255, (H, W, 3)).astype(np.float32))
@@ -61,18 +63,18 @@ def main() -> None:
     K = jnp.asarray([[906.96, 0, W / 2], [0, 906.79, H / 2], [0, 0, 1]], jnp.float32)
 
     t_compile = time.time()
-    out = frame_fn(image, orig_hw, K)
+    out = frame_fn(params, image, orig_hw, K)
     jax.block_until_ready(out)
     compile_s = time.time() - t_compile
 
     # Warmup steady-state.
     for _ in range(3):
-        jax.block_until_ready(frame_fn(image, orig_hw, K))
+        jax.block_until_ready(frame_fn(params, image, orig_hw, K))
 
     lat = []
     for _ in range(frames):
         t0 = time.time()
-        jax.block_until_ready(frame_fn(image, orig_hw, K))
+        jax.block_until_ready(frame_fn(params, image, orig_hw, K))
         lat.append(time.time() - t0)
     lat = np.array(lat)
     p50 = float(np.percentile(lat, 50))

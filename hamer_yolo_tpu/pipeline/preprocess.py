@@ -17,9 +17,14 @@ import jax
 import jax.numpy as jnp
 
 from hamer_yolo_tpu.geometry.affine import bilinear_sample, gen_trans_from_patch, invert_affine
+from hamer_yolo_tpu.ops import warp_matmul
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# Warp backend: "matmul" routes every axis-aligned resample through the
+# MXU (ops/warp_matmul.py); "gather" uses the XLA gather formulation.
+WARP_IMPL = "matmul"
 
 
 def device_letterbox(
@@ -35,6 +40,8 @@ def device_letterbox(
     gain r, pad (dw, dh)). Matches reference letterbox geometry with
     auto=False (full square pad), scaleup=True.
     """
+    if WARP_IMPL == "matmul":
+        return warp_matmul.letterbox_matmul(img, orig_hw, out_size, pad_value)
     h, w = orig_hw[0], orig_hw[1]
     r = jnp.minimum(out_size / h, out_size / w)
     new_w = w * r
@@ -76,6 +83,8 @@ def crop_square_patch(
 
     Exact gen_trans_from_patch + warpAffine semantics (scale 1, rot 0).
     """
+    if WARP_IMPL == "matmul":
+        return warp_matmul.crop_square_matmul(img, center, size_wh, out_hw)
     out_h, out_w = out_hw
     trans = gen_trans_from_patch(
         center[0], center[1], size_wh[0], size_wh[1], float(out_w), float(out_h)

@@ -59,10 +59,12 @@ class FrameProgram:
 
     def _fn_for_bucket(self, bucket: Tuple[int, int]):
         if bucket not in self._cache:
-            params, mano, cfg, attn = self.params, self.mano_model, self.cfg, self.attn_impl
+            mano, cfg, attn = self.mano_model, self.cfg, self.attn_impl
 
+            # params passed as an argument (closure capture would bake
+            # multi-GB weights into the executable as constants).
             @jax.jit
-            def fn(image_bgr, orig_hw, K):
+            def fn(params, image_bgr, orig_hw, K):
                 return infer_frame(params, mano, image_bgr, orig_hw, K, cfg,
                                    attn_impl=attn)
 
@@ -75,6 +77,7 @@ class FrameProgram:
         padded = np.zeros((bh, bw, 3), np.float32)
         padded[:h, :w] = image_bgr
         out = self._fn_for_bucket((bh, bw))(
+            self.params,
             jnp.asarray(padded),
             jnp.asarray([h, w], jnp.float32),
             jnp.asarray(K, jnp.float32),
