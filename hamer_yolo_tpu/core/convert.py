@@ -1,0 +1,321 @@
+"""PyTorch checkpoint -> JAX pytree weight converters.
+
+One-time converters for the reference's three model checkpoints
+(SURVEY.md 2.7): `yolov7_best.pt`, `hamer.ckpt`, `SAR-resnet34-Root.pth`.
+All conversion happens in numpy; torch is only used to deserialize.
+
+Layout conventions:
+- torch conv OIHW -> JAX HWIO (transpose 2,3,1,0);
+- torch linear (out, in) -> ours (in, out) (transpose);
+- BatchNorm folded into the preceding conv at conversion (deploy graphs);
+- YOLO RepConv branches fused to a single 3x3 (+bias); IDetect
+  ImplicitA/M fused into the head convs (reference IDetect.fuse,
+  models/yolo.py:186-198);
+- HaMeR ViT qkv keeps torch's fused [q; k; v] output layout, which our
+  nn.mha_self_attention reshape (B, N, 3, h, hd) expects row-blocks of
+  the OUT dim -> matches after transpose.
+
+Each converter takes a torch ``state_dict``-like mapping of numpy arrays;
+``load_torch_state_dict`` handles file loading.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str, key: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into {name: numpy array} (CPU, no grads)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if key is not None and isinstance(ckpt, dict) and key in ckpt:
+        ckpt = ckpt[key]
+    if hasattr(ckpt, "state_dict"):  # a full nn.Module (yolov7 saves these)
+        ckpt = ckpt.float().state_dict()
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in ckpt.items()}
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_w(w: np.ndarray) -> np.ndarray:
+    """(out, in) -> (in, out)."""
+    return np.transpose(w)
+
+
+def fold_conv_bn(sd: Dict[str, np.ndarray], conv_key: str, bn_key: str,
+                 eps: float = 1e-3) -> Dict[str, np.ndarray]:
+    """conv(no bias)+BN -> {w (HWIO), b}."""
+    w = conv_w(sd[f"{conv_key}.weight"])
+    gamma = sd[f"{bn_key}.weight"]
+    beta = sd[f"{bn_key}.bias"]
+    mean = sd[f"{bn_key}.running_mean"]
+    var = sd[f"{bn_key}.running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    return {"w": w * scale[None, None, None, :], "b": beta - mean * scale}
+
+
+# ---------------------------------------------------------------------------
+# YOLOv7
+# ---------------------------------------------------------------------------
+
+def _convert_conv_block(sd, prefix: str, eps: float = 1e-3) -> Dict[str, Any]:
+    if f"{prefix}.bn.weight" in sd:
+        return {"conv": fold_conv_bn(sd, f"{prefix}.conv", f"{prefix}.bn", eps)}
+    p = {"w": conv_w(sd[f"{prefix}.conv.weight"])}
+    if f"{prefix}.conv.bias" in sd:
+        p["b"] = sd[f"{prefix}.conv.bias"]
+    return {"conv": p}
+
+
+def _convert_repconv(sd, prefix: str) -> Dict[str, Any]:
+    if f"{prefix}.rbr_reparam.weight" in sd:  # already deploy-fused
+        return {"reparam": {"w": conv_w(sd[f"{prefix}.rbr_reparam.weight"]),
+                            "b": sd[f"{prefix}.rbr_reparam.bias"]}}
+    dense = fold_conv_bn(sd, f"{prefix}.rbr_dense.0", f"{prefix}.rbr_dense.1", eps=1e-3)
+    one = fold_conv_bn(sd, f"{prefix}.rbr_1x1.0", f"{prefix}.rbr_1x1.1", eps=1e-3)
+    w = dense["w"] + np.pad(one["w"], ((1, 1), (1, 1), (0, 0), (0, 0)))
+    b = dense["b"] + one["b"]
+    if f"{prefix}.rbr_identity.weight" in sd:
+        c = w.shape[3]
+        gamma = sd[f"{prefix}.rbr_identity.weight"]
+        beta = sd[f"{prefix}.rbr_identity.bias"]
+        mean = sd[f"{prefix}.rbr_identity.running_mean"]
+        var = sd[f"{prefix}.rbr_identity.running_var"]
+        scale = gamma / np.sqrt(var + 1e-3)
+        ident = np.zeros((3, 3, c, c), np.float32)
+        ident[1, 1, np.arange(c), np.arange(c)] = 1.0
+        w = w + ident * scale[None, None, None, :]
+        b = b + beta - mean * scale
+    return {"reparam": {"w": w, "b": b}}
+
+
+def _convert_sppcspc(sd, prefix: str) -> Dict[str, Any]:
+    return {f"cv{i}": _convert_conv_block(sd, f"{prefix}.cv{i}")
+            for i in range(1, 8)}
+
+
+def _convert_detect(sd, prefix: str, n_heads: int = 3) -> Dict[str, Any]:
+    """Detect/IDetect head: 1x1 convs with ImplicitA/M fused in."""
+    heads: List[Dict[str, np.ndarray]] = []
+    has_implicit = f"{prefix}.ia.0.implicit" in sd
+    for j in range(n_heads):
+        w = sd[f"{prefix}.m.{j}.weight"]  # (out, in, 1, 1)
+        b = sd[f"{prefix}.m.{j}.bias"]
+        if has_implicit:
+            ia = sd[f"{prefix}.ia.{j}.implicit"][0, :, 0, 0]  # (in,)
+            im = sd[f"{prefix}.im.{j}.implicit"][0, :, 0, 0]  # (out,)
+            b = b + (w[:, :, 0, 0] @ ia)
+            b = b * im
+            w = w * im[:, None, None, None]
+        heads.append({"w": conv_w(w), "b": b})
+    return {"m": heads}
+
+
+def convert_yolov7_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Full yolov7 (deploy topology) state dict -> our params pytree.
+
+    Works for both training-form (IDetect + RepConv branches + BN) and
+    deploy-form checkpoints; everything is fused to the deploy graph.
+    """
+    from hamer_yolo_tpu.models.yolov7.model import yolov7_spec, C, MP_, CAT, SPP, UP, REP, DET
+
+    spec = yolov7_spec()
+    layers: List[Any] = []
+    for i, (frm, op, args) in enumerate(spec):
+        prefix = f"model.{i}"
+        if op == C:
+            layers.append(_convert_conv_block(sd, prefix))
+        elif op == SPP:
+            layers.append(_convert_sppcspc(sd, prefix))
+        elif op == REP:
+            layers.append(_convert_repconv(sd, prefix))
+        elif op == DET:
+            layers.append(_convert_detect(sd, prefix))
+        else:
+            layers.append(None)
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# HaMeR (ViT-H + MANO head)
+# ---------------------------------------------------------------------------
+
+def convert_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "backbone.",
+                           depth: int = 32) -> Dict[str, Any]:
+    g = lambda k: sd[prefix + k]
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "w": conv_w(g("patch_embed.proj.weight")),
+            "b": g("patch_embed.proj.bias"),
+        },
+        "pos_embed": g("pos_embed"),
+        "blocks": [],
+        "last_norm": {"scale": g("last_norm.weight"), "bias": g("last_norm.bias")},
+    }
+    for i in range(depth):
+        b = f"blocks.{i}."
+        params["blocks"].append({
+            "norm1": {"scale": g(b + "norm1.weight"), "bias": g(b + "norm1.bias")},
+            "attn": {
+                "qkv": {"w": linear_w(g(b + "attn.qkv.weight")),
+                        "b": g(b + "attn.qkv.bias")},
+                "proj": {"w": linear_w(g(b + "attn.proj.weight")),
+                         "b": g(b + "attn.proj.bias")},
+            },
+            "norm2": {"scale": g(b + "norm2.weight"), "bias": g(b + "norm2.bias")},
+            "mlp": {
+                "fc1": {"w": linear_w(g(b + "mlp.fc1.weight")), "b": g(b + "mlp.fc1.bias")},
+                "fc2": {"w": linear_w(g(b + "mlp.fc2.weight")), "b": g(b + "mlp.fc2.bias")},
+            },
+        })
+    return params
+
+
+def convert_mano_head_state_dict(sd: Dict[str, np.ndarray],
+                                 prefix: str = "mano_head.",
+                                 depth: int = 6) -> Dict[str, Any]:
+    g = lambda k: sd[prefix + k]
+    layers = []
+    for i in range(depth):
+        t = f"transformer.transformer.layers.{i}."
+        # PreNorm-wrapped [self-attn, cross-attn, ff] (pose_transformer.py:177-189)
+        layers.append({
+            "sa_norm": {"scale": g(t + "0.norm.weight"), "bias": g(t + "0.norm.bias")},
+            "sa": {
+                "qkv": {"w": linear_w(g(t + "0.fn.to_qkv.weight"))},
+                "proj": {"w": linear_w(g(t + "0.fn.to_out.0.weight")),
+                         "b": g(t + "0.fn.to_out.0.bias")},
+            },
+            "ca_norm": {"scale": g(t + "1.norm.weight"), "bias": g(t + "1.norm.bias")},
+            "ca": {
+                "to_q": {"w": linear_w(g(t + "1.fn.to_q.weight"))},
+                "to_kv": {"w": linear_w(g(t + "1.fn.to_kv.weight"))},
+                "proj": {"w": linear_w(g(t + "1.fn.to_out.0.weight")),
+                         "b": g(t + "1.fn.to_out.0.bias")},
+            },
+            "ff_norm": {"scale": g(t + "2.norm.weight"), "bias": g(t + "2.norm.bias")},
+            "ff": {
+                "fc1": {"w": linear_w(g(t + "2.fn.net.0.weight")), "b": g(t + "2.fn.net.0.bias")},
+                "fc2": {"w": linear_w(g(t + "2.fn.net.3.weight")), "b": g(t + "2.fn.net.3.bias")},
+            },
+        })
+    return {
+        "token_embed": {"w": linear_w(g("transformer.to_token_embedding.weight")),
+                        "b": g("transformer.to_token_embedding.bias")},
+        "pos_embed": g("transformer.pos_embedding"),
+        "layers": layers,
+        "decpose": {"w": linear_w(g("decpose.weight")), "b": g("decpose.bias")},
+        "decshape": {"w": linear_w(g("decshape.weight")), "b": g("decshape.bias")},
+        "deccam": {"w": linear_w(g("deccam.weight")), "b": g("deccam.bias")},
+        "init_hand_pose": g("init_hand_pose"),
+        "init_betas": g("init_betas"),
+        "init_cam": g("init_cam"),
+    }
+
+
+def convert_hamer_checkpoint(path: str) -> Dict[str, Any]:
+    """hamer.ckpt (lightning) -> {"backbone", "mano_head"} params."""
+    sd = load_torch_state_dict(path, key="state_dict")
+    return {
+        "backbone": convert_vit_state_dict(sd, "backbone."),
+        "mano_head": convert_mano_head_state_dict(sd, "mano_head."),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SAR / RootNet (resnet34 trunk)
+# ---------------------------------------------------------------------------
+
+def _convert_resnet_basic_block(sd, prefix: str) -> Dict[str, Any]:
+    p = {
+        "conv1": {"w": conv_w(sd[f"{prefix}.conv1.weight"])},
+        "bn1": _bn(sd, f"{prefix}.bn1"),
+        "conv2": {"w": conv_w(sd[f"{prefix}.conv2.weight"])},
+        "bn2": _bn(sd, f"{prefix}.bn2"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        p["down"] = {"w": conv_w(sd[f"{prefix}.downsample.0.weight"])}
+        p["down_bn"] = _bn(sd, f"{prefix}.downsample.1")
+    return p
+
+
+def _bn(sd, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"],
+            "mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+
+
+def convert_sar_resnet34(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """torchvision-style resnet34 keys (SARresnet34 wraps them under
+    extract_mid/extract_high Sequentials; plain torchvision names also work)."""
+    def find(*cands):
+        for c in cands:
+            if prefix + c in sd:
+                return prefix + c
+        raise KeyError(cands)
+
+    # Layout A: plain torchvision (conv1, bn1, layer1..4)
+    params: Dict[str, Any] = {
+        "conv1": {"w": conv_w(sd[find("conv1.weight", "extract_mid.0.weight")])},
+        "bn1": _bn(sd, find("bn1.weight", "extract_mid.1.weight")[:-7]),
+        "stages": [],
+    }
+    layer_names = ["layer1", "layer2", "layer3", "layer4"]
+    seq_names = ["extract_mid.4", "extract_mid.5", "extract_high.0.0", "extract_high.0.1"]
+    counts = (3, 4, 6, 3)
+    for li, n in enumerate(counts):
+        blocks = []
+        for b in range(n):
+            try:
+                blocks.append(_convert_resnet_basic_block(sd, prefix + f"{layer_names[li]}.{b}"))
+            except KeyError:
+                blocks.append(_convert_resnet_basic_block(sd, prefix + f"{seq_names[li]}.{b}"))
+        params["stages"].append(blocks)
+    return params
+
+
+def convert_sar_checkpoint(path: str, template: np.ndarray) -> Dict[str, Any]:
+    """SAR-resnet34-Root.pth ({'network', 'rootnet'} dicts) -> sar params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    net_sd = {k: np.asarray(v.cpu().numpy()) for k, v in ckpt["network"].items()}
+    root_sd = {k: np.asarray(v.cpu().numpy()) for k, v in ckpt["rootnet"].items()}
+
+    # strip common wrappers
+    def strip(sd):
+        return { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+
+    net_sd, root_sd = strip(net_sd), strip(root_sd)
+    backbone = convert_sar_resnet34(net_sd, prefix="backbone.")
+    head = _convert_sar_head(net_sd, template)
+    rootnet = {"depth_layer": {"w": conv_w(root_sd["depth_layer.weight"]),
+                               "b": root_sd["depth_layer.bias"]}}
+    return {"backbone": backbone, "head": head, "rootnet": rootnet}
+
+
+def _convert_sar_head(sd: Dict[str, np.ndarray], template: np.ndarray) -> Dict[str, Any]:
+    g = lambda k: sd["head." + k]
+    def gc(prefix):  # GraphConv
+        return {"fc": {"w": linear_w(g(prefix + ".fc.weight")), "b": g(prefix + ".fc.bias")},
+                "adj": g(prefix + ".adj")}
+    return {
+        "saigb": {
+            "group": {"w": conv_w(g("saigb.group.0.weight")), "b": g("saigb.group.0.bias")},
+            "template": np.asarray(template),
+        },
+        "reg_xy1": gc("gbbmr.reg_xy.0"),
+        "reg_xy2": gc("gbbmr.reg_xy.3"),
+        "reg_z1": gc("gbbmr.reg_z.0"),
+        "reg_z2": gc("gbbmr.reg_z.3"),
+        "mesh2pose_hm": {"w": linear_w(g("gbbmr.mesh2pose_hm.weight")),
+                         "b": g("gbbmr.mesh2pose_hm.bias")},
+        "mesh2pose_dm": {"w": linear_w(g("gbbmr.mesh2pose_dm.weight")),
+                         "b": g("gbbmr.mesh2pose_dm.bias")},
+        "soft_heatmap": {"beta": g("gbbmr.soft_heatmap.beta.weight")[:, 0, 0, 0]},
+    }
