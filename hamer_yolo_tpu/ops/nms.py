@@ -65,7 +65,15 @@ def _greedy_suppress(iou: jax.Array, active: jax.Array, iou_thres: float) -> jax
     return keep
 
 
-@partial(jax.jit, static_argnames=("max_det", "max_nms_static", "agnostic", "classes"))
+def _use_pallas_default() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("max_det", "max_nms_static", "agnostic",
+                                  "classes", "use_pallas"))
 def non_max_suppression(
     prediction: jax.Array,
     conf_thres: float = 0.25,
@@ -74,6 +82,7 @@ def non_max_suppression(
     agnostic: bool = False,
     max_det: int = 300,
     max_nms_static: int = 512,
+    use_pallas: Optional[bool] = None,
 ) -> NmsOutput:
     """prediction: (B, N, 5 + nc) decoded xywh + obj + cls scores."""
     B, N, no = prediction.shape
@@ -110,11 +119,18 @@ def non_max_suppression(
     offset = 0.0 if agnostic else MAX_WH
     shifted = top_boxes + (top_cls[..., None].astype(top_boxes.dtype) * offset)
 
-    def per_image(bx, act):
-        iou = box_iou(bx, bx)
-        return _greedy_suppress(iou, act, iou_thres)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from hamer_yolo_tpu.ops.nms_pallas import greedy_nms_keep
 
-    keep = jax.vmap(per_image)(shifted, top_active)  # (B, K)
+        keep = greedy_nms_keep(shifted, top_active.astype(jnp.float32), iou_thres) > 0.5
+    else:
+        def per_image(bx, act):
+            iou = box_iou(bx, bx)
+            return _greedy_suppress(iou, act, iou_thres)
+
+        keep = jax.vmap(per_image)(shifted, top_active)  # (B, K)
 
     # Compact kept detections to the front, cap at max_det.
     keep_score = jnp.where(keep, top_scores, -1.0)
