@@ -69,9 +69,12 @@ def hamer_forward(
 
     context = vit_forward(params["backbone"], x, cfg.vit, attn_impl=attn_impl)
     pred_mano, pred_cam = mano_head_forward(params["mano_head"], context, cfg.head)
+    # Geometry (MANO LBS, camera lift, projection) runs in f32.
+    pred_mano = {k: v.astype(jnp.float32) for k, v in pred_mano.items()}
+    pred_cam = pred_cam.astype(jnp.float32)
 
     pred_cam_t = cam_to_translation(pred_cam, cfg.focal_length, cfg.image_size)
-    focal = jnp.full((B, 2), cfg.focal_length, img.dtype)
+    focal = jnp.full((B, 2), cfg.focal_length, jnp.float32)
 
     out = mano_lib.mano_forward_rotmat(
         mano_model,

@@ -117,10 +117,11 @@ def mano_head_forward(
         pred_betas = nn.linear(params["decshape"], tok) + pred_betas
         pred_cam = nn.linear(params["deccam"], tok) + pred_cam
 
-    rotmats = rot6d_to_rotmat(pred_pose.reshape(B, cfg.num_joints, 6))
+    # Rotation construction in f32 (Gram-Schmidt is precision-sensitive).
+    rotmats = rot6d_to_rotmat(pred_pose.astype(jnp.float32).reshape(B, cfg.num_joints, 6))
     pred_mano = {
         "global_orient": rotmats[:, :1],
         "hand_pose": rotmats[:, 1:],
-        "betas": pred_betas,
+        "betas": pred_betas.astype(jnp.float32),
     }
-    return pred_mano, pred_cam
+    return pred_mano, pred_cam.astype(jnp.float32)

@@ -44,6 +44,7 @@ class SarConfig:
     feature_hw: int = 8  # 256 / 32
     cam_para: Tuple[float, float, float, float] = (906.96, 906.79, 960.0, 540.0)
     bbox_real: Tuple[float, float] = (0.3, 0.3)
+    compute_dtype: str = "bfloat16"
 
     @property
     def num_total(self) -> int:
@@ -154,7 +155,7 @@ def sar_head_forward(p: Params, feats: jax.Array, cfg: SarConfig = SarConfig()) 
     uv, latent = soft_heatmap(p["soft_heatmap"], hm_all)
     z = jnp.sum((latent * zm_all).reshape(B, cfg.num_total, -1), axis=-1, keepdims=True)
     uv = uv / (S // 2) - 1.0
-    return jnp.concatenate([uv, z], axis=-1)
+    return jnp.concatenate([uv, z], axis=-1).astype(jnp.float32)
 
 
 def init_sar(key: jax.Array, template: jax.Array, cfg: SarConfig = SarConfig()) -> Params:
@@ -171,6 +172,7 @@ def init_sar(key: jax.Array, template: jax.Array, cfg: SarConfig = SarConfig()) 
 
 
 def sar_backbone_forward(params: Params, x: jax.Array, cfg: SarConfig = SarConfig()) -> jax.Array:
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
     if cfg.backbone == "resnet34":
         return resnet34_forward(params["backbone"], x)
     return convnext_forward(params["backbone"], x, "base")
@@ -187,7 +189,7 @@ def rootnet_depth(params: Params, feats: jax.Array, k_value: jax.Array) -> jax.A
 
     feats: (B, h, w, C); k_value: (B,). Returns (B,) absolute depth.
     """
-    pooled = nn.avg_pool_global(feats)[:, None, None, :]  # (B, 1, 1, C)
+    pooled = nn.avg_pool_global(feats.astype(jnp.float32))[:, None, None, :]
     gamma = nn.conv2d(params["rootnet"]["depth_layer"], pooled, 1, 0)[:, 0, 0, 0]
     return gamma * k_value
 

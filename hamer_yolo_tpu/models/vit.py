@@ -33,6 +33,10 @@ class ViTConfig:
     num_heads: int = 16
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    # bf16 activations (params stay f32; nn.* casts weights per-op). The
+    # MXU natively computes bf16 x bf16 -> f32; this halves HBM traffic
+    # and roughly doubles matmul throughput vs f32 on v5e.
+    compute_dtype: str = "bfloat16"
 
     @property
     def grid_hw(self) -> tuple:
@@ -84,6 +88,7 @@ def vit_forward(
     """
     attn = attn_impl or nn.mha_self_attention
     B = x.shape[0]
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
     tok = nn.conv2d(
         params["patch_embed"], x,
         stride=cfg.patch_size, padding=cfg.patch_padding,

@@ -125,6 +125,9 @@ class YoloConfig:
     img_size: int = 640
     anchors: tuple = tuple(map(tuple, YOLOV7_ANCHORS.reshape(3, 6).tolist()))
     strides: tuple = YOLOV7_STRIDES
+    # bf16 conv backbone (the reference runs the detector in fp16,
+    # yolo/detector.py:111); decode runs in f32.
+    compute_dtype: str = "bfloat16"
 
     @property
     def no(self) -> int:
@@ -201,7 +204,7 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
     spec = yolov7_spec()
     saved = _save_set(spec)
     y: Dict[int, jax.Array] = {}
-    out = x
+    out = x.astype(jnp.dtype(cfg.compute_dtype))
     det_maps: List[jax.Array] = []
     for i, (frm, op, args) in enumerate(spec):
         srcs = _resolve(frm, i)
@@ -237,6 +240,7 @@ def decode_detections(det_maps: Sequence[jax.Array],
     anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(3, 3, 2))
     outs = []
     for lvl, m in enumerate(det_maps):
+        m = m.astype(jnp.float32)  # decode in f32
         Bz, H, W, _ = m.shape
         stride = cfg.strides[lvl]
         m = m.reshape(Bz, H, W, cfg.na, cfg.no)

@@ -20,7 +20,7 @@ from hamer_yolo_tpu.training.train_hamer import (
 
 TINY_CFG = HamerConfig(
     image_size=64, crop_margin=8,
-    vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4),
+    vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4, compute_dtype="float32"),
     head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2, dim_head=8, mlp_dim=32),
 )
 
