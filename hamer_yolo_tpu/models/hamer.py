@@ -40,6 +40,9 @@ class HamerConfig:
     # ImageNet stats used for input normalization (model config yaml).
     image_mean: tuple = (0.485, 0.456, 0.406)
     image_std: tuple = (0.229, 0.224, 0.225)
+    # ToMe token merging: tokens merged per ViT layer (0 = off). The
+    # reference enables r=(8,-1) via token_merge (hamer.py:481-483).
+    tome_r: int = 0
 
 
 def init_hamer(key: jax.Array, cfg: HamerConfig = HamerConfig()) -> nn.Params:
@@ -67,7 +70,13 @@ def hamer_forward(
     m = cfg.crop_margin
     x = img[:, :, m:-m, :]  # (B, 256, 192, 3) NHWC center crop
 
-    context = vit_forward(params["backbone"], x, cfg.vit, attn_impl=attn_impl)
+    if cfg.tome_r > 0:
+        from hamer_yolo_tpu.models.tome import vit_forward_tome
+
+        context = vit_forward_tome(params["backbone"], x, cfg.vit,
+                                   r_per_layer=cfg.tome_r, attn_impl=attn_impl)
+    else:
+        context = vit_forward(params["backbone"], x, cfg.vit, attn_impl=attn_impl)
     pred_mano, pred_cam = mano_head_forward(params["mano_head"], context, cfg.head)
     # Geometry (MANO LBS, camera lift, projection) runs in f32.
     pred_mano = {k: v.astype(jnp.float32) for k, v in pred_mano.items()}

@@ -1,0 +1,98 @@
+"""ToMe token merging for the ViT backbone (inference speedup option).
+
+Parity target: reference hamer/hamer/models/backbones/selective_vit_adapter.py
+(bipartite soft matching, applied via apply_patch with r = (8, -1),
+hamer.py:481-483). Re-designed for XLA's static-shape constraint:
+
+- a STATIC per-layer merge count r (token count shrinks deterministically
+  layer by layer, so every layer still compiles to fixed shapes);
+- bipartite soft matching on token cosine similarity: even tokens (set A)
+  propose their best match among odd tokens (set B); the r highest-
+  similarity edges are merged (size-weighted average into the B token);
+- merges are expressed as one-hot scatter matmuls (MXU-friendly) instead
+  of dynamic gathers.
+
+Sizes are tracked so repeated merges stay mass-conserving, matching the
+reference's merge_wavg. Proportional attention is omitted (the adapter in
+the reference also runs without it by default).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bipartite_soft_matching_merge(
+    tokens: jax.Array, sizes: jax.Array, r: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge r tokens. tokens: (B, N, D); sizes: (B, N).
+
+    Returns (tokens (B, N - r, D), sizes (B, N - r)).
+    Layout of the output: [unmerged/merged B tokens..., kept A tokens...]
+    with A = even input positions, B = odd input positions.
+    """
+    B, N, D = tokens.shape
+    Na = (N + 1) // 2
+    Nb = N // 2
+    r = min(r, Na - 1)  # always keep at least one A token
+    if r <= 0:
+        return tokens, sizes
+
+    a = tokens[:, ::2]
+    b = tokens[:, 1::2]
+    sa = sizes[:, ::2]
+    sb = sizes[:, 1::2]
+
+    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-6)
+    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-6)
+    scores = jnp.einsum("bad,bcd->bac", an, bn)  # (B, Na, Nb)
+
+    node_max = jnp.max(scores, axis=-1)  # (B, Na)
+    node_idx = jnp.argmax(scores, axis=-1)  # (B, Na) target B index per A
+
+    # r most-similar A tokens get merged.
+    _, merge_order = jax.lax.top_k(node_max, Na)
+    merged_a = merge_order[:, :r]  # (B, r) indices into A
+    kept_a = merge_order[:, r:]  # (B, Na - r)
+    # Keep kept-A tokens in their original order (reference unm is sorted).
+    kept_a = jnp.sort(kept_a, axis=-1)
+
+    # Scatter merged A mass into B via one-hot matmuls.
+    tgt = jnp.take_along_axis(node_idx, merged_a, axis=1)  # (B, r) B indices
+    onehot_tgt = jax.nn.one_hot(tgt, Nb, dtype=tokens.dtype)  # (B, r, Nb)
+    merged_feat = jnp.take_along_axis(a * sa[..., None], merged_a[..., None], axis=1)  # (B, r, D)
+    merged_size = jnp.take_along_axis(sa, merged_a, axis=1)  # (B, r)
+
+    add_feat = jnp.einsum("brn,brd->bnd", onehot_tgt, merged_feat)
+    add_size = jnp.einsum("brn,br->bn", onehot_tgt, merged_size)
+
+    new_sb = sb + add_size
+    new_b = (b * sb[..., None] + add_feat) / new_sb[..., None]
+
+    kept_feat = jnp.take_along_axis(a, kept_a[..., None], axis=1)
+    kept_size = jnp.take_along_axis(sa, kept_a, axis=1)
+
+    out_tokens = jnp.concatenate([new_b, kept_feat], axis=1)
+    out_sizes = jnp.concatenate([new_sb, kept_size], axis=1)
+    return out_tokens, out_sizes
+
+
+def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
+    """ViT forward with per-layer token merging (drop-in for vit_forward)."""
+    from hamer_yolo_tpu.core import nn
+
+    attn = attn_impl or nn.mha_self_attention
+    B = x.shape[0]
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
+    tok = nn.conv2d(params["patch_embed"], x, stride=cfg.patch_size,
+                    padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
+    pos = params["pos_embed"].astype(tok.dtype)
+    tok = tok + pos[:, 1:] + pos[:, :1]
+    sizes = jnp.ones(tok.shape[:2], tok.dtype)
+    for blk in params["blocks"]:
+        tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+        tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
+        tok = tok + nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+    return nn.layer_norm(params["last_norm"], tok)

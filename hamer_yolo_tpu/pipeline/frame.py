@@ -44,6 +44,9 @@ class PipelineConfig:
     right_class: int = 1       # cls==1 -> right (yolo/detector.py:144-148)
     crop_size: int = 256
     use_depth_refine: bool = False  # d_infer.py behavior when True
+    tta: bool = False  # 3-scale+flip detector TTA (reference default ON,
+    #                    config/yolo_config.py:6 — off here by default; it
+    #                    triples detector cost for marginal recall)
     yolo: YoloConfig = field(default_factory=lambda: YoloConfig(nc=3))
     hamer: HamerConfig = field(default_factory=HamerConfig)
     sar: SarConfig = field(default_factory=SarConfig)
@@ -62,7 +65,12 @@ def detect_hands(
     """
     letterboxed, r, pad = device_letterbox(image_bgr, orig_hw, cfg.det_size)
     det_in = letterboxed[..., ::-1] / 255.0  # BGR -> RGB, [0, 1]
-    pred = yolov7_forward(yolo_params, det_in[None], cfg.yolo)
+    if cfg.tta:
+        from hamer_yolo_tpu.models.yolov7.tta import yolov7_forward_tta
+
+        pred = yolov7_forward_tta(yolo_params, det_in[None], cfg.yolo)
+    else:
+        pred = yolov7_forward(yolo_params, det_in[None], cfg.yolo)
     nms = non_max_suppression(
         pred,
         conf_thres=cfg.conf_thres,

@@ -138,23 +138,21 @@ def yolo_loss(
         r = t_wh[:, :, None, :] / anc[None, None, :, :]  # (B, T, na, 2)
         ratio_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t  # (B, T, na)
 
-        # candidate cells: center + 2 nearest neighbors (g=0.5 rule)
+        # candidate cells: center + up-to-2 nearest neighbors (g=0.5 rule,
+        # reference build_targets offsets [[0,0],[1,0],[0,1],[-1,0],[0,-1]]*g
+        # with masks j=fx<g, k=fy<g, l=fx>1-g, m=fy>1-g)
         g = 0.5
         cx, cy = t_xy[..., 0], t_xy[..., 1]
         fx, fy = cx - jnp.floor(cx), cy - jnp.floor(cy)
-        offs = jnp.stack([
-            jnp.zeros_like(t_xy),
-            jnp.stack([-(fx < g) * 1.0, jnp.zeros_like(fy)], -1) * g * 2,
-            jnp.stack([jnp.zeros_like(fx), -(fy < g) * 1.0], -1) * g * 2,
-            jnp.stack([(fx >= g) * 1.0, jnp.zeros_like(fy)], -1) * g * 2,
-            jnp.stack([jnp.zeros_like(fx), (fy >= g) * 1.0], -1) * g * 2,
-        ], axis=2)  # (B, T, 5, 2) offsets in {0, +-1} * g*2... actually +-1
-        # yolov7 uses offsets of exactly 1 cell for the 2 nearest sides; the
-        # 5 candidates above reduce to center + up-to-2 active neighbors.
+        zero = jnp.zeros_like(fx)
+        base_offs = jnp.asarray(
+            [[0.0, 0.0], [g, 0.0], [0.0, g], [-g, 0.0], [0.0, -g]], raw.dtype
+        )  # (5, 2); cell = floor(xy - off)
+        offs = jnp.broadcast_to(base_offs[None, None], (B, T, 5, 2))
         active = jnp.stack([
             jnp.ones_like(fx, bool),
             (fx < g) & (cx > 1.0), (fy < g) & (cy > 1.0),
-            (fx >= g) & (cx < W - 1.0), (fy >= g) & (cy < H - 1.0),
+            (fx > 1.0 - g) & (cx < W - 1.0), (fy > 1.0 - g) & (cy < H - 1.0),
         ], axis=2)  # (B, T, 5)
 
         cells = jnp.floor(t_xy[:, :, None, :] - offs).astype(jnp.int32)  # (B, T, 5, 2)
@@ -172,7 +170,8 @@ def yolo_loss(
 
         ps_xy = jax.nn.sigmoid(psel[..., 0:2]) * 2.0 - 0.5
         ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
-        rel_xy = t_xy[:, :, None, None, :] - cells[..., None, :].astype(raw.dtype)
+        rel_xy = t_xy[:, :, None, None, :] - cells[:, :, :, None, :].astype(raw.dtype)
+        rel_xy = jnp.broadcast_to(rel_xy, ps_xy.shape)
         pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
         tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
         ciou = bbox_ciou(pbox, tbox)
@@ -190,6 +189,8 @@ def yolo_loss(
             iou_det.reshape(-1), flat_idx.reshape(-1),
             num_segments=B * na * H * W, indices_are_sorted=False,
         ).reshape(B, na, H, W)
+        # segment_max fills untouched cells with -inf -> clamp to 0.
+        obj_target = jnp.maximum(obj_target, 0.0)
         obj_loss = bce_logits(m[..., 4], obj_target).mean()
         total_obj += obj_loss * balance[lvl]
 

@@ -1,0 +1,68 @@
+"""ToMe token merging + detector TTA tests."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.models.tome import bipartite_soft_matching_merge, vit_forward_tome
+from hamer_yolo_tpu.models.vit import ViTConfig, init_vit, vit_forward
+from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7
+from hamer_yolo_tpu.models.yolov7.tta import yolov7_forward_tta
+
+TINY = ViTConfig(img_size=(64, 48), embed_dim=64, depth=3, num_heads=4,
+                 compute_dtype="float32")
+
+
+class TestToMe:
+    def test_merge_conserves_mass(self, rng):
+        tok = jnp.asarray(rng.normal(size=(2, 12, 8)).astype(np.float32))
+        sizes = jnp.ones((2, 12))
+        out, out_sizes = bipartite_soft_matching_merge(tok, sizes, 3)
+        assert out.shape == (2, 9, 8)
+        np.testing.assert_allclose(np.asarray(out_sizes).sum(-1), 12.0, atol=1e-5)
+        # weighted token mass conserved
+        np.testing.assert_allclose(
+            np.asarray((out * out_sizes[..., None]).sum(1)),
+            np.asarray(tok.sum(1)), atol=1e-4,
+        )
+
+    def test_merges_duplicates_first(self):
+        """Identical token pairs merge before distinct ones."""
+        tok = np.zeros((1, 8, 4), np.float32)
+        tok[0, 0] = tok[0, 1] = [1, 0, 0, 0]  # A0 identical to B0
+        tok[0, 2] = [0, 1, 0, 0]
+        tok[0, 3] = [0, 0, 1, 0]
+        tok[0, 4] = [0, 0, 0, 1.0]
+        tok[0, 5] = [1, 1, 0, 0]
+        tok[0, 6] = [0, 1, 1, 0]
+        tok[0, 7] = [1, 0, 1, 0]
+        out, sizes = bipartite_soft_matching_merge(jnp.asarray(tok), jnp.ones((1, 8)), 1)
+        # B0 should have absorbed A0 (identical) -> still [1,0,0,0], size 2
+        np.testing.assert_allclose(np.asarray(out)[0, 0], [1, 0, 0, 0], atol=1e-5)
+        assert np.asarray(sizes)[0, 0] == 2.0
+
+    def test_vit_tome_shrinks_tokens_and_runs(self):
+        params = init_vit(jax.random.PRNGKey(0), TINY)
+        x = jnp.zeros((1, 64, 48, 3))
+        base = vit_forward(params, x, TINY)
+        merged = vit_forward_tome(params, x, TINY, r_per_layer=2)
+        assert base.shape == (1, 12, 64)
+        assert merged.shape == (1, 12 - 3 * 2, 64)
+
+
+class TestTTA:
+    def test_tta_output_shape_and_flip_consistency(self):
+        cfg = YoloConfig(nc=3, img_size=64, compute_dtype="float32")
+        params = init_yolov7(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        out = jax.jit(lambda p, x: yolov7_forward_tta(p, x, cfg))(params, x)
+        # scale 1: 64 -> (8,4,2 grids) 3*(64+16+4)=252; scale .83 -> 53->pad 64
+        # (so 252 again); scale .67 -> 42 -> pad 64 -> 252
+        assert out.shape[0] == 1 and out.shape[2] == 8
+        assert out.shape[1] == 3 * 252
+        # A horizontally symmetric input must give symmetric flipped preds:
+        xs = jnp.asarray(np.tile(np.linspace(0, 1, 64)[None, :, None], (64, 1, 3))[None])
+        sym = xs + jnp.flip(xs, axis=2)
+        o = np.asarray(jax.jit(lambda p, x: yolov7_forward_tta(p, x, cfg))(params, sym))
+        # branch 2 (flipped, de-flipped) xy must live in [approx 0, 64+]
+        assert np.isfinite(o).all()

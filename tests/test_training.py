@@ -1,0 +1,85 @@
+"""Training loop tests: YOLO loss/step, EMA, schedules."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.models.yolov7.model import YOLOV7_ANCHORS, YoloConfig
+from hamer_yolo_tpu.training.losses import bbox_ciou, yolo_loss
+from hamer_yolo_tpu.training.optim import (
+    ema_init, ema_update, one_cycle_cosine, decay_mask,
+)
+from hamer_yolo_tpu.training.train_yolo import (
+    init_yolo_train_state, make_yolo_train_step, synthetic_yolo_batch,
+)
+
+SMALL_CFG = YoloConfig(nc=3, img_size=64, compute_dtype="float32")
+
+
+class TestCiou:
+    def test_perfect_overlap(self):
+        b = jnp.array([[10.0, 10, 4, 4]])
+        np.testing.assert_allclose(np.asarray(bbox_ciou(b, b)), 1.0, atol=1e-6)
+
+    def test_disjoint_negative(self):
+        a = jnp.array([[0.0, 0, 2, 2]])
+        b = jnp.array([[10.0, 10, 2, 2]])
+        assert float(bbox_ciou(a, b)[0]) < 0.0
+
+
+class TestYoloLoss:
+    def test_finite_and_nonzero(self, rng):
+        maps = [jnp.asarray(rng.normal(size=(2, s, s, 24)).astype(np.float32))
+                for s in (8, 4, 2)]
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(0), 2, 64)
+        out = yolo_loss(maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
+                        (8, 16, 32), nc=3)
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["box"]) > 0 and float(out["obj"]) > 0
+
+    def test_no_targets_only_obj(self):
+        maps = [jnp.zeros((1, s, s, 24)) for s in (8, 4, 2)]
+        targets = jnp.zeros((1, 4, 5))
+        out = yolo_loss(maps, targets, jnp.asarray(YOLOV7_ANCHORS), (8, 16, 32), 3)
+        assert float(out["box"]) == 0.0
+        assert float(out["obj"]) > 0.0  # BCE against all-zero targets
+
+
+class TestTrainStep:
+    def test_step_updates_and_loss_decreases(self):
+        state, tx = init_yolo_train_state(jax.random.PRNGKey(0), SMALL_CFG, 100)
+        step = jax.jit(make_yolo_train_step(SMALL_CFG, tx))
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(1), 2, 64)
+        losses = []
+        for _ in range(4):
+            state, m = step(state, batch)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]  # overfits a fixed batch
+        assert int(state.step) == 4
+        assert int(state.ema.updates) == 4
+
+
+class TestOptim:
+    def test_one_cycle(self):
+        s = one_cycle_cosine(0.01, 0.1, 100)
+        assert abs(float(s(0)) - 0.01) < 1e-8
+        assert abs(float(s(100)) - 0.001) < 1e-8
+        assert float(s(50)) < 0.01
+
+    def test_ema_converges(self):
+        p = {"w": jnp.zeros((4,))}
+        ema = ema_init(p)
+        target = {"w": jnp.ones((4,))}
+        for _ in range(50):
+            ema = ema_update(ema, target, decay=0.5, tau=1.0)
+        assert float(ema.params["w"][0]) > 0.9
+
+    def test_decay_mask(self):
+        params = {"conv": {"w": jnp.zeros((3, 3, 4, 8)), "b": jnp.zeros((8,))},
+                  "bn": {"scale": jnp.zeros((8,))}}
+        mask = decay_mask(params)
+        assert mask["conv"]["w"] is True
+        assert mask["conv"]["b"] is False
+        assert mask["bn"]["scale"] is False
