@@ -1,0 +1,292 @@
+"""Training data pipelines (host-side numpy; devices get fixed-shape batches).
+
+Parity targets:
+- YOLO detection dataset (reference yolo/yolov7/utils/datasets.py
+  LoadImagesAndLabels): YOLO-format txt labels, letterbox, mosaic-4
+  augmentation (:723), HSV jitter, random flip; batches are
+  (img (B, S, S, 3) float [0, 1], targets (B, T, 5) padded [cls cx cy w h]).
+- HaMeR crop dataset (reference hamer/hamer/datasets/vitdet_dataset.py +
+  datasets/utils.py get_example): box -> rescaled square crop (2.5x,
+  aspect [192, 256]) with scale/rot/flip/color augmentation via the same
+  affine machinery as inference.
+- Tar-shard streaming (reference image_dataset.load_tars_as_webdataset)
+  without the webdataset dependency: plain tarfile iteration yielding
+  (key, {ext: bytes}) groups.
+
+All augmentation randomness is numpy-side (the reference's is too);
+device code stays deterministic.
+"""
+from __future__ import annotations
+
+import os
+import tarfile
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# YOLO detection dataset
+# ---------------------------------------------------------------------------
+
+@dataclass
+class YoloDataConfig:
+    img_size: int = 640
+    max_targets: int = 64
+    mosaic: bool = True
+    hsv_h: float = 0.015  # hyp.scratch.p5.yaml
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    fliplr: float = 0.5
+    scale: float = 0.5
+    translate: float = 0.1
+
+
+def load_yolo_labels(label_path: str) -> np.ndarray:
+    """YOLO txt -> (N, 5) [cls, cx, cy, w, h] normalized."""
+    if not os.path.exists(label_path):
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(label_path) as f:
+        for line in f:
+            vals = line.split()
+            if len(vals) >= 5:
+                rows.append([float(v) for v in vals[:5]])
+    return np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+
+
+def image_label_pairs(img_dir: str, label_dir: Optional[str] = None) -> List[Tuple[str, str]]:
+    label_dir = label_dir or img_dir.replace("images", "labels")
+    pairs = []
+    for f in sorted(os.listdir(img_dir)):
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+            stem = os.path.splitext(f)[0]
+            pairs.append((os.path.join(img_dir, f), os.path.join(label_dir, stem + ".txt")))
+    return pairs
+
+
+def augment_hsv(img: np.ndarray, rng: np.random.Generator, cfg: YoloDataConfig) -> np.ndarray:
+    import cv2
+
+    r = rng.uniform(-1, 1, 3) * [cfg.hsv_h, cfg.hsv_s, cfg.hsv_v] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(256)
+    lut_h = ((x * r[0]) % 180).astype(img.dtype)
+    lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
+    lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+def load_mosaic4(
+    pairs: Sequence[Tuple[str, str]],
+    indices: Sequence[int],
+    rng: np.random.Generator,
+    cfg: YoloDataConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """4-image mosaic (reference datasets.py:723-780): 2x2 collage around a
+    random center on a 2S canvas, labels shifted accordingly, then center-
+    cropped... the reference keeps the 2S canvas for random_perspective;
+    here we resize the canvas back to S (scale/translate handled there)."""
+    import cv2
+
+    S = cfg.img_size
+    yc, xc = (int(rng.uniform(S * 0.5, S * 1.5)) for _ in range(2))
+    canvas = np.full((S * 2, S * 2, 3), 114, np.uint8)
+    all_labels = []
+    for i, idx in enumerate(indices[:4]):
+        img_path, lbl_path = pairs[idx]
+        img = cv2.imread(img_path)
+        h0, w0 = img.shape[:2]
+        r = S / max(h0, w0)
+        img = cv2.resize(img, (int(w0 * r), int(h0 * r)))
+        h, w = img.shape[:2]
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, S * 2), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(S * 2, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, S * 2), min(S * 2, yc + h)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y1b + (y2a - y1a), x1b:x1b + (x2a - x1a)]
+        labels = load_yolo_labels(lbl_path)
+        if len(labels):
+            lab = labels.copy()
+            lab[:, 1] = labels[:, 1] * w + x1a - x1b
+            lab[:, 2] = labels[:, 2] * h + y1a - y1b
+            lab[:, 3] = labels[:, 3] * w
+            lab[:, 4] = labels[:, 4] * h
+            all_labels.append(lab)
+    labels = np.concatenate(all_labels) if all_labels else np.zeros((0, 5), np.float32)
+    # resize 2S -> S; renormalize labels
+    canvas = cv2.resize(canvas, (S, S))
+    if len(labels):
+        labels[:, 1:] /= (2 * S)
+        # clip to image
+        cx, cy, w, h = labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4]
+        x1 = np.clip(cx - w / 2, 0, 1)
+        y1 = np.clip(cy - h / 2, 0, 1)
+        x2 = np.clip(cx + w / 2, 0, 1)
+        y2 = np.clip(cy + h / 2, 0, 1)
+        labels[:, 1] = (x1 + x2) / 2
+        labels[:, 2] = (y1 + y2) / 2
+        labels[:, 3] = x2 - x1
+        labels[:, 4] = y2 - y1
+        labels = labels[(labels[:, 3] > 2 / S) & (labels[:, 4] > 2 / S)]
+    return canvas, labels
+
+
+def yolo_batch_iterator(
+    img_dir: str,
+    batch_size: int,
+    cfg: Optional[YoloDataConfig] = None,
+    seed: int = 0,
+    label_dir: Optional[str] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite shuffled batches of fixed-shape training data."""
+    import cv2
+
+    cfg = cfg or YoloDataConfig()
+    pairs = image_label_pairs(img_dir, label_dir)
+    rng = np.random.default_rng(seed)
+    S, T = cfg.img_size, cfg.max_targets
+    while True:
+        imgs = np.zeros((batch_size, S, S, 3), np.float32)
+        targets = np.zeros((batch_size, T, 5), np.float32)
+        for b in range(batch_size):
+            if cfg.mosaic:
+                idxs = rng.integers(0, len(pairs), 4)
+                img, labels = load_mosaic4(pairs, idxs, rng, cfg)
+            else:
+                i = int(rng.integers(0, len(pairs)))
+                img = cv2.imread(pairs[i][0])
+                h0, w0 = img.shape[:2]
+                r = S / max(h0, w0)
+                resized = cv2.resize(img, (int(w0 * r), int(h0 * r)))
+                img = np.full((S, S, 3), 114, np.uint8)
+                img[: resized.shape[0], : resized.shape[1]] = resized
+                labels = load_yolo_labels(pairs[i][1])
+                if len(labels):
+                    labels = labels.copy()
+                    labels[:, 1] *= resized.shape[1] / S
+                    labels[:, 2] *= resized.shape[0] / S
+                    labels[:, 3] *= resized.shape[1] / S
+                    labels[:, 4] *= resized.shape[0] / S
+            img = augment_hsv(img, rng, cfg)
+            if rng.uniform() < cfg.fliplr:
+                img = img[:, ::-1]
+                if len(labels):
+                    labels[:, 1] = 1.0 - labels[:, 1]
+            imgs[b] = img[:, :, ::-1].astype(np.float32) / 255.0  # BGR->RGB
+            n = min(len(labels), T)
+            targets[b, :n] = labels[:n]
+        yield {"img": imgs, "targets": targets}
+
+
+# ---------------------------------------------------------------------------
+# HaMeR crop dataset
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HamerAugConfig:
+    # reference configs/__init__.py DATASETS.CONFIG defaults
+    scale_factor: float = 0.3
+    rot_factor: float = 30.0
+    trans_factor: float = 0.02
+    color_scale: float = 0.2
+    rot_aug_rate: float = 0.6
+    do_flip: bool = False
+    flip_aug_rate: float = 0.5
+
+
+def hamer_training_crop(
+    img_bgr: np.ndarray,
+    center: np.ndarray,
+    bbox_size: float,
+    rng: np.random.Generator,
+    aug: Optional[HamerAugConfig] = None,
+    out_size: int = 256,
+    mean=(0.485, 0.456, 0.406),
+    std=(0.229, 0.224, 0.225),
+) -> Tuple[np.ndarray, Dict[str, float]]:
+    """One augmented training crop (get_example / do_augmentation parity).
+
+    Returns (normalized RGB crop (S, S, 3) float32, aug params applied).
+    """
+    import cv2
+
+    aug = aug or HamerAugConfig()
+    tx = float(np.clip(rng.normal(), -1, 1) * aug.trans_factor)
+    ty = float(np.clip(rng.normal(), -1, 1) * aug.trans_factor)
+    scale = float(np.clip(rng.normal(), -1, 1) * aug.scale_factor + 1.0)
+    rot = float(np.clip(rng.normal(), -2, 2) * aug.rot_factor) \
+        if rng.uniform() <= aug.rot_aug_rate else 0.0
+    do_flip = aug.do_flip and rng.uniform() <= aug.flip_aug_rate
+    c_low, c_up = 1 - aug.color_scale, 1 + aug.color_scale
+    color = rng.uniform(c_low, c_up, 3)
+
+    c_x = center[0] + tx * bbox_size
+    c_y = center[1] + ty * bbox_size
+
+    h, w = img_bgr.shape[:2]
+    img = img_bgr
+    if do_flip:
+        img = img[:, ::-1]
+        c_x = w - c_x - 1
+
+    # 3-point affine identical to the inference path
+    rad = np.pi * rot / 180
+    sw = bbox_size * scale
+
+    def rot2d(p):
+        return np.array([p[0] * np.cos(rad) - p[1] * np.sin(rad),
+                         p[0] * np.sin(rad) + p[1] * np.cos(rad)], np.float32)
+
+    src = np.stack([
+        np.array([c_x, c_y], np.float32),
+        np.array([c_x, c_y], np.float32) + rot2d([0, sw * 0.5]),
+        np.array([c_x, c_y], np.float32) + rot2d([sw * 0.5, 0]),
+    ])
+    dst = np.array([[out_size / 2, out_size / 2],
+                    [out_size / 2, out_size],
+                    [out_size, out_size / 2]], np.float32)
+    trans = cv2.getAffineTransform(src, dst)
+    patch = cv2.warpAffine(img, trans, (out_size, out_size), flags=cv2.INTER_LINEAR)
+    patch = patch[:, :, ::-1].astype(np.float32)  # BGR -> RGB
+    patch = np.clip(patch * color[None, None, :], 0, 255)
+    patch = (patch - 255.0 * np.asarray(mean)) / (255.0 * np.asarray(std))
+    return patch.astype(np.float32), {
+        "scale": scale, "rot": rot, "do_flip": float(do_flip),
+        "tx": tx, "ty": ty,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Tar-shard streaming
+# ---------------------------------------------------------------------------
+
+def iter_tar_samples(tar_paths: Sequence[str]) -> Iterator[Tuple[str, Dict[str, bytes]]]:
+    """webdataset-style grouped iteration: consecutive members sharing a
+    basename form one sample {ext: bytes}."""
+    for path in tar_paths:
+        with tarfile.open(path) as tf:
+            current_key = None
+            sample: Dict[str, bytes] = {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                base, ext = os.path.splitext(os.path.basename(member.name))
+                data = tf.extractfile(member).read()
+                if current_key is not None and base != current_key:
+                    yield current_key, sample
+                    sample = {}
+                current_key = base
+                sample[ext.lstrip(".")] = data
+            if current_key is not None and sample:
+                yield current_key, sample

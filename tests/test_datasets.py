@@ -1,0 +1,100 @@
+"""Data-pipeline tests with synthetic on-disk fixtures."""
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from hamer_yolo_tpu.io import datasets as D
+
+
+@pytest.fixture
+def yolo_dataset(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "images"
+    lbl_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lbl_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = rng.integers(0, 255, (120 + 10 * i, 160, 3)).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        with open(lbl_dir / f"im{i}.txt", "w") as f:
+            f.write(f"{i % 3} 0.5 0.5 0.3 0.4\n1 0.2 0.3 0.1 0.1\n")
+    return str(img_dir), str(lbl_dir)
+
+
+class TestYoloData:
+    def test_label_loading(self, yolo_dataset):
+        img_dir, lbl_dir = yolo_dataset
+        pairs = D.image_label_pairs(img_dir, lbl_dir)
+        assert len(pairs) == 6
+        labels = D.load_yolo_labels(pairs[0][1])
+        assert labels.shape == (2, 5)
+
+    def test_mosaic(self, yolo_dataset):
+        img_dir, lbl_dir = yolo_dataset
+        pairs = D.image_label_pairs(img_dir, lbl_dir)
+        cfg = D.YoloDataConfig(img_size=128)
+        img, labels = D.load_mosaic4(pairs, [0, 1, 2, 3], np.random.default_rng(0), cfg)
+        assert img.shape == (128, 128, 3)
+        assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+    def test_batch_iterator_shapes(self, yolo_dataset):
+        img_dir, lbl_dir = yolo_dataset
+        cfg = D.YoloDataConfig(img_size=128, max_targets=16)
+        it = D.yolo_batch_iterator(img_dir, 2, cfg, label_dir=lbl_dir)
+        batch = next(it)
+        assert batch["img"].shape == (2, 128, 128, 3)
+        assert batch["targets"].shape == (2, 16, 5)
+        assert 0.0 <= batch["img"].min() and batch["img"].max() <= 1.0
+        # at least one valid target row
+        assert (batch["targets"][..., 3] > 0).any()
+
+
+class TestHamerCrop:
+    def test_crop_shapes_and_normalization(self, rng):
+        img = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+        patch, aug = D.hamer_training_crop(
+            img, np.array([150.0, 100.0]), 120.0, np.random.default_rng(0),
+            out_size=64,
+        )
+        assert patch.shape == (64, 64, 3)
+        assert abs(patch.mean()) < 3.0  # normalized scale
+        assert set(aug) == {"scale", "rot", "do_flip", "tx", "ty"}
+
+    def test_no_aug_matches_inference_crop(self, rng):
+        """With augmentation disabled the training crop equals the
+        inference preprocessing (device path)."""
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.pipeline.preprocess import hamer_crop
+
+        img = rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+        aug = D.HamerAugConfig(scale_factor=0, rot_factor=0, trans_factor=0,
+                               color_scale=0, rot_aug_rate=0)
+        patch, _ = D.hamer_training_crop(
+            img, np.array([150.0, 100.0]), 120.0, np.random.default_rng(0),
+            aug=aug, out_size=64,
+        )
+        dev = np.asarray(hamer_crop(
+            jnp.asarray(img.astype(np.float32)), jnp.array([150.0, 100.0]),
+            jnp.asarray(120.0), jnp.asarray(0.0), 64,
+        ))
+        assert np.abs(patch - dev).max() < 0.05  # cv2 fixed-point tolerance
+
+
+class TestTarStreaming:
+    def test_grouped_iteration(self, tmp_path):
+        tar_path = tmp_path / "shard.tar"
+        with tarfile.open(tar_path, "w") as tf:
+            for key in ("a", "b"):
+                for ext in ("jpg", "json"):
+                    p = tmp_path / f"{key}.{ext}"
+                    p.write_bytes(f"{key}-{ext}".encode())
+                    tf.add(p, arcname=f"{key}.{ext}")
+        samples = list(D.iter_tar_samples([str(tar_path)]))
+        assert len(samples) == 2
+        key0, s0 = samples[0]
+        assert key0 == "a" and s0["jpg"] == b"a-jpg" and "json" in s0
