@@ -1,0 +1,303 @@
+// hyt_run: standalone C++ host runner for AOT-compiled pipeline programs.
+//
+// TPU-native equivalent of the reference's TensorRT C++ engine runner
+// (TensorRT-For-YOLO-Series cpp/end2end/main.cpp): where that program
+// deserializes a .engine file and enqueues it on a CUDA stream, this one
+// dlopens a PJRT plugin (e.g. libtpu / libaxon_pjrt.so), deserializes an
+// XLA executable exported by tools/export_executable.py, uploads inputs,
+// executes, and fetches outputs — no Python in the loop.
+//
+// Usage:
+//   hyt_run <pjrt_plugin.so> <executable.bin> [input.meta]
+//
+// input.meta lines: "<dtype> <d0,d1,...>" per executable argument, e.g.
+//   f32 1,256,256,3
+// Missing meta => runs with no arguments.
+
+#include <dlfcn.h>
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+const PJRT_Api* g_api = nullptr;
+
+void CheckErr(PJRT_Error* err, const char* what) {
+  if (err == nullptr) return;
+  PJRT_Error_Message_Args margs;
+  memset(&margs, 0, sizeof(margs));
+  margs.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  margs.error = err;
+  g_api->PJRT_Error_Message(&margs);
+  fprintf(stderr, "FATAL %s: %.*s\n", what, (int)margs.message_size,
+          margs.message);
+  PJRT_Error_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  dargs.error = err;
+  g_api->PJRT_Error_Destroy(&dargs);
+  exit(1);
+}
+
+std::string ReadFile(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    fprintf(stderr, "cannot open %s\n", path);
+    exit(1);
+  }
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+struct ArgSpec {
+  PJRT_Buffer_Type type;
+  std::vector<int64_t> dims;
+  size_t bytes;
+};
+
+std::vector<ArgSpec> ParseMeta(const char* path) {
+  std::vector<ArgSpec> specs;
+  std::ifstream f(path);
+  if (!f) return specs;
+  std::string dtype, dims_str;
+  while (f >> dtype >> dims_str) {
+    ArgSpec s;
+    size_t elem = 4;
+    if (dtype == "f32") {
+      s.type = PJRT_Buffer_Type_F32;
+    } else if (dtype == "i32") {
+      s.type = PJRT_Buffer_Type_S32;
+    } else if (dtype == "bf16") {
+      s.type = PJRT_Buffer_Type_BF16;
+      elem = 2;
+    } else {
+      fprintf(stderr, "unknown dtype %s\n", dtype.c_str());
+      exit(1);
+    }
+    size_t n = 1;
+    std::stringstream ds(dims_str);
+    std::string tok;
+    while (std::getline(ds, tok, ',')) {
+      s.dims.push_back(std::stoll(tok));
+      n *= s.dims.back();
+    }
+    s.bytes = n * elem;
+    specs.push_back(std::move(s));
+  }
+  return specs;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    fprintf(stderr, "usage: %s <pjrt_plugin.so> <executable.bin> [input.meta]\n",
+            argv[0]);
+    return 2;
+  }
+
+  void* lib = dlopen(argv[1], RTLD_NOW | RTLD_GLOBAL);
+  if (!lib) {
+    fprintf(stderr, "dlopen failed: %s\n", dlerror());
+    return 1;
+  }
+  auto get_api = reinterpret_cast<const PJRT_Api* (*)()>(dlsym(lib, "GetPjrtApi"));
+  if (!get_api) {
+    fprintf(stderr, "GetPjrtApi not found: %s\n", dlerror());
+    return 1;
+  }
+  g_api = get_api();
+  printf("PJRT api version: %d.%d (header %d.%d)\n",
+         g_api->pjrt_api_version.major_version,
+         g_api->pjrt_api_version.minor_version, PJRT_API_MAJOR, PJRT_API_MINOR);
+
+  {
+    PJRT_Plugin_Initialize_Args init;
+    memset(&init, 0, sizeof(init));
+    init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+    CheckErr(g_api->PJRT_Plugin_Initialize(&init), "Plugin_Initialize");
+  }
+
+  PJRT_Client* client = nullptr;
+  {
+    PJRT_Client_Create_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    CheckErr(g_api->PJRT_Client_Create(&args), "Client_Create");
+    client = args.client;
+  }
+
+  PJRT_Device* device = nullptr;
+  {
+    PJRT_Client_AddressableDevices_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+    args.client = client;
+    CheckErr(g_api->PJRT_Client_AddressableDevices(&args), "AddressableDevices");
+    if (args.num_addressable_devices == 0) {
+      fprintf(stderr, "no addressable devices\n");
+      return 1;
+    }
+    device = args.addressable_devices[0];
+    printf("devices: %zu\n", args.num_addressable_devices);
+  }
+
+  const std::string exe_bytes = ReadFile(argv[2]);
+  PJRT_LoadedExecutable* exe = nullptr;
+  {
+    PJRT_Executable_DeserializeAndLoad_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+    args.client = client;
+    args.serialized_executable = exe_bytes.data();
+    args.serialized_executable_size = exe_bytes.size();
+    CheckErr(g_api->PJRT_Executable_DeserializeAndLoad(&args),
+             "DeserializeAndLoad");
+    exe = args.loaded_executable;
+    printf("executable loaded: %zu bytes\n", exe_bytes.size());
+  }
+
+  // Upload inputs (zeros of the shapes given in the meta file).
+  std::vector<ArgSpec> specs =
+      argc > 3 ? ParseMeta(argv[3]) : std::vector<ArgSpec>();
+  std::vector<PJRT_Buffer*> inputs;
+  std::vector<std::vector<char>> host_data;
+  for (const ArgSpec& s : specs) {
+    host_data.emplace_back(s.bytes, 0);
+    PJRT_Client_BufferFromHostBuffer_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    args.client = client;
+    args.data = host_data.back().data();
+    args.type = s.type;
+    args.dims = s.dims.data();
+    args.num_dims = s.dims.size();
+    args.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    args.device = device;
+    CheckErr(g_api->PJRT_Client_BufferFromHostBuffer(&args), "BufferFromHost");
+    if (args.done_with_host_buffer) {
+      PJRT_Event_Await_Args ev;
+      memset(&ev, 0, sizeof(ev));
+      ev.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      ev.event = args.done_with_host_buffer;
+      CheckErr(g_api->PJRT_Event_Await(&ev), "Await(h2d)");
+      PJRT_Event_Destroy_Args evd;
+      memset(&evd, 0, sizeof(evd));
+      evd.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      evd.event = args.done_with_host_buffer;
+      g_api->PJRT_Event_Destroy(&evd);
+    }
+    inputs.push_back(args.buffer);
+  }
+
+  // Query output arity.
+  size_t num_outputs = 0;
+  {
+    PJRT_LoadedExecutable_GetExecutable_Args ge;
+    memset(&ge, 0, sizeof(ge));
+    ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge.loaded_executable = exe;
+    CheckErr(g_api->PJRT_LoadedExecutable_GetExecutable(&ge), "GetExecutable");
+    PJRT_Executable_NumOutputs_Args no_args;
+    memset(&no_args, 0, sizeof(no_args));
+    no_args.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no_args.executable = ge.executable;
+    CheckErr(g_api->PJRT_Executable_NumOutputs(&no_args), "NumOutputs");
+    num_outputs = no_args.num_outputs;
+  }
+  printf("num inputs: %zu, num outputs: %zu\n", inputs.size(), num_outputs);
+
+  // Execute (3 iterations; first includes warmup).
+  std::vector<PJRT_Buffer*> outputs(num_outputs, nullptr);
+  PJRT_Buffer** output_list = outputs.data();
+  PJRT_Buffer* const* input_list = inputs.data();
+  for (int iter = 0; iter < 3; ++iter) {
+    for (PJRT_Buffer* b : outputs) {
+      if (b) {
+        PJRT_Buffer_Destroy_Args d;
+        memset(&d, 0, sizeof(d));
+        d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        d.buffer = b;
+        g_api->PJRT_Buffer_Destroy(&d);
+      }
+    }
+    PJRT_ExecuteOptions opts;
+    memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_Event* done = nullptr;
+    PJRT_LoadedExecutable_Execute_Args args;
+    memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    args.executable = exe;
+    args.options = &opts;
+    args.argument_lists = &input_list;
+    args.num_devices = 1;
+    args.num_args = inputs.size();
+    args.output_lists = &output_list;
+    args.device_complete_events = &done;
+    auto t0 = std::chrono::steady_clock::now();
+    CheckErr(g_api->PJRT_LoadedExecutable_Execute(&args), "Execute");
+    {
+      PJRT_Event_Await_Args ev;
+      memset(&ev, 0, sizeof(ev));
+      ev.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      ev.event = done;
+      CheckErr(g_api->PJRT_Event_Await(&ev), "Await(exec)");
+      PJRT_Event_Destroy_Args evd;
+      memset(&evd, 0, sizeof(evd));
+      evd.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      evd.event = done;
+      g_api->PJRT_Event_Destroy(&evd);
+    }
+    auto ms = std::chrono::duration<double, std::milli>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+    printf("iter %d: %.2f ms\n", iter, ms);
+  }
+
+  // Fetch + report each output.
+  for (size_t i = 0; i < num_outputs; ++i) {
+    PJRT_Buffer_Dimensions_Args dims;
+    memset(&dims, 0, sizeof(dims));
+    dims.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dims.buffer = outputs[i];
+    CheckErr(g_api->PJRT_Buffer_Dimensions(&dims), "Dimensions");
+
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = outputs[i];
+    CheckErr(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHost(size)");
+    std::vector<char> host(th.dst_size);
+    th.dst = host.data();
+    CheckErr(g_api->PJRT_Buffer_ToHostBuffer(&th), "ToHost(copy)");
+    if (th.event) {
+      PJRT_Event_Await_Args ev;
+      memset(&ev, 0, sizeof(ev));
+      ev.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      ev.event = th.event;
+      CheckErr(g_api->PJRT_Event_Await(&ev), "Await(d2h)");
+    }
+    double checksum = 0;
+    const float* vals = reinterpret_cast<const float*>(host.data());
+    for (size_t j = 0; j < host.size() / 4; ++j) checksum += vals[j];
+    printf("output %zu: dims=[", i);
+    for (size_t d = 0; d < dims.num_dims; ++d)
+      printf("%s%lld", d ? "," : "", (long long)dims.dims[d]);
+    printf("] bytes=%zu checksum=%.4f\n", host.size(), checksum);
+  }
+
+  printf("OK\n");
+  return 0;
+}
