@@ -34,7 +34,7 @@ def main() -> None:
     from hamer_yolo_tpu.pipeline.frame import PipelineConfig, infer_frame
 
     frames = int(os.environ.get("BENCH_FRAMES", "20"))
-    max_hands = int(os.environ.get("BENCH_MAX_HANDS", "4"))
+    max_hands = int(os.environ.get("BENCH_MAX_HANDS", "2"))
     hw = os.environ.get("BENCH_HW", "720x1280")
     H, W = (int(x) for x in hw.split("x"))
 
@@ -57,7 +57,7 @@ def main() -> None:
     def frame_fn(params, image, orig_hw, K):
         return _payload(infer_frame(params, mano, image, orig_hw, K, cfg))
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     @jax.jit
     def batch_fn(params, images, orig_hws, Ks):

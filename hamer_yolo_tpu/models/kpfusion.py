@@ -1,0 +1,311 @@
+"""KPFusion: RGB-D hand mesh/pose framework (KeypointFusion branch).
+
+TPU-native re-design of reference rootnet/KeypointFusion/model/
+(model.py KPFusion/Block_KPFusion/DESA, fusion_layer.py RGBDFusion,
+cbam.py CBAM, hourglass.py PoseNet, transfusion_head.py DETR decoders,
+util/generateFeature.py GFM). Capability surface:
+
+  RGB crop + depth crop (-> point cloud) -> fused features
+  -> initial joint estimate (hourglass heatmaps)
+  -> N refinement blocks: sample point/pixel features around current
+     joints, depth-aware cross-attention (DESA), transformer decoder with
+     per-joint queries, residual xyz update
+  -> (B, 21, 3) joints + optional (B, 778, 3) mesh via a graph head.
+
+Key re-designs for TPU:
+- point features use the JAX PointNet++ ops (ops/pointnet.py) with fixed
+  point counts (the CUDA FPS/ball-query path of the reference);
+- the BERT-style TR_Encoder is replaced by the same pre-LN transformer
+  primitives used across this framework (core/nn.py);
+- all streams are NHWC / token-major; iterative refinement is a static
+  Python loop (fixed n_blocks), fully jittable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core import nn
+from hamer_yolo_tpu.ops import pointnet as pn
+from hamer_yolo_tpu.models.resnet import init_resnet34, resnet34_forward
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class KPFusionConfig:
+    img_size: int = 128
+    num_joints: int = 21
+    num_points: int = 1024  # fixed-capacity point cloud
+    num_samples: int = 64  # FPS centroids in the point stream
+    ball_radius: float = 0.3
+    ball_k: int = 32
+    feat_dim: int = 128
+    n_blocks: int = 2  # refinement iterations
+    heads: int = 4
+    compute_dtype: str = "float32"
+
+
+# --- CBAM (cbam.py) --------------------------------------------------------
+
+def cbam_init(key, dim: int, reduction: int = 16) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = max(dim // reduction, 4)
+    return {
+        "mlp1": nn.linear_init(k1, dim, hidden),
+        "mlp2": nn.linear_init(k2, hidden, dim),
+        "spatial": nn.conv_init(k3, 7, 2, 1, bias=True),
+    }
+
+
+def cbam(p: Params, x: jax.Array) -> jax.Array:
+    """(B, H, W, C) channel + spatial attention gating."""
+    avg = jnp.mean(x, axis=(1, 2))
+    mx = jnp.max(x, axis=(1, 2))
+    att = nn.linear(p["mlp2"], jax.nn.relu(nn.linear(p["mlp1"], avg))) + \
+        nn.linear(p["mlp2"], jax.nn.relu(nn.linear(p["mlp1"], mx)))
+    x = x * jax.nn.sigmoid(att)[:, None, None, :]
+    pool = jnp.stack([jnp.max(x, axis=-1), jnp.mean(x, axis=-1)], axis=-1)
+    sp = jax.nn.sigmoid(nn.conv2d(p["spatial"], pool, 1, 3))
+    return x * sp
+
+
+# --- RGBDFusion (fusion_layer.py) ------------------------------------------
+
+def rgbd_fusion_init(key, dim: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gate_rgb": nn.linear_init(k1, 2 * dim, dim),
+        "gate_d": nn.linear_init(k2, 2 * dim, dim),
+        "cbam": cbam_init(k3, dim),
+    }
+
+
+def rgbd_fusion(p: Params, rgb: jax.Array, depth: jax.Array) -> jax.Array:
+    """Gated fusion of co-registered (B, H, W, C) RGB and depth features."""
+    cat = jnp.concatenate([rgb, depth], axis=-1)
+    g_r = jax.nn.sigmoid(nn.linear(p["gate_rgb"], cat))
+    g_d = jax.nn.sigmoid(nn.linear(p["gate_d"], cat))
+    return cbam(p["cbam"], rgb * g_r + depth * g_d)
+
+
+# --- Hourglass PoseNet (hourglass.py) --------------------------------------
+
+def hourglass_init(key, dim: int, depth: int = 3) -> Params:
+    keys = jax.random.split(key, depth * 3 + 2)
+    downs, ups, skips = [], [], []
+    for i in range(depth):
+        downs.append(nn.conv_init(keys[3 * i], 3, dim, dim, bias=True))
+        ups.append(nn.conv_init(keys[3 * i + 1], 3, dim, dim, bias=True))
+        skips.append(nn.conv_init(keys[3 * i + 2], 1, dim, dim, bias=True))
+    return {"downs": downs, "ups": ups, "skips": skips,
+            "out": nn.conv_init(keys[-1], 1, dim, dim, bias=True)}
+
+
+def hourglass(p: Params, x: jax.Array) -> jax.Array:
+    skips = []
+    y = x
+    for down, skip in zip(p["downs"], p["skips"]):
+        skips.append(nn.conv2d(skip, y, 1, 0))
+        y = jax.nn.relu(nn.conv2d(down, y, 2, 1))
+    for up, skip in zip(reversed(p["ups"]), reversed(skips)):
+        B, _, _, C = y.shape
+        # resize back to the recorded skip resolution (handles odd/small
+        # sizes where stride-2 convs don't halve exactly)
+        y = jax.image.resize(y, skip.shape, "nearest")
+        y = jax.nn.relu(nn.conv2d(up, y, 1, 1)) + skip
+    return nn.conv2d(p["out"], y, 1, 0)
+
+
+# --- DESA: depth-aware cross attention (model.py:132-207) ------------------
+
+def desa_init(key, dim: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "q": nn.linear_init(k1, dim, dim, bias=False),
+        "kv": nn.linear_init(k2, dim, 2 * dim, bias=False),
+        "proj": nn.linear_init(k3, dim, dim),
+    }
+
+
+def desa(p: Params, node_feat: jax.Array, node_xyz: jax.Array,
+         pcl_feat: jax.Array, pcl_xyz: jax.Array, sigma: float = 0.5) -> jax.Array:
+    """Per-joint cross-attention over point features, biased by 3D distance.
+
+    node_feat (B, J, C), node_xyz (B, J, 3), pcl_feat (B, N, C),
+    pcl_xyz (B, N, 3). The attention logits get a -d^2 / sigma^2 bias so
+    each joint attends to nearby surface points (the "depth-aware" prior).
+    """
+    C = node_feat.shape[-1]
+    q = nn.linear(p["q"], node_feat)
+    kv = nn.linear(p["kv"], pcl_feat)
+    k, v = kv[..., :C], kv[..., C:]
+    logits = jnp.einsum("bjc,bnc->bjn", q, k) / jnp.sqrt(C).astype(q.dtype)
+    d2 = jnp.sum((node_xyz[:, :, None, :] - pcl_xyz[:, None, :, :]) ** 2, axis=-1)
+    logits = logits - d2 / (sigma * sigma)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return node_feat + nn.linear(p["proj"], jnp.einsum("bjn,bnc->bjc", attn, v))
+
+
+# --- Point stream (PointNet++ set abstraction) -----------------------------
+
+def point_stream_init(key, cfg: KPFusionConfig) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "mlp1": nn.mlp_init(k1, 3 + 3, cfg.feat_dim, cfg.feat_dim),  # rel+abs xyz
+        "mlp2": nn.mlp_init(k2, cfg.feat_dim, cfg.feat_dim, cfg.feat_dim),
+    }
+
+
+def point_stream(p: Params, pcl: jax.Array, cfg: KPFusionConfig
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """(B, N, 3) cloud -> (centroids (B, S, 3), features (B, S, C))."""
+    idx = pn.furthest_point_sampling(pcl, cfg.num_samples)
+    centroids = pn.gather_points(pcl, idx)
+    grouped = pn.query_and_group(pcl, centroids, pcl, cfg.ball_radius, cfg.ball_k)
+    feat = nn.mlp_gelu(p["mlp1"], grouped)  # (B, S, K, C)
+    feat = jnp.max(feat, axis=2)
+    return centroids, nn.mlp_gelu(p["mlp2"], feat)
+
+
+# --- DETR-style decoder block ----------------------------------------------
+
+def decoder_block_init(key, cfg: KPFusionConfig) -> Params:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    d = cfg.feat_dim
+    return {
+        "sa_norm": nn.layer_norm_init(d),
+        "sa": nn.mha_qkv_init(k1, d, cfg.heads, qkv_bias=False),
+        "desa": desa_init(k2, d),
+        "ff_norm": nn.layer_norm_init(d),
+        "ff": nn.mlp_init(k3, d, 2 * d),
+        "pos_mlp": nn.mlp_init(k4, 3, d, d),
+        "delta": nn.linear_init(k5, d, 3),
+    }
+
+
+def decoder_block(p: Params, joint_feat: jax.Array, joint_xyz: jax.Array,
+                  pcl_feat: jax.Array, pcl_xyz: jax.Array,
+                  cfg: KPFusionConfig) -> Tuple[jax.Array, jax.Array]:
+    x = joint_feat + nn.mlp_gelu(p["pos_mlp"], joint_xyz)
+    x = x + nn.mha_self_attention(p["sa"], nn.layer_norm(p["sa_norm"], x), cfg.heads)
+    x = desa(p["desa"], x, joint_xyz, pcl_feat, pcl_xyz)
+    x = x + nn.mlp_gelu(p["ff"], nn.layer_norm(p["ff_norm"], x))
+    new_xyz = joint_xyz + nn.linear(p["delta"], x)
+    return x, new_xyz
+
+
+# --- Full model ------------------------------------------------------------
+
+def init_kpfusion(key: jax.Array, cfg: KPFusionConfig = KPFusionConfig(),
+                  with_mesh: bool = False) -> Params:
+    keys = jax.random.split(key, 10 + cfg.n_blocks)
+    d = cfg.feat_dim
+    params: Params = {
+        "rgb_backbone": init_resnet34(keys[0]),
+        "rgb_proj": nn.conv_init(keys[1], 1, 512, d, bias=True),
+        "depth_proj": nn.conv_init(keys[2], 3, 1, d, bias=True),
+        "fusion": rgbd_fusion_init(keys[3], d),
+        "hourglass": hourglass_init(keys[4], d),
+        "heatmap": nn.conv_init(keys[5], 1, d, cfg.num_joints, bias=True),
+        "point_stream": point_stream_init(keys[6], cfg),
+        "joint_embed": nn.trunc_normal(keys[7], (1, cfg.num_joints, d)),
+        "blocks": [decoder_block_init(keys[8 + i], cfg) for i in range(cfg.n_blocks)],
+    }
+    if with_mesh:
+        params["mesh_head"] = nn.linear_init(keys[-1], cfg.num_joints * d, 778 * 3)
+    return params
+
+
+def kpfusion_forward(
+    params: Params,
+    img_rgb: jax.Array,
+    depth: jax.Array,
+    pcl: jax.Array,
+    cfg: KPFusionConfig = KPFusionConfig(),
+) -> Dict[str, jax.Array]:
+    """img_rgb: (B, S, S, 3) normalized; depth: (B, S, S, 1) meters;
+    pcl: (B, N, 3) camera-frame points (fixed capacity, zero-padded).
+
+    Returns joints_xyz (B, 21, 3) (+ per-block trajectory) and heatmaps.
+    """
+    B = img_rgb.shape[0]
+    S = cfg.img_size
+
+    rgb_feat = resnet34_forward(params["rgb_backbone"], img_rgb)  # (B, S/32, ., 512)
+    rgb_feat = nn.conv2d(params["rgb_proj"], rgb_feat, 1, 0)
+    d_feat = jax.nn.relu(nn.conv2d(params["depth_proj"], depth, 2, 1))
+    d_feat = nn.max_pool(d_feat, 2, 2)
+    # bring depth stream to the rgb grid
+    target_hw = rgb_feat.shape[1]
+    d_feat = jax.image.resize(d_feat, (B, target_hw, target_hw, cfg.feat_dim), "linear")
+    fused = rgbd_fusion(params["fusion"], rgb_feat, d_feat)
+
+    hg = hourglass(params["hourglass"], fused)
+    heatmaps = nn.conv2d(params["heatmap"], hg, 1, 0)  # (B, h, w, J)
+
+    # soft-argmax initial uv (normalized [-1, 1]) + mean pcl depth
+    h = heatmaps.shape[1]
+    flat = jax.nn.softmax(heatmaps.reshape(B, -1, cfg.num_joints), axis=1)
+    grid = jnp.stack(
+        jnp.meshgrid(jnp.linspace(-1, 1, h), jnp.linspace(-1, 1, h), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)
+    init_uv = jnp.einsum("bnj,nk->bjk", flat, grid)
+    z0 = jnp.mean(pcl[..., 2:3], axis=1, keepdims=True)
+    joint_xyz = jnp.concatenate(
+        [init_uv, jnp.broadcast_to(z0, (B, cfg.num_joints, 1))], axis=-1
+    )
+
+    pcl_xyz, pcl_feat = point_stream(params["point_stream"], pcl, cfg)
+
+    joint_feat = jnp.broadcast_to(params["joint_embed"], (B, cfg.num_joints, cfg.feat_dim))
+    trajectory = [joint_xyz]
+    for blk in params["blocks"]:
+        joint_feat, joint_xyz = decoder_block(blk, joint_feat, joint_xyz,
+                                              pcl_feat, pcl_xyz, cfg)
+        trajectory.append(joint_xyz)
+
+    out = {
+        "joints_xyz": joint_xyz,
+        "trajectory": jnp.stack(trajectory, axis=1),
+        "heatmaps": heatmaps,
+    }
+    if "mesh_head" in params:
+        out["mesh_xyz"] = nn.linear(
+            params["mesh_head"], joint_feat.reshape(B, -1)
+        ).reshape(B, 778, 3)
+    return out
+
+
+def depth_to_pointcloud(
+    depth: jax.Array,
+    K: jax.Array,
+    num_points: int,
+    stride: int = 2,
+    z_range: Tuple[float, float] = (0.1, 2.0),
+) -> jax.Array:
+    """(H, W) depth map -> fixed-capacity (num_points, 3) cloud.
+
+    img2pcl equivalent: back-project valid pixels, take a strided subset,
+    pad/crop to the static capacity (invalid slots repeat the centroid).
+    """
+    H, W = depth.shape
+    ys, xs = jnp.meshgrid(jnp.arange(0, H, stride, dtype=jnp.float32),
+                          jnp.arange(0, W, stride, dtype=jnp.float32),
+                          indexing="ij")
+    z = depth[::stride, ::stride]
+    valid = (z > z_range[0]) & (z < z_range[1])
+    x = (xs - K[0, 2]) * z / K[0, 0]
+    y = (ys - K[1, 2]) * z / K[1, 1]
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    vflat = valid.reshape(-1)
+    # order: valid first
+    order = jnp.argsort(~vflat)
+    pts = pts[order][:num_points]
+    vsel = vflat[order][:num_points]
+    centroid = jnp.sum(pts * vsel[:, None], axis=0) / jnp.maximum(vsel.sum(), 1)
+    return jnp.where(vsel[:, None], pts, centroid)
