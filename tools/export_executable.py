@@ -37,7 +37,25 @@ def export(out_dir: str, model: str = "hamer", hw: str = "720x1280",
 
     os.makedirs(out_dir, exist_ok=True)
 
-    if model == "hamer":
+    if model == "yolo":
+        # Detector+NMS engine — the exact counterpart of the reference's
+        # TensorRT C++ end2end engine (EfficientNMS baked into the graph).
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7, yolov7_forward
+        from hamer_yolo_tpu.ops.nms import non_max_suppression
+
+        ycfg = YoloConfig(nc=3)
+        params = jax.jit(lambda k: init_yolov7(k, ycfg))(jax.random.PRNGKey(0))
+        params = jax.device_put(params)
+
+        def fn(img):
+            pred = yolov7_forward(params, img, ycfg)
+            nms = non_max_suppression(pred, 0.25, 0.35, classes=(0, 1, 2),
+                                      agnostic=True, max_det=32)
+            return nms.boxes, nms.scores, nms.classes, nms.valid
+
+        args = (jnp.zeros((1, 640, 640, 3), jnp.float32),)
+        meta = ["f32 1,640,640,3"]
+    elif model == "hamer":
         cfg = HamerConfig()
         params = jax.jit(lambda k: init_hamer(k, cfg))(jax.random.PRNGKey(0))
         params = jax.device_put(params)
@@ -68,8 +86,9 @@ def export(out_dir: str, model: str = "hamer", hw: str = "720x1280",
         raise ValueError(model)
 
     lowered = jax.jit(fn).lower(*args)
-    with open(os.path.join(out_dir, f"{model}.stablehlo"), "w") as f:
-        f.write(lowered.as_text())
+    if model == "yolo":  # text dump is impractical for multi-GB baked weights
+        with open(os.path.join(out_dir, f"{model}.stablehlo"), "w") as f:
+            f.write(lowered.as_text())
     compiled = lowered.compile()
     payload = compiled.runtime_executable().serialize()
     with open(os.path.join(out_dir, f"{model}.bin"), "wb") as f:
@@ -84,7 +103,7 @@ def export(out_dir: str, model: str = "hamer", hw: str = "720x1280",
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="exports")
-    p.add_argument("--model", default="hamer", choices=["hamer", "frame"])
+    p.add_argument("--model", default="hamer", choices=["yolo", "hamer", "frame"])
     p.add_argument("--hw", default="720x1280")
     p.add_argument("--max-hands", type=int, default=4)
     a = p.parse_args()
