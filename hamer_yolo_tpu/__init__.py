@@ -18,3 +18,17 @@ io (npy/obj/image), training (optax loops), utils (metrics/profiling).
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a sitecustomize pre-registered a default
+# backend before user code ran (the axon TPU environment does this; the
+# env var alone is then silently ignored). config.update works as long as
+# no backend has been initialized yet.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized; leave it be

@@ -1,0 +1,113 @@
+"""Detector evaluation CLI: COCO-style mAP over a labeled image dir.
+
+Parity: reference yolo/yolov7/test.py (per-epoch mAP harness with
+ap_per_class + ConfusionMatrix).
+
+python tools/eval_detector.py --data <images_dir> [--labels <dir>]
+    [--checkpoint ckpt] [--conf 0.001] [--iou 0.65]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--labels", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--nc", type=int, default=3)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf", type=float, default=0.001)
+    p.add_argument("--iou", type=float, default=0.65)
+    args = p.parse_args()
+
+    import cv2
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.checkpoint import load_checkpoint
+    from hamer_yolo_tpu.io.datasets import image_label_pairs, load_yolo_labels
+    from hamer_yolo_tpu.geometry.affine import letterbox_numpy
+    from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7, yolov7_forward
+    from hamer_yolo_tpu.ops.nms import non_max_suppression
+    from hamer_yolo_tpu.utils.metrics import (
+        ConfusionMatrix, ap_per_class, match_predictions,
+    )
+
+    cfg = YoloConfig(nc=args.nc, img_size=args.img_size)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        params = load_checkpoint(args.checkpoint)
+        if "params" in params:  # a train state; prefer EMA weights
+            params = params.get("ema", {}).get("params", params["params"])
+    else:
+        print("warning: random-init weights (no checkpoint)")
+        params = init_yolov7(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def detect(p, img):
+        pred = yolov7_forward(p, img, cfg)
+        return non_max_suppression(pred, args.conf, args.iou, max_det=300)
+
+    iou_thresholds = np.linspace(0.5, 0.95, 10)
+    all_tp, all_conf, all_cls, all_target_cls = [], [], [], []
+    cm = ConfusionMatrix(args.nc)
+
+    pairs = image_label_pairs(args.data, args.labels)
+    for img_path, lbl_path in pairs:
+        img = cv2.imread(img_path)
+        if img is None:
+            continue
+        h0, w0 = img.shape[:2]
+        padded, r, (dw, dh) = letterbox_numpy(img, args.img_size, auto=False)
+        x = jnp.asarray(padded[:, :, ::-1].astype(np.float32) / 255.0)[None]
+        nms = detect(params, x)
+        valid = np.asarray(nms.valid[0])
+        boxes = np.asarray(nms.boxes[0])[valid]
+        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - dw) / r
+        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - dh) / r
+        scores = np.asarray(nms.scores[0])[valid]
+        classes = np.asarray(nms.classes[0])[valid]
+
+        labels = load_yolo_labels(lbl_path)
+        gt_cls = labels[:, 0]
+        gt_boxes = np.stack([
+            (labels[:, 1] - labels[:, 3] / 2) * w0,
+            (labels[:, 2] - labels[:, 4] / 2) * h0,
+            (labels[:, 1] + labels[:, 3] / 2) * w0,
+            (labels[:, 2] + labels[:, 4] / 2) * h0,
+        ], axis=1) if len(labels) else np.zeros((0, 4))
+
+        tp = match_predictions(boxes, classes, gt_boxes, gt_cls, iou_thresholds)
+        all_tp.append(tp)
+        all_conf.append(scores)
+        all_cls.append(classes)
+        all_target_cls.append(gt_cls)
+        if len(boxes):
+            dets6 = np.concatenate([boxes, scores[:, None], classes[:, None]], 1)
+            cm.process_batch(dets6, np.concatenate([gt_cls[:, None], gt_boxes], 1)
+                             if len(gt_boxes) else np.zeros((0, 5)))
+
+    if not all_tp:
+        print("no images evaluated")
+        return 1
+    res = ap_per_class(
+        np.concatenate(all_tp), np.concatenate(all_conf),
+        np.concatenate(all_cls), np.concatenate(all_target_cls),
+    )
+    print(f"images: {len(pairs)}  mAP@0.5: {res['map50']:.4f}  "
+          f"mAP@0.5:0.95: {res['map']:.4f}")
+    for i, c in enumerate(res["classes"]):
+        print(f"  class {int(c)}: AP50={res['ap'][i, 0]:.4f} "
+              f"P={res['precision'][i]:.4f} R={res['recall'][i]:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

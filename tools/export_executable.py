@@ -86,9 +86,10 @@ def export(out_dir: str, model: str = "hamer", hw: str = "720x1280",
         raise ValueError(model)
 
     lowered = jax.jit(fn).lower(*args)
-    if model == "yolo":  # text dump is impractical for multi-GB baked weights
-        with open(os.path.join(out_dir, f"{model}.stablehlo"), "w") as f:
-            f.write(lowered.as_text())
+    # No StableHLO text dump: weights are baked as constants (engine-style)
+    # and serializing them as MLIR text is multi-GB. The .bin executable is
+    # the deploy artifact; lowered.as_text() remains available via the API
+    # for weight-free programs.
     compiled = lowered.compile()
     payload = compiled.runtime_executable().serialize()
     with open(os.path.join(out_dir, f"{model}.bin"), "wb") as f:
