@@ -128,11 +128,65 @@ int main(int argc, char** argv) {
     CheckErr(g_api->PJRT_Plugin_Initialize(&init), "Plugin_Initialize");
   }
 
+  // Plugin-specific create options. The axon plugin (remote TPU tunnel)
+  // needs the same NamedValues its python-side register() passes
+  // (topology/session/rank/...); standard libtpu ignores unknown keys'
+  // absence and works with an empty list, so these are set only when the
+  // HYT_AXON env knob (default: auto-detect from PALLAS_AXON_TPU_GEN) is on.
+  std::vector<PJRT_NamedValue> opts;
+  std::string topology;
+  std::string session_id = "hyt-run";
+  const char* gen = getenv("PALLAS_AXON_TPU_GEN");
+  if (gen != nullptr) {
+    topology = std::string(gen) + ":1x1x1";
+    if (getenv("AXON_COMPAT_VERSION") == nullptr) {
+      setenv("AXON_COMPAT_VERSION", "49", 0);
+    }
+    // Tunnel/samebox terminal discovery (what the python sitecustomize
+    // exports inside python processes).
+    const char* pool_ips = getenv("PALLAS_AXON_POOL_IPS");
+    if (pool_ips != nullptr) {
+      setenv("AXON_POOL_SVC_OVERRIDE", pool_ips, 0);
+      setenv("AXON_LOOPBACK_RELAY", "1", 0);
+    }
+    auto add_str = [&](const char* name, const std::string& v) {
+      PJRT_NamedValue nv;
+      memset(&nv, 0, sizeof(nv));
+      nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+      nv.name = name;
+      nv.name_size = strlen(name);
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = v.c_str();
+      nv.value_size = v.size();
+      opts.push_back(nv);
+    };
+    auto add_i64 = [&](const char* name, int64_t v) {
+      PJRT_NamedValue nv;
+      memset(&nv, 0, sizeof(nv));
+      nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+      nv.name = name;
+      nv.name_size = strlen(name);
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = v;
+      nv.value_size = 1;
+      opts.push_back(nv);
+    };
+    add_str("topology", topology);
+    add_str("session_id", session_id);
+    add_i64("remote_compile", getenv("PALLAS_AXON_REMOTE_COMPILE") ? 1 : 0);
+    add_i64("local_only", 0);
+    add_i64("priority", 0);
+    add_i64("n_slices", 1);
+    add_i64("rank", (int64_t)0xFFFFFFFFll);
+  }
+
   PJRT_Client* client = nullptr;
   {
     PJRT_Client_Create_Args args;
     memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+    args.create_options = opts.empty() ? nullptr : opts.data();
+    args.num_options = opts.size();
     CheckErr(g_api->PJRT_Client_Create(&args), "Client_Create");
     client = args.client;
   }

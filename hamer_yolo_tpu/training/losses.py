@@ -105,24 +105,32 @@ def yolo_loss(
     obj_w: float = 0.7,
     cls_w: float = 0.3,
     anchor_t: float = 4.0,
+    assigner: str = "neighbor",
+    ota_topk: int = 10,
 ) -> Dict[str, jax.Array]:
     """Fixed-capacity YOLO loss.
 
     raw_maps: list of 3 raw head maps (B, H, W, na*(nc+5)) (pre-sigmoid).
     targets: (B, T, 5) padded labels [cls, cx, cy, w, h] normalized 0-1;
     invalid rows have w == 0.
-    Anchor matching (yolov7 non-OTA): wh-ratio within [1/t, t], plus the
-    two nearest neighbor cells; formulated densely with masks (no dynamic
-    gather/scatter shapes).
+
+    assigner:
+    - "neighbor": yolov7 non-OTA ComputeLoss — wh-ratio within [1/t, t]
+      plus the two nearest neighbor cells (loss.py:425-558);
+    - "simota": ComputeLossOTA (loss.py:559-851) — the neighbor prefilter
+      yields the candidate pool; per gt, dynamic-k = clamp(sum top-10
+      IoU, >=1) candidates with the lowest cost
+      (cls BCE + 3 * -log IoU) are selected; cross-gt conflicts resolve
+      to the lowest-cost gt. All dense/masked (no dynamic shapes).
     """
     B = raw_maps[0].shape[0]
     T = targets.shape[1]
     na = anchors.shape[1]
-    total_box = 0.0
-    total_obj = 0.0
-    total_cls = 0.0
+    L = len(raw_maps)
     balance = (4.0, 1.0, 0.4)
 
+    # ---- Pass 1: per-level candidate construction -------------------------
+    per_level = []
     for lvl, raw in enumerate(raw_maps):
         _, H, W, _ = raw.shape
         stride = strides[lvl]
@@ -175,28 +183,98 @@ def yolo_loss(
         pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
         tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
         ciou = bbox_ciou(pbox, tbox)
+
+        flat_idx = (bidx * (L * na * 8192)  # unique per (b, lvl, anchor, cell)
+                    + lvl * (na * 8192)
+                    + jnp.arange(na)[None, None, None, :] * 8192
+                    + cells_y[..., None] * W + cells_x[..., None])
+        per_level.append({
+            "m": m, "psel": psel, "match_f": match_f, "ciou": ciou,
+            "t_cls": t_cls, "H": H, "W": W, "na": na, "lvl": lvl,
+            "cells_y": cells_y, "cells_x": cells_x, "bidx": bidx,
+            "flat_idx": flat_idx,
+        })
+
+    # ---- SimOTA selection (optional) --------------------------------------
+    if assigner == "simota":
+        # candidate pool per gt across all levels: C = L * 5 * na
+        iou_all = jnp.concatenate(
+            [d["ciou"].reshape(B, T, -1) for d in per_level], axis=-1)
+        match_all = jnp.concatenate(
+            [d["match_f"].reshape(B, T, -1) for d in per_level], axis=-1)
+        iou_pos = jnp.clip(jax.lax.stop_gradient(iou_all), 0.0, 1.0) * match_all
+
+        # classification cost (stop-grad; assignment only)
+        cls_cost_parts = []
+        for d in per_level:
+            p = jax.lax.stop_gradient(d["psel"])
+            p_cls = jax.nn.sigmoid(p[..., 5:]) * jax.nn.sigmoid(p[..., 4:5])
+            onehot = jax.nn.one_hot(d["t_cls"], nc)[:, :, None, None, :]
+            bce = -(onehot * jnp.log(p_cls + 1e-8)
+                    + (1 - onehot) * jnp.log(1 - p_cls + 1e-8)).sum(-1)
+            cls_cost_parts.append(bce.reshape(B, T, -1))
+        cls_cost = jnp.concatenate(cls_cost_parts, axis=-1)
+
+        cost = cls_cost + 3.0 * (-jnp.log(iou_pos + 1e-8))
+        BIG = 1e9
+        cost = jnp.where(match_all > 0, cost, BIG)
+
+        # dynamic k per gt: sum of top-10 IoUs, >= 1
+        k_top = min(ota_topk, iou_pos.shape[-1])
+        topk_iou, _ = jax.lax.top_k(iou_pos, k_top)
+        dyn_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, None)
+
+        # rank of each candidate's cost within its gt row
+        order = jnp.argsort(cost, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        select = (ranks < dyn_k[..., None]) & (match_all > 0)
+
+        # conflict resolution: a (cell, anchor) claimed by several gts goes
+        # to the lowest-cost gt (segment_min over flat ids)
+        flat_all = jnp.concatenate(
+            [d["flat_idx"].reshape(B, T, -1) for d in per_level], axis=-1)
+        sel_cost = jnp.where(select, cost, BIG)
+        nseg = B * L * na * 8192
+        min_cost = jax.ops.segment_min(
+            sel_cost.reshape(-1), flat_all.reshape(-1), num_segments=nseg,
+        )
+        winner = sel_cost <= min_cost[flat_all] + 1e-6
+        select = select & winner
+
+        # write the per-level selection back as the match mask
+        off = 0
+        for d in per_level:
+            n = d["ciou"].reshape(B, T, -1).shape[-1]
+            d["match_f"] = select[..., off:off + n].reshape(d["ciou"].shape).astype(
+                d["ciou"].dtype)
+            off += n
+
+    # ---- Pass 2: loss accumulation ----------------------------------------
+    total_box = 0.0
+    total_obj = 0.0
+    total_cls = 0.0
+    for d in per_level:
+        m, match_f, ciou = d["m"], d["match_f"], d["ciou"]
+        H, W, na_, lvl = d["H"], d["W"], d["na"], d["lvl"]
         n_match = jnp.maximum(match_f.sum(), 1.0)
         total_box += ((1.0 - ciou) * match_f).sum() / n_match
 
-        # objectness target: IoU at matched locations (scatter-free: compute
-        # dense obj target by scattering max IoU per cell via segment max).
-        obj_target = jnp.zeros((B, na, H, W), raw.dtype)
-        flat_idx = (bidx * (na * H * W)
-                    + jnp.arange(na)[None, None, None, :] * (H * W)
-                    + cells_y[..., None] * W + cells_x[..., None])
+        # objectness target: IoU at matched locations (scatter-free segment max)
+        lvl_flat = (d["bidx"] * (na_ * H * W)
+                    + jnp.arange(na_)[None, None, None, :] * (H * W)
+                    + d["cells_y"][..., None] * W + d["cells_x"][..., None])
         iou_det = jnp.clip(jax.lax.stop_gradient(ciou), 0.0) * match_f
         obj_target = jax.ops.segment_max(
-            iou_det.reshape(-1), flat_idx.reshape(-1),
-            num_segments=B * na * H * W, indices_are_sorted=False,
-        ).reshape(B, na, H, W)
-        # segment_max fills untouched cells with -inf -> clamp to 0.
-        obj_target = jnp.maximum(obj_target, 0.0)
+            iou_det.reshape(-1), lvl_flat.reshape(-1),
+            num_segments=B * na_ * H * W, indices_are_sorted=False,
+        ).reshape(B, na_, H, W)
+        obj_target = jnp.maximum(obj_target, 0.0)  # -inf for empty segments
         obj_loss = bce_logits(m[..., 4], obj_target).mean()
         total_obj += obj_loss * balance[lvl]
 
         if nc > 1:
-            cls_t = jax.nn.one_hot(t_cls, nc, dtype=raw.dtype)  # (B, T, nc)
-            cls_logits = psel[..., 5:]
+            cls_t = jax.nn.one_hot(d["t_cls"], nc, dtype=ciou.dtype)
+            cls_logits = d["psel"][..., 5:]
             cls_tgt = jnp.broadcast_to(cls_t[:, :, None, None, :], cls_logits.shape)
             total_cls += (bce_logits(cls_logits, cls_tgt) * match_f[..., None]).sum() / (n_match * nc)
 

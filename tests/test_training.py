@@ -38,6 +38,22 @@ class TestYoloLoss:
         assert np.isfinite(float(out["loss"]))
         assert float(out["box"]) > 0 and float(out["obj"]) > 0
 
+    def test_simota_assigner(self, rng):
+        maps = [jnp.asarray(rng.normal(size=(2, s, s, 24)).astype(np.float32))
+                for s in (8, 4, 2)]
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(0), 2, 64)
+        out = yolo_loss(maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
+                        (8, 16, 32), nc=3, assigner="simota")
+        assert np.isfinite(float(out["loss"]))
+        assert float(out["box"]) > 0
+        # simota is differentiable end to end
+        def f(m0):
+            return yolo_loss([m0, maps[1], maps[2]], batch["targets"],
+                             jnp.asarray(YOLOV7_ANCHORS), (8, 16, 32), 3,
+                             assigner="simota")["loss"]
+        g = jax.grad(f)(maps[0])
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_no_targets_only_obj(self):
         maps = [jnp.zeros((1, s, s, 24)) for s in (8, 4, 2)]
         targets = jnp.zeros((1, 4, 5))
