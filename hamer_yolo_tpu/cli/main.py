@@ -55,15 +55,42 @@ def _load_runtime(args):
 
 
 def cmd_infer(args) -> int:
-    from hamer_yolo_tpu.pipeline.runner import process_image_dir
+    from hamer_yolo_tpu.pipeline.runner import process_image_dir, process_masked_dir
 
     params, mano, cfg = _load_runtime(args)
-    stats = process_image_dir(
-        args.input, args.output, params, mano, cfg,
-        intrinsics_path=args.intrinsics, save_obj=not args.no_obj,
-    )
+    if args.mask_dir:
+        stats = process_masked_dir(
+            args.input, args.mask_dir, args.output, params, mano, cfg,
+            intrinsics_path=args.intrinsics, mask_value=args.mask_value,
+            mask_hand=args.mask_hand, save_obj=not args.no_obj,
+        )
+    else:
+        stats = process_image_dir(
+            args.input, args.output, params, mano, cfg,
+            intrinsics_path=args.intrinsics, save_obj=not args.no_obj,
+        )
     print(f"processed {stats.frames} frames / {stats.hands} hands "
           f"({stats.skipped} skipped) in {stats.total_s:.1f}s")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Batched video-rate processing of a video file / stream / image dir."""
+    from hamer_yolo_tpu.io.video import iter_media
+    from hamer_yolo_tpu.io.writers import load_intrinsics
+    from hamer_yolo_tpu.pipeline.serving import BatchedPipeline
+
+    params, mano, cfg = _load_runtime(args)
+    K = load_intrinsics(args.intrinsics) if args.intrinsics else None
+    pipe = BatchedPipeline(params, mano, cfg, batch_size=args.batch)
+    total = 0
+    for out in pipe.stream(iter_media(args.input, args.max_frames),
+                           K if K is not None else _default_K((720, 1280))):
+        n = int(np.asarray(out["valid"]).sum())
+        total += out["boxes"].shape[0]
+        print(f"batch: {out['boxes'].shape[0]} frames, {n} hands")
+    stats = pipe.last_stats
+    print(f"{stats.frames} frames in {stats.total_s:.1f}s = {stats.fps:.1f} fps")
     return 0
 
 
@@ -164,7 +191,19 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--depth-refine", action="store_true",
                    help="force tz from RootNet depth (d_infer.py behavior)")
     p.add_argument("--no-obj", action="store_true")
+    p.add_argument("--mask-dir", default=None,
+                   help="dir of per-image .npy masks (bypasses the detector)")
+    p.add_argument("--mask-value", type=int, default=3)
+    p.add_argument("--mask-hand", default="right", choices=["left", "right"])
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("serve", help="batched video/stream processing")
+    common(p)
+    p.add_argument("--input", required=True, help="video file / image dir / glob")
+    p.add_argument("--intrinsics", default=None)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("detect", help="hand detection only")
     common(p)

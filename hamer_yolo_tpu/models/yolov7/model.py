@@ -260,3 +260,12 @@ def yolov7_forward(params: nn.Params, x: jax.Array,
                    cfg: YoloConfig = YoloConfig()) -> jax.Array:
     """Full inference graph: image (B, H, W, 3) -> decoded (B, N, nc+5)."""
     return decode_detections(yolov7_backbone_forward(params, x, cfg), cfg)
+
+
+def yolov7_ensemble_forward(params_list, x: jax.Array,
+                            cfg: YoloConfig = YoloConfig()) -> jax.Array:
+    """Multi-checkpoint ensemble: concatenated decoded predictions, NMS'd
+    downstream (reference models/experimental.py Ensemble / attempt_load
+    with multiple weights)."""
+    preds = [yolov7_forward(p, x, cfg) for p in params_list]
+    return jnp.concatenate(preds, axis=1)

@@ -210,6 +210,53 @@ def infer_frame(
     return out
 
 
+def infer_frame_with_boxes(
+    params: Dict[str, Any],
+    mano_model: ManoModel,
+    image_bgr: jax.Array,
+    boxes: jax.Array,
+    is_right: jax.Array,
+    box_valid: jax.Array,
+    orig_hw: jax.Array,
+    K: jax.Array,
+    cfg: PipelineConfig,
+    attn_impl=None,
+) -> Dict[str, jax.Array]:
+    """Pipeline with externally-supplied boxes (mask-driven variant,
+    reference process_batch_manopara_with_mask, infer.py:1099-1220).
+
+    boxes: (S, 4) xyxy; is_right/box_valid: (S,).
+    """
+    dets = {
+        "boxes": boxes,
+        "scores": box_valid.astype(jnp.float32),
+        "is_right": is_right.astype(jnp.float32),
+        "valid": box_valid.astype(bool),
+    }
+    depth = None
+    if "sar" in params:
+        depth = estimate_depths(params["sar"], image_bgr, dets, orig_hw, K, cfg)
+    refine = depth if cfg.use_depth_refine else None
+    rec = recover_hands(params["hamer"], mano_model, image_bgr, dets, K, cfg,
+                        depth_refine=refine, attn_impl=attn_impl)
+    global_aa = rotmat_to_aa(rec["global_orient"][:, 0])
+    hand_aa = rotmat_to_aa(rec["hand_pose"]).reshape(global_aa.shape[0], -1)
+    out = {
+        **dets,
+        "betas": rec["betas"],
+        "theta": jnp.concatenate([global_aa, hand_aa], axis=-1),
+        "pose_hand": hand_aa,
+        "pose_global": global_aa,
+        "cam_t": rec["pred_cam_t_full"],
+        "keypoints_3d": rec["pred_keypoints_3d"],
+        "keypoints_2d": rec["pred_keypoints_2d_full"],
+        "vertices": rec["pred_vertices"],
+    }
+    if depth is not None:
+        out["root_depth"] = depth
+    return out
+
+
 def make_infer_fn(params, mano_model, cfg: PipelineConfig, attn_impl=None):
     """jit-wrapped frame program with params/mano baked as constants closed
     over donation-free; bucket shape is static via input shapes."""

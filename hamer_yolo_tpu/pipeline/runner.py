@@ -150,6 +150,97 @@ def process_image_dir(
     return stats
 
 
+def process_masked_dir(
+    input_dir: str,
+    mask_dir: str,
+    output_dir: str,
+    params: Dict[str, Any],
+    mano_model: ManoModel,
+    cfg: Optional[PipelineConfig] = None,
+    intrinsics_path: Optional[str] = None,
+    mask_value: int = 3,
+    mask_hand: str = "right",
+    save_obj: bool = True,
+) -> RunStats:
+    """Mask-driven variant (reference process_batch_manopara_with_mask):
+    per-image .npy mask -> bbox of `mask_value` pixels -> pipeline with the
+    detector bypassed."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.io.writers import frame_outputs_to_hand_dicts, save_hand_npy
+    from hamer_yolo_tpu.pipeline.frame import infer_frame_with_boxes
+    from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_and_save_obj
+    from hamer_yolo_tpu.pipeline.sar_mesh import bbox_from_mask
+
+    cfg = cfg or PipelineConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    obj_dir = os.path.join(output_dir, "obj")
+    if save_obj:
+        os.makedirs(obj_dir, exist_ok=True)
+    K_fixed = load_intrinsics(intrinsics_path) if intrinsics_path and \
+        os.path.exists(intrinsics_path) else None
+
+    fn_cache: Dict[Tuple[int, int], Any] = {}
+
+    def fn_for(bucket):
+        if bucket not in fn_cache:
+            mano, pcfg = mano_model, cfg
+
+            @jax.jit
+            def fn(p, image, boxes, is_right, valid, hw, K):
+                return infer_frame_with_boxes(p, mano, image, boxes, is_right,
+                                              valid, hw, K, pcfg)
+
+            fn_cache[bucket] = fn
+        return fn_cache[bucket]
+
+    stats = RunStats()
+    t0 = time.time()
+    for path in list_images(input_dir):
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            image = cv2.imread(path)
+            mask_path = os.path.join(mask_dir, f"{name}.npy")
+            if image is None or not os.path.exists(mask_path):
+                stats.skipped += 1
+                continue
+            bbox = bbox_from_mask(np.load(mask_path), mask_value)
+            if bbox is None:
+                stats.skipped += 1
+                continue
+            h, w = image.shape[:2]
+            bh, bw = pick_bucket(h, w)
+            padded = np.zeros((bh, bw, 3), np.float32)
+            padded[:h, :w] = image
+            S = cfg.max_hands
+            boxes = np.zeros((S, 4), np.float32)
+            boxes[0] = bbox
+            valid = np.zeros((S,), np.float32)
+            valid[0] = 1.0
+            is_right = np.full((S,), 1.0 if mask_hand == "right" else 0.0, np.float32)
+            K = K_fixed if K_fixed is not None else _default_intrinsics(image.shape)
+            out = fn_for((bh, bw))(
+                params, jnp.asarray(padded), jnp.asarray(boxes),
+                jnp.asarray(is_right), jnp.asarray(valid),
+                jnp.asarray([h, w], jnp.float32), jnp.asarray(K),
+            )
+            out = jax.tree_util.tree_map(np.asarray, out)
+            results = frame_outputs_to_hand_dicts(out)
+            save_hand_npy(os.path.join(output_dir, f"{name}.npy"), results)
+            if save_obj and any(v is not None for v in results.values()):
+                reconstruct_and_save_obj(mano_model, results,
+                                         os.path.join(obj_dir, f"{name}.obj"))
+            stats.frames += 1
+            stats.hands += 1
+        except Exception as e:
+            stats.skipped += 1
+            print(f"skip {name}: {e}")
+    stats.total_s = time.time() - t0
+    return stats
+
+
 def _default_intrinsics(shape) -> np.ndarray:
     """Reference fallback: f = 5000/256 * max(h, w), principal point center."""
     h, w = shape[:2]
