@@ -41,7 +41,8 @@ def flash_mha_self_attention(p: Dict[str, Any], x: jax.Array, num_heads: int) ->
     k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
     v = jnp.transpose(qkv[:, :, 2], (0, 2, 1, 3))
 
-    if _on_tpu():
+    if _on_tpu() and N % 128 == 0:
+        # Long sequences: the official streaming flash kernel.
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention,
         )
@@ -56,6 +57,11 @@ def flash_mha_self_attention(p: Dict[str, Any], x: jax.Array, num_heads: int) ->
         )
         out = flash_attention(q, k, v, causal=False, sm_scale=hd ** -0.5,
                               block_sizes=blocks)
+    elif _on_tpu():
+        # Short sequences (ViT-H's 192 tokens): single-block fused kernel.
+        from hamer_yolo_tpu.ops.attention_pallas import fused_short_attention
+
+        out = fused_short_attention(q, k, v)
     else:
         scale = hd ** -0.5
         logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)

@@ -1,0 +1,56 @@
+"""Pallas fused attention for short sequences (ViT-H's 192 tokens).
+
+The official flash-attention kernel tiles the sequence in 128-multiples —
+wrong shape for ViT-H's 192-token crops. At N=192 the whole attention
+computation fits in VMEM (q/k/v 192x80 f32 = 60 KB each; logits 192x192 =
+144 KB), so the optimal TPU formulation is a single-block kernel per
+(batch, head): QK^T -> stable softmax -> PV without any HBM round trip for
+the intermediates. This fuses the three matmuls + softmax the same way
+flash attention does, minus the (unneeded) streaming machinery.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (N, hd)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, N)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0, :, :] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_short_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """q/k/v: (B, h, N, hd) -> (B, h, N, hd); softmax attention, no mask."""
+    B, h, N, hd = q.shape
+    scale = hd ** -0.5
+    qf = q.reshape(B * h, N, hd)
+    kf = k.reshape(B * h, N, hd)
+    vf = v.reshape(B * h, N, hd)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(B * h,),
+        in_specs=[pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0)) for _ in range(3)],
+        out_specs=pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * h, N, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, h, N, hd)

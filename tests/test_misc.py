@@ -1,0 +1,108 @@
+"""Tests for mask-mode pipeline, ensemble, logging, autoanchor."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core.checkpoint import init_pipeline_params
+from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+from hamer_yolo_tpu.models.hamer import HamerConfig
+from hamer_yolo_tpu.models.mano import ManoModel
+from hamer_yolo_tpu.models.mano_head import ManoHeadConfig
+from hamer_yolo_tpu.models.sar import SarConfig
+from hamer_yolo_tpu.models.vit import ViTConfig
+from hamer_yolo_tpu.models.yolov7 import (
+    YoloConfig, init_yolov7, yolov7_ensemble_forward,
+)
+from hamer_yolo_tpu.pipeline.frame import PipelineConfig, infer_frame_with_boxes
+from hamer_yolo_tpu.utils.autoanchor import anchor_metric, check_anchors, kmeans_anchors
+from hamer_yolo_tpu.utils.logging import MetricLogger
+
+
+def tiny_cfg():
+    return PipelineConfig(
+        max_hands=2, det_size=64, crop_size=64,
+        yolo=YoloConfig(nc=3, img_size=64),
+        hamer=HamerConfig(
+            image_size=64, crop_margin=8,
+            vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4),
+            head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2,
+                                dim_head=8, mlp_dim=32),
+        ),
+        sar=SarConfig(backbone="resnet34", input_size=64, feature_hw=2, heatmap_size=8),
+    )
+
+
+def _mano():
+    try:
+        return ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        return ManoModel.from_arrays(synthetic_mano_model())
+
+
+class TestMaskMode:
+    def test_infer_with_boxes(self, rng):
+        cfg = tiny_cfg()
+        mano = _mano()
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+        img = jnp.asarray(rng.integers(0, 255, (100, 120, 3)).astype(np.float32))
+        boxes = jnp.array([[30.0, 20.0, 80.0, 70.0], [0.0, 0, 0, 0]])
+        out = jax.jit(
+            lambda i: infer_frame_with_boxes(
+                params, mano, i, boxes, jnp.array([1.0, 0.0]),
+                jnp.array([1.0, 0.0]), jnp.array([100.0, 120.0]),
+                jnp.array([[200.0, 0, 60], [0, 200.0, 50], [0, 0, 1]]), cfg)
+        )(img)
+        assert out["theta"].shape == (2, 48)
+        assert bool(out["valid"][0]) and not bool(out["valid"][1])
+        assert out["root_depth"].shape == (2,)
+
+
+class TestEnsemble:
+    def test_concat_predictions(self):
+        cfg = YoloConfig(nc=3, img_size=64, compute_dtype="float32")
+        p1 = init_yolov7(jax.random.PRNGKey(0), cfg)
+        p2 = init_yolov7(jax.random.PRNGKey(1), cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        out = yolov7_ensemble_forward([p1, p2], x, cfg)
+        assert out.shape == (1, 2 * 252, 8)
+
+
+class TestLogger:
+    def test_jsonl_logging(self, tmp_path):
+        log = MetricLogger(str(tmp_path), tensorboard=False)
+        log.log(0, {"loss": 1.5})
+        log.log(1, {"loss": 1.2, "note": "x"})
+        log.close()
+        lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+
+
+class TestAutoanchor:
+    def test_metric_perfect_anchors(self):
+        wh = np.array([[10.0, 20], [40, 30], [100, 80]])
+        bpr, _ = anchor_metric(wh, wh)
+        assert bpr == 1.0
+
+    def test_kmeans_recovers_clusters(self, rng):
+        centers = np.array([[10.0, 10], [50, 60], [200, 150]])
+        wh = np.concatenate([
+            c + rng.normal(0, 1.5, (60, 2)) for c in centers
+        ]).clip(3, None)
+        anchors = kmeans_anchors(wh, n=3, generations=50)
+        # each true center close to some anchor (ratio metric)
+        for c in centers:
+            r = c / anchors
+            assert np.min(np.max(np.maximum(r, 1 / r), axis=1)) < 1.3
+
+    def test_check_anchors_keeps_good(self):
+        wh = np.tile(np.array([[12.0, 16]]), (50, 1)) + 1.0
+        anchors = np.array([[12.0, 16], [19, 36], [40, 28]])
+        out, changed = check_anchors(wh, anchors)
+        assert not changed
