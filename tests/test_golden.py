@@ -1,0 +1,69 @@
+"""Golden regression tests: committed fixtures pin numerical behavior.
+
+The fixture was captured with tools/parity_check.py (tiny HAMER, seed 0,
+CPU f32). Any refactor that drifts the forward numerics beyond the
+reference tolerance (allclose 1e-3, the contract the reference applies to
+its ONNX exports) fails here. Also: orbax checkpoint roundtrip.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "hamer_tiny_golden.npz")
+
+
+class TestGoldenHamer:
+    @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
+    def test_forward_matches_fixture(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from parity_check import build_hamer
+
+        data = np.load(FIXTURE)
+        fn, _ = build_hamer(seed=0, tiny=True)
+        out = fn(jnp.asarray(data["__input__"]))
+        for k in data.files:
+            if k == "__input__":
+                continue
+            np.testing.assert_allclose(
+                np.asarray(out[k]), data[k], atol=1e-3, rtol=1e-3,
+                err_msg=f"output {k} drifted from golden fixture",
+            )
+
+
+class TestCheckpointRoundtrip:
+    def test_orbax_save_load(self, tmp_path):
+        from hamer_yolo_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7
+
+        cfg = YoloConfig(nc=3, img_size=64)
+        params = init_yolov7(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, params)
+        restored = load_checkpoint(path, params)
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(restored)
+        assert len(a) == len(b)
+        for x, y in zip(a[:20], b[:20]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_train_state_roundtrip(self, tmp_path):
+        from hamer_yolo_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig
+        from hamer_yolo_tpu.training.train_yolo import init_yolo_train_state
+
+        state, _ = init_yolo_train_state(
+            jax.random.PRNGKey(0), YoloConfig(nc=3, img_size=64), 10)
+        path = str(tmp_path / "state")
+        save_checkpoint(path, state)
+        restored = load_checkpoint(path, state)
+        assert int(restored.step) == int(state.step)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(restored.ema.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.ema.params)[0]),
+        )
