@@ -43,6 +43,8 @@ class HamerConfig:
     # ToMe token merging: tokens merged per ViT layer (0 = off). The
     # reference enables r=(8,-1) via token_merge (hamer.py:481-483).
     tome_r: int = 0
+    # Single-kernel Pallas MANO LBS (ops/mano_pallas.py; TPU only).
+    fused_mano: bool = False
 
 
 def init_hamer(key: jax.Array, cfg: HamerConfig = HamerConfig()) -> nn.Params:
@@ -90,6 +92,7 @@ def hamer_forward(
         pred_mano["global_orient"],
         pred_mano["hand_pose"],
         pred_mano["betas"],
+        fused=cfg.fused_mano,
     )
     kp2d = perspective_projection(
         out.joints,

@@ -136,15 +136,23 @@ def mano_forward_rotmat(
     global_orient: jax.Array,
     hand_pose: jax.Array,
     betas: jax.Array,
+    fused: bool = False,
 ) -> ManoOutput:
     """smplx.MANOLayer-convention forward (HaMeR path, pose2rot=False).
 
     global_orient: (B, 1, 3, 3), hand_pose: (B, 15, 3, 3), betas: (B, 10).
     Output in meters; joints = 16 regressed + smplx fingertip vertices,
     OpenPose order. Reference hamer.py:541 -> mano_wrapper.py:32-44.
+    fused=True routes through the single-kernel Pallas LBS
+    (ops/mano_pallas.py, TPU only).
     """
     rotmats = jnp.concatenate([global_orient, hand_pose], axis=1)
-    verts, joints16 = lbs(model, betas, rotmats)
+    if fused:
+        from hamer_yolo_tpu.ops.mano_pallas import mano_lbs_fused
+
+        verts, joints16 = mano_lbs_fused(model, betas, rotmats)
+    else:
+        verts, joints16 = lbs(model, betas, rotmats)
     tips = verts[:, SMPLX_TIP_IDS]
     joints = jnp.concatenate([joints16, tips], axis=1)[:, MANO_TO_OPENPOSE]
     return ManoOutput(vertices=verts, joints=joints)

@@ -1,0 +1,63 @@
+"""Pallas kernel tests (interpret mode on CPU): NMS, attention, MANO."""
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+from hamer_yolo_tpu.models.mano import ManoModel, lbs
+from hamer_yolo_tpu.ops.attention_pallas import fused_short_attention
+from hamer_yolo_tpu.ops.mano_pallas import mano_lbs_fused
+from hamer_yolo_tpu.ops.nms_pallas import greedy_nms_keep
+from hamer_yolo_tpu.ops.nms import _greedy_suppress
+from hamer_yolo_tpu.geometry.boxes import box_iou
+
+
+def _mano():
+    try:
+        return ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        return ManoModel.from_arrays(synthetic_mano_model())
+
+
+class TestNmsKernel:
+    def test_matches_scan_impl(self, rng):
+        B, K = 2, 64
+        boxes = np.zeros((B, K, 4), np.float32)
+        boxes[..., :2] = rng.uniform(0, 300, (B, K, 2))
+        boxes[..., 2:] = boxes[..., :2] + rng.uniform(10, 80, (B, K, 2))
+        active = (rng.uniform(0, 1, (B, K)) > 0.2).astype(np.float32)
+        keep = np.asarray(greedy_nms_keep(jnp.asarray(boxes), jnp.asarray(active),
+                                          0.45, interpret=True))
+        for b in range(B):
+            ref = np.asarray(_greedy_suppress(
+                box_iou(jnp.asarray(boxes[b]), jnp.asarray(boxes[b])),
+                jnp.asarray(active[b]) > 0.5, 0.45))
+            np.testing.assert_array_equal(keep[b] > 0.5, ref)
+
+
+class TestAttentionKernel:
+    def test_matches_softmax_attention(self, rng):
+        q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 64, 32)).astype(np.float32))
+                   for _ in range(3))
+        ref = jnp.einsum(
+            "bhnm,bhmd->bhnd",
+            jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * 32 ** -0.5, k), -1), v)
+        out = fused_short_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestManoKernel:
+    def test_matches_xla_lbs(self, rng):
+        m = _mano()
+        S = 2
+        betas = jnp.asarray(rng.normal(scale=0.5, size=(S, 10)).astype(np.float32))
+        rots = jnp.asarray(
+            R.from_rotvec(rng.normal(scale=0.3, size=(S * 16, 3)))
+            .as_matrix().reshape(S, 16, 3, 3).astype(np.float32))
+        v_ref, j_ref = lbs(m, betas, rots)
+        v_pl, j_pl = mano_lbs_fused(m, betas, rots, interpret=True)
+        np.testing.assert_allclose(np.asarray(v_pl), np.asarray(v_ref), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(j_pl), np.asarray(j_ref), atol=1e-4)
