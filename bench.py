@@ -38,7 +38,22 @@ def main() -> None:
     hw = os.environ.get("BENCH_HW", "720x1280")
     H, W = (int(x) for x in hw.split("x"))
 
+    # Optional kernel knobs (ablation): Pallas attention, fused MANO, ToMe.
+    import dataclasses
+
+    attn_impl = None
+    if os.environ.get("BENCH_ATTN") == "pallas":
+        from hamer_yolo_tpu.ops.attention import flash_mha_self_attention
+
+        attn_impl = flash_mha_self_attention
     cfg = PipelineConfig(max_hands=max_hands)
+    hamer_cfg = cfg.hamer
+    if os.environ.get("BENCH_FUSED_MANO") == "1":
+        hamer_cfg = dataclasses.replace(hamer_cfg, fused_mano=True)
+    tome_r = int(os.environ.get("BENCH_TOME", "0"))
+    if tome_r:
+        hamer_cfg = dataclasses.replace(hamer_cfg, tome_r=tome_r)
+    cfg = dataclasses.replace(cfg, hamer=hamer_cfg)
     try:
         mano = ManoModel.from_arrays(load_mano_model("right"))
     except Exception:
@@ -55,14 +70,16 @@ def main() -> None:
 
     @jax.jit
     def frame_fn(params, image, orig_hw, K):
-        return _payload(infer_frame(params, mano, image, orig_hw, K, cfg))
+        return _payload(infer_frame(params, mano, image, orig_hw, K, cfg,
+                                    attn_impl=attn_impl))
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
 
     @jax.jit
     def batch_fn(params, images, orig_hws, Ks):
         return jax.vmap(
-            lambda i, hw, k: _payload(infer_frame(params, mano, i, hw, k, cfg))
+            lambda i, hw, k: _payload(infer_frame(params, mano, i, hw, k, cfg,
+                                                  attn_impl=attn_impl))
         )(images, orig_hws, Ks)
 
     params = jax.device_put(params)

@@ -1,0 +1,131 @@
+"""PointNet++ classification/segmentation models over the JAX point ops.
+
+Representative re-build of the reference's vendored pointNet model zoo
+(rootnet/KeypointFusion/pointNet/: PointNet2 ssg/msg classifiers and
+part/semantic segmentation nets) on top of ops/pointnet.py. Provides:
+
+- ``SetAbstraction`` (single-scale grouping SA layer);
+- ``FeaturePropagation`` (three_nn inverse-distance upsampling);
+- ``init_pointnet2_cls`` / ``pointnet2_cls_forward`` — SSG classifier
+  (SA(512) -> SA(128) -> global SA -> MLP head);
+- ``init_pointnet2_seg`` / ``pointnet2_seg_forward`` — per-point
+  segmentation via two FP layers back up the hierarchy.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hamer_yolo_tpu.core import nn
+from hamer_yolo_tpu.ops import pointnet as pn
+
+Params = Dict[str, Any]
+
+
+def _mlp_stack_init(key, dims: List[int]) -> Params:
+    keys = jax.random.split(key, len(dims) - 1)
+    return {"layers": [nn.linear_init(keys[i], dims[i], dims[i + 1])
+                       for i in range(len(dims) - 1)]}
+
+
+def _mlp_stack(p: Params, x: jax.Array) -> jax.Array:
+    for layer in p["layers"]:
+        x = jax.nn.relu(nn.linear(layer, x))
+    return x
+
+
+@dataclass(frozen=True)
+class SAConfig:
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Tuple[int, ...]
+
+
+def sa_init(key, in_dim: int, cfg: SAConfig) -> Params:
+    return _mlp_stack_init(key, [in_dim + 3] + list(cfg.mlp))
+
+
+def set_abstraction(p: Params, xyz: jax.Array, feats: jax.Array,
+                    cfg: SAConfig) -> Tuple[jax.Array, jax.Array]:
+    """(B, N, 3), (B, N, C) -> (B, npoint, 3), (B, npoint, mlp[-1])."""
+    idx = pn.furthest_point_sampling(xyz, cfg.npoint)
+    new_xyz = pn.gather_points(xyz, idx)
+    grouped = pn.query_and_group(xyz, new_xyz, feats, cfg.radius, cfg.nsample)
+    return new_xyz, jnp.max(_mlp_stack(p, grouped), axis=2)
+
+
+def global_sa(p: Params, xyz: jax.Array, feats: jax.Array) -> jax.Array:
+    """Group-all SA: (B, N, 3+C) -> (B, mlp[-1])."""
+    x = jnp.concatenate([xyz, feats], axis=-1)
+    return jnp.max(_mlp_stack(p, x), axis=1)
+
+
+def fp_init(key, in_dim: int, mlp: Tuple[int, ...]) -> Params:
+    return _mlp_stack_init(key, [in_dim] + list(mlp))
+
+
+def feature_propagation(p: Params, xyz_dense: jax.Array, xyz_sparse: jax.Array,
+                        feats_dense: Optional[jax.Array],
+                        feats_sparse: jax.Array) -> jax.Array:
+    """Upsample sparse features onto the dense point set (FP layer)."""
+    d, idx = pn.three_nn(xyz_dense, xyz_sparse)
+    w = pn.interpolation_weights(d)
+    interp = pn.three_interpolate(feats_sparse, idx, w)
+    if feats_dense is not None:
+        interp = jnp.concatenate([feats_dense, interp], axis=-1)
+    return _mlp_stack(p, interp)
+
+
+CLS_SA1 = SAConfig(npoint=512, radius=0.2, nsample=32, mlp=(64, 64, 128))
+CLS_SA2 = SAConfig(npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256))
+
+
+def init_pointnet2_cls(key, num_classes: int = 40, in_dim: int = 3,
+                       sa1: SAConfig = CLS_SA1, sa2: SAConfig = CLS_SA2) -> Params:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "sa1": sa_init(k1, in_dim, sa1),
+        "sa2": sa_init(k2, sa1.mlp[-1], sa2),
+        "sa3": _mlp_stack_init(k3, [sa2.mlp[-1] + 3, 256, 512, 1024]),
+        "fc1": nn.linear_init(k4, 1024, 256),
+        "fc2": nn.linear_init(k5, 256, num_classes),
+        "_cfgs": None,
+    }
+
+
+def pointnet2_cls_forward(p: Params, xyz: jax.Array,
+                          sa1: SAConfig = CLS_SA1, sa2: SAConfig = CLS_SA2
+                          ) -> jax.Array:
+    """(B, N, 3) cloud -> (B, num_classes) logits."""
+    x1, f1 = set_abstraction(p["sa1"], xyz, xyz, sa1)
+    x2, f2 = set_abstraction(p["sa2"], x1, f1, sa2)
+    g = global_sa(p["sa3"], x2, f2)
+    h = jax.nn.relu(nn.linear(p["fc1"], g))
+    return nn.linear(p["fc2"], h)
+
+
+def init_pointnet2_seg(key, num_classes: int, in_dim: int = 3,
+                       sa1: SAConfig = CLS_SA1, sa2: SAConfig = CLS_SA2) -> Params:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "sa1": sa_init(k1, in_dim, sa1),
+        "sa2": sa_init(k2, sa1.mlp[-1], sa2),
+        "fp2": fp_init(k3, sa1.mlp[-1] + sa2.mlp[-1], (256, 128)),
+        "fp1": fp_init(k4, in_dim + 128, (128, 128)),
+        "head": nn.linear_init(k5, 128, num_classes),
+    }
+
+
+def pointnet2_seg_forward(p: Params, xyz: jax.Array,
+                          sa1: SAConfig = CLS_SA1, sa2: SAConfig = CLS_SA2
+                          ) -> jax.Array:
+    """(B, N, 3) -> (B, N, num_classes) per-point logits."""
+    x1, f1 = set_abstraction(p["sa1"], xyz, xyz, sa1)
+    x2, f2 = set_abstraction(p["sa2"], x1, f1, sa2)
+    u1 = feature_propagation(p["fp2"], x1, x2, f1, f2)
+    u0 = feature_propagation(p["fp1"], xyz, x1, xyz, u1)
+    return nn.linear(p["head"], u0)
