@@ -271,6 +271,90 @@ def hamer_training_crop(
 # Tar-shard streaming
 # ---------------------------------------------------------------------------
 
+def hamer_batch_iterator(
+    tar_paths: Sequence[str],
+    batch_size: int,
+    out_size: int = 256,
+    aug: Optional["HamerAugConfig"] = None,
+    seed: int = 0,
+    infinite: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """HaMeR training batches from webdataset-style tar shards.
+
+    Sample layout (reference load_tars_as_webdataset): <key>.jpg + <key>.json
+    with optional fields keypoints_2d (21, 3), keypoints_3d (21, 4),
+    mano_pose (48,) aa, mano_betas (10,), bbox center/scale. Missing
+    annotations become zero-confidence / has_mano_params = 0.
+    """
+    import json as _json
+
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    aug = aug or HamerAugConfig()
+
+    def sample_stream():
+        while True:
+            for key, sample in iter_tar_samples(tar_paths):
+                yield key, sample
+            if not infinite:
+                return
+
+    from hamer_yolo_tpu.geometry.rotations import aa_to_rotmat
+    import jax.numpy as jnp
+
+    stream = sample_stream()
+    while True:
+        imgs = np.zeros((batch_size, out_size, out_size, 3), np.float32)
+        kp2d = np.zeros((batch_size, 21, 3), np.float32)
+        kp3d = np.zeros((batch_size, 21, 4), np.float32)
+        pose_aa = np.zeros((batch_size, 48), np.float32)
+        betas = np.zeros((batch_size, 10), np.float32)
+        has_mano = np.zeros((batch_size,), np.float32)
+        got = 0
+        try:
+            while got < batch_size:
+                key, sample = next(stream)
+                if "jpg" not in sample:
+                    continue
+                img = cv2.imdecode(np.frombuffer(sample["jpg"], np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    continue
+                meta = _json.loads(sample.get("json", b"{}"))
+                h, w = img.shape[:2]
+                center = np.asarray(meta.get("center", [w / 2, h / 2]), np.float32)
+                bbox_size = float(meta.get("scale", max(h, w) / 2) )
+                crop, aug_params = hamer_training_crop(
+                    img, center, bbox_size, rng, aug, out_size)
+                imgs[got] = crop
+                if "keypoints_2d" in meta:
+                    kp2d[got] = np.asarray(meta["keypoints_2d"], np.float32)
+                if "keypoints_3d" in meta:
+                    kp3d[got] = np.asarray(meta["keypoints_3d"], np.float32)
+                if "mano_pose" in meta:
+                    pose_aa[got] = np.asarray(meta["mano_pose"], np.float32)
+                    betas[got] = np.asarray(meta.get("mano_betas",
+                                                     np.zeros(10)), np.float32)
+                    has_mano[got] = 1.0
+                got += 1
+        except StopIteration:
+            if got == 0:
+                return
+        rot = np.asarray(aa_to_rotmat(jnp.asarray(pose_aa.reshape(batch_size, 16, 3))))
+        yield {
+            "img": imgs,
+            "keypoints_2d": kp2d,
+            "keypoints_3d": kp3d,
+            "mano_global_orient": rot[:, :1],
+            "mano_hand_pose": rot[:, 1:],
+            "mano_betas": betas,
+            "has_mano_params": has_mano,
+            "mocap_hand_pose": rot[:, 1:],  # stand-in mocap prior source
+            "mocap_betas": betas,
+        }
+
+
 def iter_tar_samples(tar_paths: Sequence[str]) -> Iterator[Tuple[str, Dict[str, bytes]]]:
     """webdataset-style grouped iteration: consecutive members sharing a
     basename form one sample {ext: bytes}."""

@@ -85,6 +85,42 @@ class TestHamerCrop:
         assert np.abs(patch - dev).max() < 0.05  # cv2 fixed-point tolerance
 
 
+class TestHamerTarBatches:
+    def test_batch_from_tar(self, tmp_path, rng):
+        import json
+
+        import cv2
+
+        tar_path = tmp_path / "train.tar"
+        with tarfile.open(tar_path, "w") as tf:
+            for i in range(3):
+                img = rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+                jpg = tmp_path / f"s{i}.jpg"
+                cv2.imwrite(str(jpg), img)
+                meta = {
+                    "center": [80.0, 60.0], "scale": 50.0,
+                    "keypoints_2d": np.ones((21, 3)).tolist(),
+                    "keypoints_3d": np.ones((21, 4)).tolist(),
+                    "mano_pose": (0.1 * rng.normal(size=48)).tolist(),
+                    "mano_betas": np.zeros(10).tolist(),
+                }
+                js = tmp_path / f"s{i}.json"
+                js.write_text(json.dumps(meta))
+                tf.add(jpg, arcname=f"s{i}.jpg")
+                tf.add(js, arcname=f"s{i}.json")
+        it = D.hamer_batch_iterator([str(tar_path)], batch_size=2, out_size=64)
+        batch = next(it)
+        assert batch["img"].shape == (2, 64, 64, 3)
+        assert batch["mano_hand_pose"].shape == (2, 15, 3, 3)
+        assert batch["has_mano_params"].sum() == 2
+        # rotmats valid
+        r = batch["mano_hand_pose"].reshape(-1, 3, 3)
+        np.testing.assert_allclose(
+            np.einsum("bij,bkj->bik", r, r), np.eye(3)[None].repeat(len(r), 0),
+            atol=1e-4,
+        )
+
+
 class TestTarStreaming:
     def test_grouped_iteration(self, tmp_path):
         tar_path = tmp_path / "shard.tar"
