@@ -141,10 +141,14 @@ def synthetic_batch(key: jax.Array, batch_size: int, cfg: HamerConfig) -> Dict[s
     """Random training batch with the full annotation schema (tests/dryrun)."""
     ks = jax.random.split(key, 8)
     eye = jnp.broadcast_to(jnp.eye(3), (batch_size, 15, 3, 3))
+    kp2d = jax.random.normal(ks[1], (batch_size, 21, 3))
+    kp2d = kp2d.at[..., 2].set(jax.random.uniform(ks[5], (batch_size, 21)))
+    kp3d = jax.random.normal(ks[2], (batch_size, 21, 4))
+    kp3d = kp3d.at[..., 3].set(jax.random.uniform(ks[6], (batch_size, 21)))
     return {
         "img": jax.random.normal(ks[0], (batch_size, cfg.image_size, cfg.image_size, 3)),
-        "keypoints_2d": jax.random.normal(ks[1], (batch_size, 21, 3)),
-        "keypoints_3d": jax.random.normal(ks[2], (batch_size, 21, 4)),
+        "keypoints_2d": kp2d,
+        "keypoints_3d": kp3d,
         "mano_global_orient": jnp.broadcast_to(jnp.eye(3), (batch_size, 1, 3, 3)),
         "mano_hand_pose": eye,
         "mano_betas": jax.random.normal(ks[3], (batch_size, 10)) * 0.1,
