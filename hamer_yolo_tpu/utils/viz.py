@@ -112,6 +112,28 @@ def shaded_mesh_overlay(
     return cv2.addWeighted(layer, alpha, image_bgr, 1 - alpha, 0)
 
 
+def render_eval_grid(
+    crops_rgb01: np.ndarray,
+    keypoints_2d: np.ndarray,
+    cols: int = 4,
+) -> np.ndarray:
+    """Tile normalized crops with skeleton overlays into one grid image.
+
+    Equivalent of the reference's tensorboard_logging prediction grids
+    (hamer.py:213-267) without the renderer dependency.
+    crops_rgb01: (B, S, S, 3) in [0, 1]; keypoints_2d: (B, 21, 2) crop px.
+    """
+    B, S = crops_rgb01.shape[0], crops_rgb01.shape[1]
+    rows = (B + cols - 1) // cols
+    grid = np.zeros((rows * S, cols * S, 3), np.uint8)
+    for i in range(B):
+        img = (np.clip(crops_rgb01[i], 0, 1) * 255).astype(np.uint8)[:, :, ::-1]
+        img = draw_hand_skeleton(img, keypoints_2d[i])
+        r, c = divmod(i, cols)
+        grid[r * S:(r + 1) * S, c * S:(c + 1) * S] = img
+    return grid
+
+
 def detection_summary_image(
     image_bgr: np.ndarray,
     out: dict,

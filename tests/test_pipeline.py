@@ -71,6 +71,20 @@ class TestFrameProgram:
         assert out["keypoints_2d"].shape == (S, 21, 2)
         assert out["root_depth"].shape == (S,)
 
+    def test_tta_pipeline(self, setup, rng):
+        """Detector TTA branch compiles and produces the same output schema."""
+        import dataclasses
+
+        cfg, mano, params = setup
+        tta_cfg = dataclasses.replace(cfg, tta=True)
+        img = jnp.asarray(rng.integers(0, 255, (96, 96, 3)).astype(np.float32))
+        out = jax.jit(
+            lambda i, hw, K: infer_frame(params, mano, i, hw, K, tta_cfg)
+        )(img, jnp.array([96.0, 96.0]),
+          jnp.array([[200.0, 0, 48], [0, 200.0, 48], [0, 0, 1]]))
+        assert out["boxes"].shape == (tta_cfg.max_hands, 4)
+        assert np.isfinite(np.asarray(out["theta"])).all()
+
     def test_bucketing(self):
         assert pick_bucket(480, 640) == (480, 640)
         assert pick_bucket(481, 640) == (720, 1280)

@@ -36,6 +36,13 @@ class TestViz:
         out = viz.plot_box(img, [10, 10, 50, 50], "right 0.93")
         assert (out != img).any()
 
+    def test_eval_grid(self, rng):
+        crops = rng.uniform(0, 1, (5, 32, 32, 3)).astype(np.float32)
+        kp = rng.uniform(5, 27, (5, 21, 2))
+        grid = viz.render_eval_grid(crops, kp, cols=3)
+        assert grid.shape == (2 * 32, 3 * 32, 3)
+        assert grid.dtype == np.uint8
+
     def test_shaded_overlay(self, rng):
         img = rng.integers(0, 255, (120, 120, 3)).astype(np.uint8)
         verts = rng.normal(size=(20, 3)) * 0.05 + [0, 0, 0.5]
