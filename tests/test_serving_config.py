@@ -57,6 +57,31 @@ class TestServing:
         assert pipe.last_stats.frames == 6
 
 
+class TestServingMesh:
+    def test_data_parallel_serving(self, rng):
+        """Batch sharded over the 8-device CPU mesh (ICI fan-out config)."""
+        from hamer_yolo_tpu.parallel.mesh import make_mesh
+
+        cfg = tiny_cfg()
+        try:
+            mano = ManoModel.from_arrays(load_mano_model("right"))
+        except Exception:
+            mano = ManoModel.from_arrays(synthetic_mano_model())
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+        mesh = make_mesh(n_data=8, n_model=1)
+        with jax.set_mesh(mesh):
+            pipe = BatchedPipeline(params, mano, cfg, batch_size=8,
+                                   bucket_hw=(96, 96), mesh=mesh)
+            frames = [rng.integers(0, 255, (80, 90, 3)).astype(np.float32)
+                      for _ in range(8)]
+            K = np.array([[200.0, 0, 45], [0, 200.0, 40], [0, 0, 1]], np.float32)
+            out = pipe.process_batch(frames, K)
+        assert out["boxes"].shape == (8, cfg.max_hands, 4)
+        assert np.isfinite(out["theta"]).all()
+
+
 class TestVideoIO:
     def test_iter_media_dir(self, tmp_path, rng):
         import cv2
