@@ -37,6 +37,9 @@ class ViTConfig:
     # MXU natively computes bf16 x bf16 -> f32; this halves HBM traffic
     # and roughly doubles matmul throughput vs f32 on v5e.
     compute_dtype: str = "bfloat16"
+    # Train-time stochastic depth (reference vit() drop_path_rate=0.55,
+    # linearly ramped over depth). Active only when vit_forward gets an rng.
+    drop_path_rate: float = 0.55
 
     @property
     def grid_hw(self) -> tuple:
@@ -80,11 +83,14 @@ def vit_forward(
     x: jax.Array,
     cfg: ViTConfig = VITH_CONFIG,
     attn_impl: Optional[Callable] = None,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """x: (B, H, W, 3) normalized crop -> (B, N_tokens, embed_dim).
 
     ``attn_impl(attn_params, tokens) -> tokens`` overrides the attention op
     (e.g. Pallas flash attention); defaults to the XLA softmax path.
+    ``rng`` enables train-time stochastic depth (per-sample residual drop
+    with the reference's linear depth ramp); None = deterministic eval.
     """
     attn = attn_impl or nn.mha_self_attention
     B = x.shape[0]
@@ -96,7 +102,21 @@ def vit_forward(
     tok = tok.reshape(B, -1, cfg.embed_dim)
     pos = params["pos_embed"].astype(tok.dtype)
     tok = tok + pos[:, 1:] + pos[:, :1]
-    for blk in params["blocks"]:
-        tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
-        tok = tok + nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+
+    depth = len(params["blocks"])
+
+    def drop_path(residual, layer_idx, key):
+        if rng is None or cfg.drop_path_rate <= 0.0:
+            return residual
+        rate = cfg.drop_path_rate * layer_idx / max(depth - 1, 1)
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, (B, 1, 1)).astype(residual.dtype)
+        return residual * mask / keep
+
+    keys = jax.random.split(rng, 2 * depth) if rng is not None else [None] * (2 * depth)
+    for i, blk in enumerate(params["blocks"]):
+        a = attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+        tok = tok + drop_path(a, i, keys[2 * i])
+        m = nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+        tok = tok + drop_path(m, i, keys[2 * i + 1])
     return nn.layer_norm(params["last_norm"], tok)

@@ -59,6 +59,20 @@ class TestViT:
         assert 600e6 < expected < 660e6
 
 
+class TestDropPath:
+    def test_eval_deterministic_train_stochastic(self):
+        cfg = ViTConfig(img_size=(64, 48), embed_dim=64, depth=3, num_heads=4,
+                        compute_dtype="float32", drop_path_rate=0.9)
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        x = jnp.ones((2, 64, 48, 3))
+        a = vit_forward(params, x, cfg)
+        b = vit_forward(params, x, cfg)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        t1 = vit_forward(params, x, cfg, rng=jax.random.PRNGKey(1))
+        t2 = vit_forward(params, x, cfg, rng=jax.random.PRNGKey(2))
+        assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 1e-6
+
+
 class TestManoHead:
     def test_ief_residual_from_init(self):
         params = init_mano_head(jax.random.PRNGKey(0), TINY_HEAD)
