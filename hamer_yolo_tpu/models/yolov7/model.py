@@ -134,8 +134,12 @@ class YoloConfig:
         return self.nc + 5
 
     @property
+    def nl(self) -> int:
+        return len(self.strides)
+
+    @property
     def na(self) -> int:
-        return 3
+        return len(self.anchors[0]) // 2
 
 
 def _resolve(frm, idx: int) -> List[int]:
@@ -144,9 +148,13 @@ def _resolve(frm, idx: int) -> List[int]:
 
 
 def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
-                deploy: bool = True) -> nn.Params:
-    """Build parameter pytree by walking the spec and tracking channels."""
-    spec = yolov7_spec()
+                deploy: bool = True, spec=None) -> nn.Params:
+    """Build parameter pytree by walking the spec and tracking channels.
+
+    ``spec`` defaults to the built-in deploy yolov7; pass the output of
+    yaml_spec.load_yaml_model_cfg for other family members (x/w6/tiny/...).
+    """
+    spec = spec if spec is not None else yolov7_spec()
     keys = jax.random.split(key, len(spec) + 3)
     channels: List[int] = []
     layers: List[Any] = []
@@ -173,6 +181,20 @@ def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
         elif op == UP:
             c2 = c1
             layers.append(None)
+        elif op == "REORG":
+            c2 = 4 * c1
+            layers.append(None)
+        elif op == "SP_":
+            c2 = c1
+            layers.append(None)
+        elif op == "DOWNC":
+            (c2,) = args
+            k1, k2, k3 = jax.random.split(keys[i], 3)
+            layers.append({
+                "cv1": B.conv_block_init(k1, c1, c1, 1, 1, deploy),
+                "cv2": B.conv_block_init(k2, c1, c2 // 2, 3, 2, deploy),
+                "cv3": B.conv_block_init(k3, c1, c2 // 2, 1, 1, deploy),
+            })
         elif op == REP:
             (c2,) = args
             layers.append(B.repconv_init(keys[i], c1, c2, deploy=deploy))
@@ -199,9 +221,10 @@ def _save_set(spec) -> set:
 
 
 def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
-                            cfg: YoloConfig = YoloConfig()) -> List[jax.Array]:
-    """x: (B, H, W, 3) in [0, 1] -> list of 3 raw head maps (B, Hl, Wl, na*no)."""
-    spec = yolov7_spec()
+                            cfg: YoloConfig = YoloConfig(),
+                            spec=None) -> List[jax.Array]:
+    """x: (B, H, W, 3) in [0, 1] -> list of nl raw head maps (B, Hl, Wl, na*no)."""
+    spec = spec if spec is not None else yolov7_spec()
     saved = _save_set(spec)
     y: Dict[int, jax.Array] = {}
     out = x.astype(jnp.dtype(cfg.compute_dtype))
@@ -220,6 +243,14 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
             out = B.sppcspc(p, inputs[0])
         elif op == UP:
             out = B.upsample2x(inputs[0])
+        elif op == "REORG":
+            out = B.reorg(inputs[0])
+        elif op == "SP_":
+            out = B.sp(inputs[0], args[0] if args else 3)
+        elif op == "DOWNC":
+            a = B.conv_block(p["cv2"], B.conv_block(p["cv1"], inputs[0]), s=2)
+            b = B.conv_block(p["cv3"], B.mp(inputs[0]))
+            out = jnp.concatenate([a, b], axis=-1)
         elif op == REP:
             out = B.repconv(p, inputs[0])
         elif op == DET:
@@ -237,7 +268,8 @@ def decode_detections(det_maps: Sequence[jax.Array],
 
     Matches IDetect inference decode incl. flatten order (anchor-major).
     """
-    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(3, 3, 2))
+    anchors = jnp.asarray(
+        np.asarray(cfg.anchors, np.float32).reshape(cfg.nl, cfg.na, 2))
     outs = []
     for lvl, m in enumerate(det_maps):
         m = m.astype(jnp.float32)  # decode in f32
@@ -257,9 +289,10 @@ def decode_detections(det_maps: Sequence[jax.Array],
 
 
 def yolov7_forward(params: nn.Params, x: jax.Array,
-                   cfg: YoloConfig = YoloConfig()) -> jax.Array:
+                   cfg: YoloConfig = YoloConfig(), spec=None) -> jax.Array:
     """Full inference graph: image (B, H, W, 3) -> decoded (B, N, nc+5)."""
-    return decode_detections(yolov7_backbone_forward(params, x, cfg), cfg)
+    return decode_detections(
+        yolov7_backbone_forward(params, x, cfg, spec=spec), cfg)
 
 
 def yolov7_ensemble_forward(params_list, x: jax.Array,
