@@ -53,6 +53,9 @@ def main() -> None:
     tome_r = int(os.environ.get("BENCH_TOME", "0"))
     if tome_r:
         hamer_cfg = dataclasses.replace(hamer_cfg, tome_r=tome_r)
+    use_int8 = os.environ.get("BENCH_INT8") == "1"
+    if use_int8:
+        hamer_cfg = dataclasses.replace(hamer_cfg, int8_backbone=True)
     cfg = dataclasses.replace(cfg, hamer=hamer_cfg)
     try:
         mano = ManoModel.from_arrays(load_mano_model("right"))
@@ -62,6 +65,11 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     params = init_pipeline_params(key, mano, yolo_cfg=cfg.yolo,
                                   hamer_cfg=cfg.hamer, sar_cfg=cfg.sar)
+    if use_int8:
+        from hamer_yolo_tpu.core.quant import quantize_vit_params
+
+        params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
+            params["hamer"]["backbone"])
 
     def _payload(out):
         # The full npy-schema payload (what a serving loop fetches).

@@ -1,0 +1,126 @@
+"""Int8 quantization (W8A8) for the transformer matmuls.
+
+The e2e profile (CLAUDE.md) shows ViT-H matmuls dominate (82% of FLOPs at
+~36% bf16 MXU utilization); v5e doubles peak throughput at int8. This
+module provides the standard symmetric W8A8 recipe:
+
+- weights: per-output-channel symmetric int8 (scales folded out of the
+  matmul), quantized once at load time;
+- activations: dynamic per-row (per-token) absmax symmetric int8 at
+  runtime;
+- accumulate int32 on the MXU (`preferred_element_type=int32`), rescale
+  to the compute dtype.
+
+Exposed as a drop-in attention/MLP implementation for vit_forward
+(``int8_mha_self_attention`` has the same (params, x, num_heads) contract
+— pass quantized params from ``quantize_vit_params``). Opt-in; bf16 stays
+the default.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quantize_weight_int8(w: jax.Array) -> Dict[str, jax.Array]:
+    """(in, out) f32 -> {q (in, out) int8, scale (out,) f32} per-channel."""
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def quantize_act_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., d) -> (int8 values, per-row scale (..., 1)) dynamic symmetric."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_linear(wq: Dict[str, jax.Array], x: jax.Array,
+                bias: jax.Array | None = None) -> jax.Array:
+    """y = dequant(quant(x) @ wq) + b; int32 MXU accumulation."""
+    qx, sx = quantize_act_int8(x)
+    acc = jax.lax.dot_general(
+        qx, wq["q"],
+        dimension_numbers=(((qx.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * wq["scale"]
+    y = y.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def quantize_linear_params(p: Params) -> Params:
+    out: Params = {"wq": quantize_weight_int8(p["w"])}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_vit_params(vit_params: Params) -> Params:
+    """Quantize every transformer-block matmul; embeddings/norms stay f32."""
+    qblocks = []
+    for blk in vit_params["blocks"]:
+        qblocks.append({
+            "norm1": blk["norm1"],
+            "attn": {
+                "qkv": quantize_linear_params(blk["attn"]["qkv"]),
+                "proj": quantize_linear_params(blk["attn"]["proj"]),
+            },
+            "norm2": blk["norm2"],
+            "mlp": {
+                "fc1": quantize_linear_params(blk["mlp"]["fc1"]),
+                "fc2": quantize_linear_params(blk["mlp"]["fc2"]),
+            },
+        })
+    return {
+        "patch_embed": vit_params["patch_embed"],
+        "pos_embed": vit_params["pos_embed"],
+        "blocks": qblocks,
+        "last_norm": vit_params["last_norm"],
+    }
+
+
+def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
+    """Drop-in for nn.mha_self_attention over int8-quantized params."""
+    B, N, _ = x.shape
+    h = num_heads
+    hd = p["qkv"]["wq"]["q"].shape[1] // 3 // h
+    qkv = int8_linear(p["qkv"]["wq"], x, p["qkv"].get("b")).reshape(B, N, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = hd ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+    return int8_linear(p["proj"]["wq"], out, p["proj"].get("b"))
+
+
+def int8_mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
+    h = jax.nn.gelu(int8_linear(p["fc1"]["wq"], x, p["fc1"].get("b")),
+                    approximate=False)
+    return int8_linear(p["fc2"]["wq"], h, p["fc2"].get("b"))
+
+
+def vit_forward_int8(params_q: Params, x: jax.Array, cfg) -> jax.Array:
+    """vit_forward with int8 blocks (params from quantize_vit_params)."""
+    from hamer_yolo_tpu.core import nn
+
+    B = x.shape[0]
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
+    tok = nn.conv2d(params_q["patch_embed"], x, stride=cfg.patch_size,
+                    padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
+    pos = params_q["pos_embed"].astype(tok.dtype)
+    tok = tok + pos[:, 1:] + pos[:, :1]
+    for blk in params_q["blocks"]:
+        tok = tok + int8_mha_self_attention(
+            blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+        tok = tok + int8_mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+    return nn.layer_norm(params_q["last_norm"], tok)

@@ -45,6 +45,9 @@ class HamerConfig:
     tome_r: int = 0
     # Single-kernel Pallas MANO LBS (ops/mano_pallas.py; TPU only).
     fused_mano: bool = False
+    # W8A8 int8 backbone (core/quant.py): params["backbone"] must hold
+    # quantize_vit_params output. v5e doubles MXU peak at int8.
+    int8_backbone: bool = False
 
 
 def init_hamer(key: jax.Array, cfg: HamerConfig = HamerConfig()) -> nn.Params:
@@ -72,7 +75,11 @@ def hamer_forward(
     m = cfg.crop_margin
     x = img[:, :, m:-m, :]  # (B, 256, 192, 3) NHWC center crop
 
-    if cfg.tome_r > 0:
+    if cfg.int8_backbone:
+        from hamer_yolo_tpu.core.quant import vit_forward_int8
+
+        context = vit_forward_int8(params["backbone"], x, cfg.vit)
+    elif cfg.tome_r > 0:
         from hamer_yolo_tpu.models.tome import vit_forward_tome
 
         context = vit_forward_tome(params["backbone"], x, cfg.vit,
