@@ -55,9 +55,19 @@ def _load_runtime(args):
 
 
 def cmd_infer(args) -> int:
+    import contextlib
+
     from hamer_yolo_tpu.pipeline.runner import process_image_dir, process_masked_dir
+    from hamer_yolo_tpu.utils.profiling import trace
 
     params, mano, cfg = _load_runtime(args)
+    prof = trace(args.profile) if getattr(args, "profile", None) else contextlib.nullcontext()
+    with prof:
+        return _run_infer(args, params, mano, cfg)
+
+
+def _run_infer(args, params, mano, cfg) -> int:
+    from hamer_yolo_tpu.pipeline.runner import process_image_dir, process_masked_dir
     if args.mask_dir:
         stats = process_masked_dir(
             args.input, args.mask_dir, args.output, params, mano, cfg,
@@ -195,6 +205,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="dir of per-image .npy masks (bypasses the detector)")
     p.add_argument("--mask-value", type=int, default=3)
     p.add_argument("--mask-hand", default="right", choices=["left", "right"])
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler/xprof trace to DIR "
+                        "(the reference's line_profiler/kernprof equivalent)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("serve", help="batched video/stream processing")
