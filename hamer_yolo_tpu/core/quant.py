@@ -15,6 +15,12 @@ Exposed as a drop-in attention/MLP implementation for vit_forward
 (``int8_mha_self_attention`` has the same (params, x, num_heads) contract
 — pass quantized params from ``quantize_vit_params``). Opt-in; bf16 stays
 the default.
+
+STATUS (measured on v5e via BENCH_INT8=1): numerically solid (cos > 0.99)
+but 15x SLOWER end-to-end — XLA's dot_general lowering on this TPU stack
+does not engage the int8 MXU mode, and the per-token dynamic quantization
+ops don't fuse. Kept as groundwork; a production int8 path needs AQT or a
+hand-written Pallas int8 matmul kernel.
 """
 from __future__ import annotations
 
