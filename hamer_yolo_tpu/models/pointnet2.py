@@ -108,6 +108,61 @@ def pointnet2_cls_forward(p: Params, xyz: jax.Array,
     return nn.linear(p["fc2"], h)
 
 
+# --- DGCNN (edge convolution) ----------------------------------------------
+
+def knn_indices(xyz: jax.Array, k: int) -> jax.Array:
+    """(B, N, d) -> (B, N, k) nearest-neighbor indices (incl. self)."""
+    d2 = pn.pairwise_sqdist(xyz, xyz)
+    _, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
+def edge_conv(p: Params, feats: jax.Array, k: int, graph_xyz: Optional[jax.Array] = None
+              ) -> jax.Array:
+    """DGCNN EdgeConv: MLP([x_i, x_j - x_i]) max-pooled over kNN.
+
+    feats: (B, N, C); graph built on ``graph_xyz`` (defaults to feats).
+    """
+    idx = knn_indices(graph_xyz if graph_xyz is not None else feats, k)
+    neighbors = pn.group_points(feats, idx)  # (B, N, k, C)
+    center = feats[:, :, None, :]
+    edge = jnp.concatenate(
+        [jnp.broadcast_to(center, neighbors.shape), neighbors - center], axis=-1)
+    return jnp.max(_mlp_stack(p, edge), axis=2)
+
+
+def init_dgcnn_cls(key, num_classes: int = 40, k: int = 20,
+                   dims: Tuple[int, ...] = (64, 64, 128, 256)) -> Params:
+    keys = jax.random.split(key, len(dims) + 3)
+    layers = []
+    c_in = 3
+    for i, d in enumerate(dims):
+        layers.append(_mlp_stack_init(keys[i], [2 * c_in, d]))
+        c_in = d
+    agg_in = sum(dims)
+    return {
+        "edges": layers,
+        "agg": _mlp_stack_init(keys[-3], [agg_in, 512]),
+        "fc1": nn.linear_init(keys[-2], 1024, 256),
+        "fc2": nn.linear_init(keys[-1], 256, num_classes),
+        "k": None,
+    }
+
+
+def dgcnn_cls_forward(p: Params, xyz: jax.Array, k: int = 20) -> jax.Array:
+    """(B, N, 3) -> (B, num_classes) logits (dynamic feature graphs)."""
+    feats = xyz
+    skips = []
+    for i, layer in enumerate(p["edges"]):
+        feats = edge_conv(layer, feats, k,
+                          graph_xyz=xyz if i == 0 else None)
+        skips.append(feats)
+    agg = _mlp_stack(p["agg"], jnp.concatenate(skips, axis=-1))  # (B, N, 512)
+    pooled = jnp.concatenate([jnp.max(agg, axis=1), jnp.mean(agg, axis=1)], axis=-1)
+    h = jax.nn.relu(nn.linear(p["fc1"], pooled))
+    return nn.linear(p["fc2"], h)
+
+
 def init_pointnet2_seg(key, num_classes: int, in_dim: int = 3,
                        sa1: SAConfig = CLS_SA1, sa2: SAConfig = CLS_SA2) -> Params:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
