@@ -36,12 +36,36 @@ def _load_runtime(args):
         print(f"warning: MANO assets unavailable ({e}); using synthetic model", file=sys.stderr)
         mano = ManoModel.from_arrays(synthetic_mano_model())
 
-    cfg = PipelineConfig(
-        max_hands=getattr(args, "max_hands", 4),
-        conf_thres=getattr(args, "conf_thres", 0.25),
-        iou_thres=getattr(args, "iou_thres", 0.35),
-        use_depth_refine=getattr(args, "depth_refine", False),
-    )
+    if getattr(args, "tiny", False):
+        # Scaled-down models: CI/CPU smoke of the full CLI machinery.
+        from hamer_yolo_tpu.models.hamer import HamerConfig
+        from hamer_yolo_tpu.models.mano_head import ManoHeadConfig
+        from hamer_yolo_tpu.models.sar import SarConfig
+        from hamer_yolo_tpu.models.vit import ViTConfig
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig
+
+        cfg = PipelineConfig(
+            max_hands=getattr(args, "max_hands", 2),
+            det_size=64, crop_size=64,
+            use_depth_refine=getattr(args, "depth_refine", False),
+            yolo=YoloConfig(nc=3, img_size=64),
+            hamer=HamerConfig(
+                image_size=64, crop_margin=8,
+                vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2,
+                              num_heads=4),
+                head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2,
+                                    dim_head=8, mlp_dim=32),
+            ),
+            sar=SarConfig(backbone="resnet34", input_size=64, feature_hw=2,
+                          heatmap_size=8),
+        )
+    else:
+        cfg = PipelineConfig(
+            max_hands=getattr(args, "max_hands", 4),
+            conf_thres=getattr(args, "conf_thres", 0.25),
+            iou_thres=getattr(args, "iou_thres", 0.35),
+            use_depth_refine=getattr(args, "depth_refine", False),
+        )
     ckpt = getattr(args, "checkpoint", None)
     if ckpt and os.path.exists(ckpt):
         params = load_checkpoint(ckpt)
@@ -192,6 +216,8 @@ def main(argv: Optional[list] = None) -> int:
         p.add_argument("--max-hands", type=int, default=4)
         p.add_argument("--conf-thres", type=float, default=0.25)
         p.add_argument("--iou-thres", type=float, default=0.35)
+        p.add_argument("--tiny", action="store_true",
+                       help="scaled-down models (smoke testing)")
 
     p = sub.add_parser("infer", help="full pipeline over an image dir")
     common(p)

@@ -1,0 +1,57 @@
+"""CLI end-to-end smoke tests (--tiny models, CPU)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hamer_yolo_tpu.cli.main import main
+from hamer_yolo_tpu.io.writers import load_hand_npy
+
+
+@pytest.fixture
+def image_dir(tmp_path, rng):
+    import cv2
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(d / f"f{i}.jpg"),
+                    rng.integers(0, 255, (100, 120, 3)).astype(np.uint8))
+    return str(d)
+
+
+class TestCliInfer:
+    def test_infer_end_to_end(self, image_dir, tmp_path):
+        out = str(tmp_path / "out")
+        rc = main(["infer", "--tiny", "--input", image_dir, "--output", out])
+        assert rc == 0
+        npys = [f for f in os.listdir(out) if f.endswith(".npy")]
+        assert len(npys) == 2
+        results = load_hand_npy(os.path.join(out, npys[0]))
+        assert set(results) == {"left", "right"}
+
+    def test_infer_masked(self, image_dir, tmp_path):
+        masks = tmp_path / "masks"
+        masks.mkdir()
+        for i in range(2):
+            m = np.zeros((100, 120), np.int32)
+            m[30:70, 40:90] = 3
+            np.save(masks / f"f{i}.npy", m)
+        out = str(tmp_path / "out_masked")
+        rc = main(["infer", "--tiny", "--input", image_dir, "--output", out,
+                   "--mask-dir", str(masks), "--no-obj"])
+        assert rc == 0
+        results = load_hand_npy(os.path.join(out, "f0.npy"))
+        assert results["right"] is not None
+        assert results["right"]["theta"].shape == (48,)
+
+
+class TestCliDetect:
+    def test_detect_prints_json(self, image_dir, capsys):
+        rc = main(["detect", "--tiny", "--input", image_dir])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert "detections" in rec
