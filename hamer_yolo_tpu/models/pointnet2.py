@@ -108,6 +108,72 @@ def pointnet2_cls_forward(p: Params, xyz: jax.Array,
     return nn.linear(p["fc2"], h)
 
 
+# --- pointMLP (residual point MLP with geometric affine) -------------------
+
+def geometric_affine_init(dim: int) -> Params:
+    return {"alpha": jnp.ones((dim,)), "beta": jnp.zeros((dim,))}
+
+
+def geometric_affine(p: Params, grouped: jax.Array) -> jax.Array:
+    """pointMLP's normalization: center groups by their anchor, scale by the
+    group std, then learnable affine. grouped: (B, S, K, C)."""
+    anchor = grouped[:, :, :1, :]
+    centered = grouped - anchor
+    std = jnp.std(centered, axis=(1, 2, 3), keepdims=True) + 1e-5
+    return p["alpha"] * (centered / std) + p["beta"]
+
+
+def _res_block_init(key, dim: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": nn.linear_init(k1, dim, dim), "fc2": nn.linear_init(k2, dim, dim)}
+
+
+def _res_block(p: Params, x: jax.Array) -> jax.Array:
+    h = jax.nn.relu(nn.linear(p["fc1"], x))
+    return jax.nn.relu(x + nn.linear(p["fc2"], h))
+
+
+def init_pointmlp_cls(key, num_classes: int = 40, dims: Tuple[int, ...] = (64, 128),
+                      npoints: Tuple[int, ...] = (256, 64), nsample: int = 16) -> Params:
+    keys = jax.random.split(key, 3 * len(dims) + 2)
+    stages = []
+    c_in = 3
+    for i, d in enumerate(dims):
+        stages.append({
+            "embed": nn.linear_init(keys[3 * i], c_in + 3, d),
+            "affine": geometric_affine_init(c_in + 3),
+            "pre": _res_block_init(keys[3 * i + 1], d),
+            "pos": _res_block_init(keys[3 * i + 2], d),
+        })
+        c_in = d
+    return {
+        "stages": stages,
+        "fc1": nn.linear_init(keys[-2], dims[-1], 128),
+        "fc2": nn.linear_init(keys[-1], 128, num_classes),
+    }
+
+
+def pointmlp_cls_forward(p: Params, xyz: jax.Array,
+                         npoints: Tuple[int, ...] = (256, 64),
+                         nsample: int = 16, radius: float = 0.5) -> jax.Array:
+    """(B, N, 3) -> (B, num_classes). FPS downsampling + grouped residual
+    MLPs with geometric-affine normalization (pointMLP's recipe)."""
+    feats = xyz
+    pts = xyz
+    for stage, npoint in zip(p["stages"], npoints):
+        idx = pn.furthest_point_sampling(pts, npoint)
+        new_pts = pn.gather_points(pts, idx)
+        grouped = pn.query_and_group(pts, new_pts, feats, radius, nsample)
+        grouped = geometric_affine(stage["affine"], grouped)
+        h = jax.nn.relu(nn.linear(stage["embed"], grouped))
+        h = _res_block(stage["pre"], h)
+        feats = jnp.max(h, axis=2)
+        feats = _res_block(stage["pos"], feats)
+        pts = new_pts
+    pooled = jnp.max(feats, axis=1)
+    return nn.linear(p["fc2"], jax.nn.relu(nn.linear(p["fc1"], pooled)))
+
+
 # --- DGCNN (edge convolution) ----------------------------------------------
 
 def knn_indices(xyz: jax.Array, k: int) -> jax.Array:

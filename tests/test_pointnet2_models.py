@@ -44,6 +44,22 @@ class TestPointNet2:
         assert logits.shape == (2, 6)
         assert np.isfinite(np.asarray(logits)).all()
 
+    def test_pointmlp_classifier(self, rng):
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.models.pointnet2 import (
+            init_pointmlp_cls, pointmlp_cls_forward,
+        )
+
+        params = init_pointmlp_cls(jax.random.PRNGKey(0), num_classes=7,
+                                   dims=(16, 32), npoints=(32, 8))
+        xyz = jnp.asarray(rng.normal(size=(2, 96, 3)).astype(np.float32))
+        logits = jax.jit(
+            lambda p, x: pointmlp_cls_forward(p, x, (32, 8), 8)
+        )(params, xyz)
+        assert logits.shape == (2, 7)
+        assert np.isfinite(np.asarray(logits)).all()
+
     def test_knn_self_first(self, rng):
         import jax.numpy as jnp
 
