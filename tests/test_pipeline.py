@@ -126,6 +126,29 @@ class TestIO:
         assert set(loaded) == {"left", "right"}
         np.testing.assert_allclose(loaded["left"]["betas"], out["betas"][1])
 
+    def test_aa_roundtrip_mpvpe(self, setup, rng):
+        """Saved axis-angle params -> reconstructed mesh must match the
+        pipeline's direct rotmat-path vertices to < 1 mm MPVPE (the
+        BASELINE parity bar applied to our own save/load round trip,
+        mirroring the reference's rotmat->Rodrigues->npy->rotmat cycle)."""
+        from hamer_yolo_tpu.geometry.rotations import aa_to_rotmat, rotmat_to_aa
+        from hamer_yolo_tpu.models.mano import mano_forward_rotmat
+        from hamer_yolo_tpu.utils.metrics import mpvpe
+
+        cfg, mano, params = setup
+        go = jnp.asarray(
+            np.stack([np.eye(3)] * 2)[:, None].astype(np.float32))
+        rot = aa_to_rotmat(jnp.asarray(
+            rng.normal(scale=0.4, size=(2, 15, 3)).astype(np.float32)))
+        betas = jnp.asarray(rng.normal(scale=0.5, size=(2, 10)).astype(np.float32))
+        direct = mano_forward_rotmat(mano, go, rot, betas).vertices
+
+        aa = rotmat_to_aa(jnp.concatenate([go, rot], axis=1))
+        rot2 = aa_to_rotmat(aa)
+        recon = mano_forward_rotmat(mano, rot2[:, :1], rot2[:, 1:], betas).vertices
+        err_mm = mpvpe(np.asarray(recon), np.asarray(direct)) * 1000.0
+        assert err_mm.max() < 1.0, err_mm
+
     def test_obj_reconstruction(self, tmp_path, setup, rng):
         cfg, mano, params = setup
         hand = {
