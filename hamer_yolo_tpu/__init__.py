@@ -32,3 +32,39 @@ if _os.environ.get("JAX_PLATFORMS"):
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
         pass  # backend already initialized; leave it be
+
+
+def load_pipeline(checkpoint: str | None = None, mano_dir: str | None = None,
+                  max_hands: int = 4, **config_overrides):
+    """One-call pipeline constructor (the torch.hub / hubconf equivalent).
+
+    Returns (program, params, mano_model, cfg) where ``program(image_bgr
+    ndarray, K 3x3)`` -> dict of per-slot outputs (see pipeline.frame).
+
+        import hamer_yolo_tpu, cv2, numpy as np
+        program, *_ = hamer_yolo_tpu.load_pipeline()
+        out = program(cv2.imread("hand.jpg").astype(np.float32), K)
+    """
+    import jax
+
+    from hamer_yolo_tpu.core.checkpoint import init_pipeline_params, load_checkpoint
+    from hamer_yolo_tpu.core.config import apply_overrides
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
+    from hamer_yolo_tpu.pipeline.runner import FrameProgram
+
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right", mano_dir))
+    except Exception:
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+    cfg = PipelineConfig(max_hands=max_hands)
+    if config_overrides:
+        cfg = apply_overrides(cfg, config_overrides)
+    if checkpoint and _os.path.exists(checkpoint):
+        params = load_checkpoint(checkpoint)
+    else:
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+    return FrameProgram(params, mano, cfg), params, mano, cfg

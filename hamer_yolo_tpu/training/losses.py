@@ -95,6 +95,74 @@ def bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+
+def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na):
+    """Per-level anchor/cell candidate construction (build_targets core).
+
+    g is the neighbor-cell radius: 0.5 for lead heads, 1.0 for aux heads
+    (ComputeLossAuxOTA's looser build_targets2, loss.py:1179+).
+    """
+    B, H, W, _ = raw.shape
+    T = targets.shape[1]
+    m = raw.reshape(B, H, W, na, nc + 5)
+    m = jnp.transpose(m, (0, 3, 1, 2, 4))  # (B, na, H, W, no)
+
+    t_xy = targets[..., 1:3] * jnp.array([W, H])  # grid units
+    t_wh = targets[..., 3:5] * jnp.array([W, H])
+    t_cls = targets[..., 0].astype(jnp.int32)
+    valid = targets[..., 3] > 0  # (B, T)
+
+    anc = anc_px / stride  # (na, 2) grid units
+    r = t_wh[:, :, None, :] / anc[None, None, :, :]  # (B, T, na, 2)
+    ratio_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t  # (B, T, na)
+
+    # candidate cells: center + neighbors within radius g (reference
+    # build_targets offsets [[0,0],[1,0],[0,1],[-1,0],[0,-1]]*g with masks
+    # j=fx<g, k=fy<g, l=fx>1-g, m=fy>1-g)
+    cx, cy = t_xy[..., 0], t_xy[..., 1]
+    fx, fy = cx - jnp.floor(cx), cy - jnp.floor(cy)
+    base_offs = jnp.asarray(
+        [[0.0, 0.0], [g, 0.0], [0.0, g], [-g, 0.0], [0.0, -g]], raw.dtype
+    )  # (5, 2); cell = floor(xy - off)
+    offs = jnp.broadcast_to(base_offs[None, None], (B, T, 5, 2))
+    active = jnp.stack([
+        jnp.ones_like(fx, bool),
+        (fx < g) & (cx > 1.0), (fy < g) & (cy > 1.0),
+        (fx > 1.0 - g) & (cx < W - 1.0), (fy > 1.0 - g) & (cy < H - 1.0),
+    ], axis=2)  # (B, T, 5)
+
+    cells = jnp.floor(t_xy[:, :, None, :] - offs).astype(jnp.int32)  # (B, T, 5, 2)
+    cells_x = jnp.clip(cells[..., 0], 0, W - 1)
+    cells_y = jnp.clip(cells[..., 1], 0, H - 1)
+
+    # Gather predictions for every (target, candidate cell, anchor).
+    bidx = jnp.arange(B)[:, None, None, None]
+    psel = m[bidx, jnp.arange(na)[None, None, None, :],
+             cells_y[..., None], cells_x[..., None], :]  # (B, T, 5, na, no)
+
+    match = valid[:, :, None, None] & active[..., None] & ratio_ok[:, :, None, :]
+    match_f = match.astype(raw.dtype)
+
+    ps_xy = jax.nn.sigmoid(psel[..., 0:2]) * 2.0 - 0.5
+    ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
+    rel_xy = t_xy[:, :, None, None, :] - cells[:, :, :, None, :].astype(raw.dtype)
+    rel_xy = jnp.broadcast_to(rel_xy, ps_xy.shape)
+    pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
+    tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
+    ciou = bbox_ciou(pbox, tbox)
+
+    flat_idx = (bidx * (L * na * 8192)  # unique per (b, lvl, anchor, cell)
+                + lvl * (na * 8192)
+                + jnp.arange(na)[None, None, None, :] * 8192
+                + cells_y[..., None] * W + cells_x[..., None])
+    return {
+        "m": m, "psel": psel, "match_f": match_f, "ciou": ciou,
+        "t_cls": t_cls, "H": H, "W": W, "na": na, "lvl": lvl,
+        "cells_y": cells_y, "cells_x": cells_x, "bidx": bidx,
+        "flat_idx": flat_idx,
+    }
+
+
 def yolo_loss(
     raw_maps,
     targets: jax.Array,
@@ -107,6 +175,7 @@ def yolo_loss(
     anchor_t: float = 4.0,
     assigner: str = "neighbor",
     ota_topk: int = 10,
+    aux_maps=None,
 ) -> Dict[str, jax.Array]:
     """Fixed-capacity YOLO loss.
 
@@ -127,73 +196,14 @@ def yolo_loss(
     T = targets.shape[1]
     na = anchors.shape[1]
     L = len(raw_maps)
-    balance = (4.0, 1.0, 0.4)
+    balance = (4.0, 1.0, 0.4, 0.1)[:L] if L <= 4 else (1.0,) * L
 
     # ---- Pass 1: per-level candidate construction -------------------------
-    per_level = []
-    for lvl, raw in enumerate(raw_maps):
-        _, H, W, _ = raw.shape
-        stride = strides[lvl]
-        m = raw.reshape(B, H, W, na, nc + 5)
-        m = jnp.transpose(m, (0, 3, 1, 2, 4))  # (B, na, H, W, no)
-
-        t_xy = targets[..., 1:3] * jnp.array([W, H])  # grid units
-        t_wh = targets[..., 3:5] * jnp.array([W, H])
-        t_cls = targets[..., 0].astype(jnp.int32)
-        valid = targets[..., 3] > 0  # (B, T)
-
-        anc = anchors[lvl] / stride  # (na, 2) grid units
-        r = t_wh[:, :, None, :] / anc[None, None, :, :]  # (B, T, na, 2)
-        ratio_ok = jnp.max(jnp.maximum(r, 1.0 / r), axis=-1) < anchor_t  # (B, T, na)
-
-        # candidate cells: center + up-to-2 nearest neighbors (g=0.5 rule,
-        # reference build_targets offsets [[0,0],[1,0],[0,1],[-1,0],[0,-1]]*g
-        # with masks j=fx<g, k=fy<g, l=fx>1-g, m=fy>1-g)
-        g = 0.5
-        cx, cy = t_xy[..., 0], t_xy[..., 1]
-        fx, fy = cx - jnp.floor(cx), cy - jnp.floor(cy)
-        zero = jnp.zeros_like(fx)
-        base_offs = jnp.asarray(
-            [[0.0, 0.0], [g, 0.0], [0.0, g], [-g, 0.0], [0.0, -g]], raw.dtype
-        )  # (5, 2); cell = floor(xy - off)
-        offs = jnp.broadcast_to(base_offs[None, None], (B, T, 5, 2))
-        active = jnp.stack([
-            jnp.ones_like(fx, bool),
-            (fx < g) & (cx > 1.0), (fy < g) & (cy > 1.0),
-            (fx > 1.0 - g) & (cx < W - 1.0), (fy > 1.0 - g) & (cy < H - 1.0),
-        ], axis=2)  # (B, T, 5)
-
-        cells = jnp.floor(t_xy[:, :, None, :] - offs).astype(jnp.int32)  # (B, T, 5, 2)
-        cells_x = jnp.clip(cells[..., 0], 0, W - 1)
-        cells_y = jnp.clip(cells[..., 1], 0, H - 1)
-
-        # Gather predictions for every (target, candidate cell, anchor).
-        # pred at (b, a, y, x): use advanced indexing via take.
-        bidx = jnp.arange(B)[:, None, None, None]
-        psel = m[bidx, jnp.arange(na)[None, None, None, :],
-                 cells_y[..., None], cells_x[..., None], :]  # (B, T, 5, na, no)
-
-        match = valid[:, :, None, None] & active[..., None] & ratio_ok[:, :, None, :]
-        match_f = match.astype(raw.dtype)
-
-        ps_xy = jax.nn.sigmoid(psel[..., 0:2]) * 2.0 - 0.5
-        ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
-        rel_xy = t_xy[:, :, None, None, :] - cells[:, :, :, None, :].astype(raw.dtype)
-        rel_xy = jnp.broadcast_to(rel_xy, ps_xy.shape)
-        pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
-        tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
-        ciou = bbox_ciou(pbox, tbox)
-
-        flat_idx = (bidx * (L * na * 8192)  # unique per (b, lvl, anchor, cell)
-                    + lvl * (na * 8192)
-                    + jnp.arange(na)[None, None, None, :] * 8192
-                    + cells_y[..., None] * W + cells_x[..., None])
-        per_level.append({
-            "m": m, "psel": psel, "match_f": match_f, "ciou": ciou,
-            "t_cls": t_cls, "H": H, "W": W, "na": na, "lvl": lvl,
-            "cells_y": cells_y, "cells_x": cells_x, "bidx": bidx,
-            "flat_idx": flat_idx,
-        })
+    per_level = [
+        _level_candidates(raw, targets, anchors[lvl], strides[lvl], nc,
+                          anchor_t, 0.5, lvl, L, na)
+        for lvl, raw in enumerate(raw_maps)
+    ]
 
     # ---- SimOTA selection (optional) --------------------------------------
     if assigner == "simota":
@@ -250,6 +260,29 @@ def yolo_loss(
             off += n
 
     # ---- Pass 2: loss accumulation ----------------------------------------
+    total_box, total_obj, total_cls = _accumulate_losses(per_level, nc, balance, B)
+
+    # Auxiliary heads (ComputeLossAuxOTA, loss.py:1179+): same targets with
+    # the looser g=1.0 cell radius, 0.25-weighted.
+    if aux_maps is not None:
+        aux_level = [
+            _level_candidates(raw, targets, anchors[lvl], strides[lvl], nc,
+                              anchor_t, 1.0, lvl, L, na)
+            for lvl, raw in enumerate(aux_maps)
+        ]
+        a_box, a_obj, a_cls = _accumulate_losses(aux_level, nc, balance, B)
+        total_box += 0.25 * a_box
+        total_obj += 0.25 * a_obj
+        total_cls += 0.25 * a_cls
+
+    loss = box_w * total_box + obj_w * total_obj + cls_w * total_cls
+    return {
+        "loss": loss * B,  # reference scales by batch size (loss.py:556)
+        "box": total_box, "obj": total_obj, "cls": total_cls,
+    }
+
+
+def _accumulate_losses(per_level, nc, balance, B):
     total_box = 0.0
     total_obj = 0.0
     total_cls = 0.0
@@ -277,9 +310,4 @@ def yolo_loss(
             cls_logits = d["psel"][..., 5:]
             cls_tgt = jnp.broadcast_to(cls_t[:, :, None, None, :], cls_logits.shape)
             total_cls += (bce_logits(cls_logits, cls_tgt) * match_f[..., None]).sum() / (n_match * nc)
-
-    loss = box_w * total_box + obj_w * total_obj + cls_w * total_cls
-    return {
-        "loss": loss * B,  # reference scales by batch size (loss.py:556)
-        "box": total_box, "obj": total_obj, "cls": total_cls,
-    }
+    return total_box, total_obj, total_cls

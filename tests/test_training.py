@@ -99,3 +99,22 @@ class TestOptim:
         assert mask["conv"]["w"] is True
         assert mask["conv"]["b"] is False
         assert mask["bn"]["scale"] is False
+
+
+class TestAuxLoss:
+    def test_aux_maps_add_weighted_loss(self, rng):
+        maps = [jnp.asarray(rng.normal(size=(1, s, s, 24)).astype(np.float32))
+                for s in (8, 4, 2)]
+        aux = [jnp.asarray(rng.normal(size=(1, s, s, 24)).astype(np.float32))
+               for s in (8, 4, 2)]
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(0), 1, 64)
+        base = yolo_loss(maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
+                         (8, 16, 32), nc=3)
+        with_aux = yolo_loss(maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
+                             (8, 16, 32), nc=3, aux_maps=aux)
+        assert float(with_aux["loss"]) != float(base["loss"])
+        assert np.isfinite(float(with_aux["loss"]))
+        g = jax.grad(lambda a0: yolo_loss(
+            maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
+            (8, 16, 32), 3, aux_maps=[a0, aux[1], aux[2]])["loss"])(aux[0])
+        assert np.abs(np.asarray(g)).sum() > 0
