@@ -166,6 +166,86 @@ class TestAgainstReferenceCode:
             depth_refine=jnp.asarray(depth)))
         np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
+    def test_manopth_manolayer_lbs(self, rng):
+        """Execute the reference's manopth ManoLayer (its full LBS: PCA,
+        pose blendshapes, 3-level FK, skinning, fingertips, mm scale) as
+        the oracle for mano_forward_manopth, with identical pkl data fed
+        through a chumpy-free ready_arguments."""
+        import types
+
+        import torch
+        from scipy import sparse
+
+        from hamer_yolo_tpu.core.mano_assets import load_mano_pkl
+        from hamer_yolo_tpu.models.mano import ManoModel, mano_forward_manopth
+
+        dist_dir = "/root/reference/rootnet/KeypointFusion/manopth"
+        mano_dir = "/root/reference/rootnet/KeypointFusion/MANO"
+        if not os.path.isdir(dist_dir) or not os.path.isdir(mano_dir):
+            pytest.skip("manopth/MANO assets absent")
+
+        pkg = types.ModuleType("mp_root")
+        pkg.__path__ = [dist_dir]
+        sys.modules.setdefault("mp_root", pkg)
+        ml = importlib.import_module("mp_root.manopth.manolayer")
+
+        class _R:
+            def __init__(self, a):
+                self.r = a
+
+        def fake_ready_arguments(path, posekey4vposed="pose"):
+            d = load_mano_pkl(path)
+            parents = d["kintree_parents"].astype(np.int64)
+            kintree = np.stack([parents, np.arange(16)])
+            return {
+                "betas": _R(np.zeros(d["shapedirs"].shape[-1], np.float32)),
+                "shapedirs": _R(d["shapedirs"]),
+                "posedirs": _R(d["posedirs"]),
+                "v_template": _R(d["v_template"]),
+                "weights": _R(d["weights"]),
+                "J_regressor": sparse.csc_matrix(d["J_regressor"]),
+                "f": d["f"],
+                "kintree_table": kintree,
+                "hands_components": d["hands_components"],
+                "hands_mean": d["hands_mean"],
+                "hands_coeffs": d.get("hands_coeffs"),
+            }
+
+        orig = ml.ready_arguments
+        ml.ready_arguments = fake_ready_arguments
+        try:
+            layer = ml.ManoLayer(mano_root=mano_dir, use_pca=False,
+                                 flat_hand_mean=True, side="right")
+            pose = (rng.normal(scale=0.3, size=(2, 48))).astype(np.float32)
+            betas = rng.normal(scale=0.5, size=(2, 20)).astype(np.float32)
+            with torch.no_grad():
+                ref_v, ref_j = layer(torch.from_numpy(pose),
+                                     th_betas=torch.from_numpy(betas))
+            model = ManoModel.from_arrays(load_mano_pkl(
+                os.path.join(mano_dir, "MANO_RIGHT.pkl")))
+            out = mano_forward_manopth(model, jnp.asarray(pose),
+                                       betas=jnp.asarray(betas))
+            np.testing.assert_allclose(np.asarray(out.vertices),
+                                       ref_v.numpy(), atol=2e-2)  # mm
+            np.testing.assert_allclose(np.asarray(out.joints),
+                                       ref_j.numpy(), atol=2e-2)
+
+            # PCA path (ncomps=6, with hand mean)
+            layer_pca = ml.ManoLayer(mano_root=mano_dir, use_pca=True,
+                                     ncomps=6, flat_hand_mean=False,
+                                     side="right")
+            pose_pca = rng.normal(scale=1.0, size=(2, 9)).astype(np.float32)
+            with torch.no_grad():
+                pv, pj = layer_pca(torch.from_numpy(pose_pca),
+                                   th_betas=torch.from_numpy(betas))
+            out_pca = mano_forward_manopth(
+                model, jnp.asarray(pose_pca), betas=jnp.asarray(betas),
+                use_pca=True, ncomps=6, flat_hand_mean=False)
+            np.testing.assert_allclose(np.asarray(out_pca.vertices),
+                                       pv.numpy(), atol=2e-2)
+        finally:
+            ml.ready_arguments = orig
+
     def test_perspective_projection_with_rotation(self, ref, rng):
         import torch
         from scipy.spatial.transform import Rotation as R
