@@ -15,8 +15,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # (N, hd)

@@ -14,14 +14,11 @@ models/mano.lbs (tested at 1e-3 f32 tolerance).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
 from hamer_yolo_tpu.models.mano import ManoModel
 
 V = 778

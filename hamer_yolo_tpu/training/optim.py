@@ -13,7 +13,6 @@ Reference yolo/yolov7/train.py:
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, NamedTuple
 
 import jax
