@@ -34,10 +34,16 @@ class _Anything:
         return _Anything()
 
 
+def _module_getattr(n):
+    if n.startswith("__"):  # keep import machinery honest (__file__, ...)
+        raise AttributeError(n)
+    return _Anything()
+
+
 def _stub(name):
     if name not in sys.modules:
         m = types.ModuleType(name)
-        m.__getattr__ = lambda n: _Anything()
+        m.__getattr__ = _module_getattr
         sys.modules[name] = m
 
 
@@ -70,6 +76,50 @@ def ref_general():
               "yolo.yolov7.utils.metrics", "yolo.yolov7.utils.torch_utils"):
         _stub(s)
     return _load("ref_general", f"{REF}/yolo/yolov7/utils/general.py")
+
+
+@pytest.fixture(scope="module")
+def ref_datasets():
+    for s in ("torchvision", "torchvision.utils", "torchvision.ops", "tqdm",
+              "yolo", "yolo.yolov7", "yolo.yolov7.utils",
+              "yolo.yolov7.utils.general", "yolo.yolov7.utils.torch_utils"):
+        _stub(s)
+    return _load("ref_datasets", f"{REF}/yolo/yolov7/utils/datasets.py")
+
+
+class TestLetterboxGolden:
+    def test_letterbox_auto_false(self, ref_datasets, rng):
+        """The reference's actual letterbox (datasets.py:999) vs ours."""
+        img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+        exp_img, exp_ratio, exp_pad = ref_datasets.letterbox(
+            img.copy(), 640, auto=False)
+        got_img, r, pad = G.letterbox_numpy(img, 640, auto=False)
+        assert got_img.shape == exp_img.shape
+        np.testing.assert_array_equal(got_img, exp_img)
+        assert r == pytest.approx(exp_ratio[0])
+        assert pad == pytest.approx(exp_pad)
+
+    def test_letterbox_auto_true_rect(self, ref_datasets, rng):
+        img = rng.integers(0, 255, (375, 500, 3)).astype(np.uint8)
+        exp_img, exp_ratio, exp_pad = ref_datasets.letterbox(
+            img.copy(), 640, auto=True, stride=32)
+        got_img, r, pad = G.letterbox_numpy(img, 640, auto=True)
+        np.testing.assert_array_equal(got_img, exp_img)
+        assert pad == pytest.approx(exp_pad)
+
+    def test_device_letterbox_vs_reference(self, ref_datasets, rng):
+        """On-device MXU letterbox interior vs the reference's cv2 one."""
+        from hamer_yolo_tpu.pipeline.preprocess import device_letterbox
+
+        img = rng.integers(0, 255, (360, 480, 3)).astype(np.uint8)
+        exp_img, _, (dw, dh) = ref_datasets.letterbox(img.copy(), 640, auto=False)
+        got, r, pad = device_letterbox(
+            jnp.asarray(img.astype(np.float32)), jnp.asarray([360.0, 480.0]), 640)
+        got = np.asarray(got)
+        top, bot = int(round(dh - 0.1)) + 1, 640 - int(round(dh + 0.1)) - 1
+        diff = np.abs(got[top:bot, 1:-1] - exp_img[top:bot, 1:-1].astype(np.float32))
+        assert diff.max() < 1.5  # cv2 fixed-point bilinear
+        assert diff.mean() < 0.5  # sub-LSB fixed-point noise
 
 
 class TestPoseUtils:
