@@ -126,6 +126,30 @@ def batch_norm(p: Params, x: jax.Array, eps: float = 1e-3) -> jax.Array:
     return (x - p["mean"].astype(x.dtype)) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
+def batch_norm_train(p: Params, x: jax.Array, eps: float = 1e-3,
+                     momentum: float = 0.03) -> Tuple[jax.Array, Params]:
+    """Training-mode BN: normalize by BATCH statistics and return updated
+    running stats (torch semantics; yolov7 sets momentum=0.03 in
+    initialize_weights). Under a data-sharded mesh the batch moments are
+    computed over the GLOBAL batch (XLA inserts the psum) — the SyncBN
+    equivalent. The stats update is stop-gradiented."""
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes)
+    var = jnp.var(x, axis=axes)
+    inv = jax.lax.rsqrt(var.astype(x.dtype) + eps)
+    y = (x - mean.astype(x.dtype)) * inv * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    unbiased = var * (n / max(n - 1, 1))  # torch tracks unbiased variance
+    new_p = dict(p)
+    new_p["mean"] = jax.lax.stop_gradient(
+        (1 - momentum) * p["mean"] + momentum * mean.astype(p["mean"].dtype))
+    new_p["var"] = jax.lax.stop_gradient(
+        (1 - momentum) * p["var"] + momentum * unbiased.astype(p["var"].dtype))
+    return y, new_p
+
+
 def fold_bn_into_conv(conv_p: Params, bn_p: Params, eps: float = 1e-3) -> Params:
     """Fuse conv (no bias) + BN into a single conv with bias (deploy path).
 

@@ -50,6 +50,18 @@ def conv_block(p: Params, x: jax.Array, s: int = 1, act: bool = True) -> jax.Arr
     return jax.nn.silu(y) if act else y
 
 
+def conv_block_train(p: Params, x: jax.Array, s: int = 1
+                     ) -> Tuple[jax.Array, Params]:
+    """Train-mode Conv+BN+SiLU: batch-stat BN, returns updated params."""
+    k = p["conv"]["w"].shape[0]
+    y = nn.conv2d(p["conv"], x, stride=s, padding=autopad(k))
+    new_p = p
+    if "bn" in p:
+        y, new_bn = nn.batch_norm_train(p["bn"], y)
+        new_p = dict(p, bn=new_bn)
+    return jax.nn.silu(y), new_p
+
+
 # --- Pooling / reshuffle ---
 
 def mp(x: jax.Array, k: int = 2) -> jax.Array:
@@ -128,6 +140,34 @@ def repconv(p: Params, x: jax.Array, s: int = 1) -> jax.Array:
     if "id_bn" in p:
         y = y + nn.batch_norm(p["id_bn"], x)
     return jax.nn.silu(y)
+
+
+def sppcspc_train(p: Params, x: jax.Array) -> Tuple[jax.Array, Params]:
+    new_p = dict(p)
+    x1, new_p["cv1"] = conv_block_train(p["cv1"], x)
+    x1, new_p["cv3"] = conv_block_train(p["cv3"], x1)
+    x1, new_p["cv4"] = conv_block_train(p["cv4"], x1)
+    pools = [sp(x1, k) for k in SPP_POOL_KS]
+    y1, new_p["cv5"] = conv_block_train(p["cv5"], jnp.concatenate([x1] + pools, -1))
+    y1, new_p["cv6"] = conv_block_train(p["cv6"], y1)
+    y2, new_p["cv2"] = conv_block_train(p["cv2"], x)
+    out, new_p["cv7"] = conv_block_train(p["cv7"], jnp.concatenate([y1, y2], -1))
+    return out, new_p
+
+
+def repconv_train(p: Params, x: jax.Array, s: int = 1) -> Tuple[jax.Array, Params]:
+    if "reparam" in p:
+        return jax.nn.silu(nn.conv2d(p["reparam"], x, stride=s, padding=1)), p
+    new_p = dict(p)
+    y1, new_p["dense_bn"] = nn.batch_norm_train(
+        p["dense_bn"], nn.conv2d(p["dense"], x, stride=s, padding=1))
+    y2, new_p["1x1_bn"] = nn.batch_norm_train(
+        p["1x1_bn"], nn.conv2d(p["1x1"], x, stride=s, padding=0))
+    y = y1 + y2
+    if "id_bn" in p:
+        y3, new_p["id_bn"] = nn.batch_norm_train(p["id_bn"], x)
+        y = y + y3
+    return jax.nn.silu(y), new_p
 
 
 def repconv_fuse(p: Params) -> Params:

@@ -262,6 +262,58 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
     return det_maps
 
 
+def yolov7_train_forward(params: nn.Params, x: jax.Array,
+                         cfg: YoloConfig = YoloConfig(),
+                         spec=None):
+    """Training forward: batch-stat BN (torch semantics) in one pass.
+
+    Returns (det_maps, new_params) where new_params carries the updated BN
+    running stats (momentum 0.03, initialize_weights parity). The stats are
+    stop-gradiented; assign them into the train state after the optimizer
+    step.
+    """
+    spec = spec if spec is not None else yolov7_spec()
+    saved = _save_set(spec)
+    y: Dict[int, jax.Array] = {}
+    out = x.astype(jnp.dtype(cfg.compute_dtype))
+    det_maps: List[jax.Array] = []
+    new_layers = list(params["layers"])
+    for i, (frm, op, args) in enumerate(spec):
+        srcs = _resolve(frm, i)
+        inputs = [out if s == i - 1 else y[s] for s in srcs]
+        p = params["layers"][i]
+        if op == C:
+            out, new_layers[i] = B.conv_block_train(p, inputs[0], s=args[2])
+        elif op == MP_:
+            out = B.mp(inputs[0])
+        elif op == CAT:
+            out = jnp.concatenate(inputs, axis=-1)
+        elif op == SPP:
+            out, new_layers[i] = B.sppcspc_train(p, inputs[0])
+        elif op == UP:
+            out = B.upsample2x(inputs[0])
+        elif op == "REORG":
+            out = B.reorg(inputs[0])
+        elif op == "SP_":
+            out = B.sp(inputs[0], args[0] if args else 3)
+        elif op == "DOWNC":
+            new_p = dict(p)
+            a0, new_p["cv1"] = B.conv_block_train(p["cv1"], inputs[0])
+            a, new_p["cv2"] = B.conv_block_train(p["cv2"], a0, s=2)
+            b, new_p["cv3"] = B.conv_block_train(p["cv3"], B.mp(inputs[0]))
+            out = jnp.concatenate([a, b], axis=-1)
+            new_layers[i] = new_p
+        elif op == REP:
+            out, new_layers[i] = B.repconv_train(p, inputs[0])
+        elif op == DET:
+            for head_p, inp in zip(p["m"], inputs):
+                det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            out = inputs[-1]
+        if i in saved:
+            y[i] = out
+    return det_maps, {"layers": new_layers}
+
+
 def decode_detections(det_maps: Sequence[jax.Array],
                       cfg: YoloConfig = YoloConfig()) -> jax.Array:
     """Raw head maps -> (B, sum(Hl*Wl*na), nc+5) decoded boxes (input-pixel xywh).

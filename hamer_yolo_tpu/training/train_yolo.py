@@ -19,6 +19,7 @@ import optax
 
 from hamer_yolo_tpu.models.yolov7.model import (
     YOLOV7_ANCHORS, YoloConfig, init_yolov7, yolov7_backbone_forward,
+    yolov7_train_forward,
 )
 from hamer_yolo_tpu.training.losses import yolo_loss
 from hamer_yolo_tpu.training.optim import EmaState, ema_init, ema_update, yolo_optimizer
@@ -46,17 +47,32 @@ def make_yolo_train_step(cfg: YoloConfig, tx: optax.GradientTransformation):
     anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(3, 3, 2))
 
     def loss_fn(params, batch):
-        maps = yolov7_backbone_forward(params, batch["img"], cfg)
+        # batch-stat BN forward; updated running stats ride in aux
+        maps, params_with_stats = yolov7_train_forward(params, batch["img"], cfg)
         out = yolo_loss(
             [m.astype(jnp.float32) for m in maps],
             batch["targets"], anchors, cfg.strides, cfg.nc,
         )
-        return out["loss"], out
+        return out["loss"], (out, params_with_stats)
+
+    def _bn_keys(path_str):
+        return "bn" in path_str
 
     def train_step(state: YoloTrainState, batch: Dict[str, jax.Array]):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        (_, (metrics, stats_params)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        # Fold the updated BN running stats (mean/var only — scale/bias
+        # came through the optimizer) into the new params.
+        def merge(path, new_leaf, stats_leaf):
+            keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+            if keys and keys[-1] in ("mean", "var"):
+                return stats_leaf
+            return new_leaf
+
+        new_params = jax.tree_util.tree_map_with_path(merge, new_params, stats_params)
         new_ema = ema_update(state.ema, new_params)
         return YoloTrainState(new_params, new_opt, new_ema, state.step + 1), metrics
 

@@ -118,3 +118,40 @@ class TestAuxLoss:
             maps, batch["targets"], jnp.asarray(YOLOV7_ANCHORS),
             (8, 16, 32), 3, aux_maps=[a0, aux[1], aux[2]])["loss"])(aux[0])
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestBatchNormTraining:
+    def test_bn_stats_update_in_train_step(self):
+        state, tx = init_yolo_train_state(jax.random.PRNGKey(0), SMALL_CFG, 100)
+        step = jax.jit(make_yolo_train_step(SMALL_CFG, tx))
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(1), 2, 64)
+        mean0 = np.asarray(state.params["layers"][0]["bn"]["mean"])
+        var0 = np.asarray(state.params["layers"][0]["bn"]["var"])
+        new_state, _ = step(state, batch)
+        mean1 = np.asarray(new_state.params["layers"][0]["bn"]["mean"])
+        var1 = np.asarray(new_state.params["layers"][0]["bn"]["var"])
+        assert np.abs(mean1 - mean0).max() > 0  # running stats moved
+        assert np.abs(var1 - var0).max() > 0
+
+    def test_batch_norm_train_matches_torch(self, rng):
+        import torch
+
+        from hamer_yolo_tpu.core import nn as hnn
+
+        x = rng.normal(size=(4, 8, 8, 6)).astype(np.float32)
+        bn = torch.nn.BatchNorm2d(6, eps=1e-3, momentum=0.03)
+        with torch.no_grad():
+            bn.weight.normal_(1.0, 0.2)
+            bn.bias.normal_()
+        bn.train()
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        expected = bn(xt).detach().numpy().transpose(0, 2, 3, 1)
+        p = {"scale": jnp.asarray(bn.weight.detach().numpy()),
+             "bias": jnp.asarray(bn.bias.detach().numpy()),
+             "mean": jnp.zeros(6), "var": jnp.ones(6)}
+        got, new_p = hnn.batch_norm_train(p, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(new_p["mean"]),
+                                   bn.running_mean.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_p["var"]),
+                                   bn.running_var.numpy(), atol=1e-4)
