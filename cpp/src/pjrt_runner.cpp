@@ -8,11 +8,18 @@
 // executes, and fetches outputs — no Python in the loop.
 //
 // Usage:
-//   hyt_run <pjrt_plugin.so> <executable.bin> [input.meta]
+//   hyt_run <pjrt_plugin.so> <executable.bin> [input.meta] [image.raw HxW]
 //
 // input.meta lines: "<dtype> <d0,d1,...>" per executable argument, e.g.
 //   f32 1,256,256,3
-// Missing meta => runs with no arguments.
+// Missing meta => runs with no arguments; zeros otherwise.
+//
+// With a raw image (HxW x 3 uint8 BGR, e.g. produced by
+// `np.asarray(cv2.imread(p)).tofile("img.raw")`) and the detector engine
+// from tools/export_executable.py --model yolo, the runner letterboxes the
+// frame with the native hyt_letterbox, converts BGR->RGB /255, executes,
+// and prints the surviving detections — the full equivalent of the
+// reference's TensorRT C++ demo loop.
 
 #include <dlfcn.h>
 
@@ -25,6 +32,7 @@
 #include <string>
 #include <vector>
 
+#include "hyt.h"
 #include "xla/pjrt/c/pjrt_c_api.h"
 
 namespace {
@@ -221,18 +229,45 @@ int main(int argc, char** argv) {
     printf("executable loaded: %zu bytes\n", exe_bytes.size());
   }
 
-  // Upload inputs (zeros of the shapes given in the meta file).
+  // Upload inputs (zeros, or a letterboxed raw image for arg 0).
   std::vector<ArgSpec> specs =
       argc > 3 ? ParseMeta(argv[3]) : std::vector<ArgSpec>();
-  std::vector<PJRT_Buffer*> inputs;
   std::vector<std::vector<char>> host_data;
-  for (const ArgSpec& s : specs) {
-    host_data.emplace_back(s.bytes, 0);
+  for (const ArgSpec& s : specs) host_data.emplace_back(s.bytes, 0);
+
+  float lb_r = 1.f, lb_dw = 0.f, lb_dh = 0.f;
+  if (argc > 5 && !specs.empty()) {
+    // argv[4] = raw BGR uint8 file, argv[5] = HxW
+    int ih = 0, iw = 0;
+    sscanf(argv[5], "%dx%d", &ih, &iw);
+    std::string raw = ReadFile(argv[4]);
+    if ((int)raw.size() != ih * iw * 3) {
+      fprintf(stderr, "raw image size mismatch: %zu vs %d\n", raw.size(),
+              ih * iw * 3);
+      return 1;
+    }
+    const int S = (int)specs[0].dims[1];  // (1, S, S, 3)
+    std::vector<float> boxed(S * S * 3);
+    hyt_letterbox(reinterpret_cast<const uint8_t*>(raw.data()), ih, iw, S,
+                  boxed.data(), &lb_r, &lb_dw, &lb_dh);
+    float* dst = reinterpret_cast<float*>(host_data[0].data());
+    for (int i = 0; i < S * S; ++i) {  // BGR -> RGB, [0, 1]
+      dst[i * 3 + 0] = boxed[i * 3 + 2] / 255.f;
+      dst[i * 3 + 1] = boxed[i * 3 + 1] / 255.f;
+      dst[i * 3 + 2] = boxed[i * 3 + 0] / 255.f;
+    }
+    printf("image %dx%d letterboxed to %d (r=%.4f pad %.1f,%.1f)\n", ih, iw,
+           S, lb_r, lb_dw, lb_dh);
+  }
+
+  std::vector<PJRT_Buffer*> inputs;
+  for (size_t si = 0; si < specs.size(); ++si) {
+    const ArgSpec& s = specs[si];
     PJRT_Client_BufferFromHostBuffer_Args args;
     memset(&args, 0, sizeof(args));
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     args.client = client;
-    args.data = host_data.back().data();
+    args.data = host_data[si].data();
     args.type = s.type;
     args.dims = s.dims.data();
     args.num_dims = s.dims.size();
@@ -321,6 +356,7 @@ int main(int argc, char** argv) {
   }
 
   // Fetch + report each output.
+  std::vector<std::vector<char>> fetched(num_outputs);
   for (size_t i = 0; i < num_outputs; ++i) {
     PJRT_Buffer_Dimensions_Args dims;
     memset(&dims, 0, sizeof(dims));
@@ -350,6 +386,29 @@ int main(int argc, char** argv) {
     for (size_t d = 0; d < dims.num_dims; ++d)
       printf("%s%lld", d ? "," : "", (long long)dims.dims[d]);
     printf("] bytes=%zu checksum=%.4f\n", host.size(), checksum);
+    fetched[i] = std::move(host);
+  }
+
+  // Detector-engine detection printout (boxes, scores, classes, valid),
+  // mapped back through the letterbox to original-image coordinates.
+  if (argc > 5 && num_outputs == 4 && fetched[0].size() % 16 == 0) {
+    const float* boxes = reinterpret_cast<const float*>(fetched[0].data());
+    const float* scores = reinterpret_cast<const float*>(fetched[1].data());
+    const int32_t* classes = reinterpret_cast<const int32_t*>(fetched[2].data());
+    const uint8_t* valid = reinterpret_cast<const uint8_t*>(fetched[3].data());
+    const size_t n = fetched[1].size() / 4;
+    int kept = 0;
+    for (size_t i = 0; i < n; ++i) {
+      if (!valid[i]) continue;
+      const float x1 = (boxes[i * 4 + 0] - lb_dw) / lb_r;
+      const float y1 = (boxes[i * 4 + 1] - lb_dh) / lb_r;
+      const float x2 = (boxes[i * 4 + 2] - lb_dw) / lb_r;
+      const float y2 = (boxes[i * 4 + 3] - lb_dh) / lb_r;
+      printf("det %d: cls=%d score=%.3f box=[%.1f, %.1f, %.1f, %.1f]\n",
+             kept, classes[i], scores[i], x1, y1, x2, y2);
+      ++kept;
+    }
+    printf("detections: %d\n", kept);
   }
 
   printf("OK\n");
