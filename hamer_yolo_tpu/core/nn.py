@@ -251,6 +251,36 @@ def mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
     return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
 
 
+def frequency_embed(x: jax.Array, num_freqs: int, max_freq_exp: Optional[int] = None
+                    ) -> jax.Array:
+    """NeRF-style frequency embedding (reference t_cond_mlp.FrequencyEmbedder):
+    (..., d) -> (..., d * (2*num_freqs + 1)) as [x, sin(2^k pi x), cos(...)]."""
+    max_freq_exp = num_freqs - 1 if max_freq_exp is None else max_freq_exp
+    freqs = 2.0 ** jnp.linspace(0.0, max_freq_exp, num_freqs) * jnp.pi
+    scaled = x[..., None] * freqs  # (..., d, F)
+    out = jnp.concatenate(
+        [x[..., None], jnp.sin(scaled), jnp.cos(scaled)], axis=-1)
+    return out.reshape(x.shape[:-1] + (-1,))
+
+
+def adaptive_layer_norm_init(key, dim: int, cond_dim: int) -> Params:
+    """AdaptiveLayerNorm1D (reference t_cond_mlp): LN whose scale/shift are
+    regressed from a conditioning vector (FiLM-style)."""
+    return {"to_scale_shift": linear_init(key, cond_dim, 2 * dim)}
+
+
+def adaptive_layer_norm(p: Params, x: jax.Array, cond: jax.Array,
+                        eps: float = 1e-6) -> jax.Array:
+    """x: (B, N, D); cond: (B, C)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    ss = linear(p["to_scale_shift"], cond)  # (B, 2D)
+    D = x.shape[-1]
+    scale, shift = ss[..., :D], ss[..., D:]
+    return y * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
 def num_params(tree) -> int:
     leaves = [x.size for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "size")]
     return sum(leaves)

@@ -142,6 +142,58 @@ def load_mosaic4(
     return canvas, labels
 
 
+def load_mosaic9(
+    pairs: Sequence[Tuple[str, str]],
+    indices: Sequence[int],
+    rng: np.random.Generator,
+    cfg: YoloDataConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """9-image mosaic (reference datasets.py:782+): 3x3 collage on a 3S
+    canvas, random S-crop, labels shifted/clipped accordingly."""
+    import cv2
+
+    S = cfg.img_size
+    canvas = np.full((S * 3, S * 3, 3), 114, np.uint8)
+    all_labels = []
+    cells = [(r, c) for r in range(3) for c in range(3)]
+    for (r, c), idx in zip(cells, indices[:9]):
+        img_path, lbl_path = pairs[idx]
+        img = cv2.imread(img_path)
+        h0, w0 = img.shape[:2]
+        sc = S / max(h0, w0)
+        img = cv2.resize(img, (int(w0 * sc), int(h0 * sc)))
+        h, w = img.shape[:2]
+        y0, x0 = r * S, c * S
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        labels = load_yolo_labels(lbl_path)
+        if len(labels):
+            lab = labels.copy()
+            lab[:, 1] = labels[:, 1] * w + x0
+            lab[:, 2] = labels[:, 2] * h + y0
+            lab[:, 3] = labels[:, 3] * w
+            lab[:, 4] = labels[:, 4] * h
+            all_labels.append(lab)
+    labels = np.concatenate(all_labels) if all_labels else np.zeros((0, 5), np.float32)
+
+    # random S x S crop out of the 3S canvas
+    yc = int(rng.integers(0, 2 * S))
+    xc = int(rng.integers(0, 2 * S))
+    crop = canvas[yc:yc + S, xc:xc + S]
+    if len(labels):
+        labels[:, 1] -= xc
+        labels[:, 2] -= yc
+        x1 = np.clip(labels[:, 1] - labels[:, 3] / 2, 0, S)
+        y1 = np.clip(labels[:, 2] - labels[:, 4] / 2, 0, S)
+        x2 = np.clip(labels[:, 1] + labels[:, 3] / 2, 0, S)
+        y2 = np.clip(labels[:, 2] + labels[:, 4] / 2, 0, S)
+        labels[:, 1] = (x1 + x2) / 2 / S
+        labels[:, 2] = (y1 + y2) / 2 / S
+        labels[:, 3] = (x2 - x1) / S
+        labels[:, 4] = (y2 - y1) / S
+        labels = labels[(labels[:, 3] > 2 / S) & (labels[:, 4] > 2 / S)]
+    return crop, labels
+
+
 def yolo_batch_iterator(
     img_dir: str,
     batch_size: int,

@@ -40,7 +40,10 @@ DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
 
 def pick_bucket(h: int, w: int,
                 buckets: Tuple[Tuple[int, int], ...] = DEFAULT_BUCKETS) -> Tuple[int, int]:
+    portrait = h > w
     for bh, bw in buckets:
+        if portrait:
+            bh, bw = bw, bh  # transpose the ladder for portrait frames
         if h <= bh and w <= bw:
             return bh, bw
     return (int(np.ceil(h / 64) * 64), int(np.ceil(w / 64) * 64))

@@ -106,3 +106,64 @@ class TestAutoanchor:
         anchors = np.array([[12.0, 16], [19, 36], [40, 28]])
         out, changed = check_anchors(wh, anchors)
         assert not changed
+
+
+class TestMosaic9:
+    def test_mosaic9(self, tmp_path, rng):
+        import cv2
+
+        from hamer_yolo_tpu.io import datasets as D
+
+        img_dir = tmp_path / "images"
+        lbl_dir = tmp_path / "labels"
+        img_dir.mkdir(); lbl_dir.mkdir()
+        for i in range(9):
+            cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                        rng.integers(0, 255, (90, 110, 3)).astype(np.uint8))
+            (lbl_dir / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        pairs = D.image_label_pairs(str(img_dir), str(lbl_dir))
+        cfg = D.YoloDataConfig(img_size=96)
+        img, labels = D.load_mosaic9(pairs, list(range(9)),
+                                     np.random.default_rng(0), cfg)
+        assert img.shape == (96, 96, 3)
+        if len(labels):
+            assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+class TestCondMlp:
+    def test_frequency_embed(self):
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.core.nn import frequency_embed
+
+        x = jnp.array([[0.5, -0.25]])
+        out = frequency_embed(x, num_freqs=3)
+        assert out.shape == (1, 2 * 7)
+        np.testing.assert_allclose(np.asarray(out)[0, 0], 0.5)
+        np.testing.assert_allclose(np.asarray(out)[0, 1],
+                                   np.sin(np.pi * 0.5), atol=1e-6)
+
+    def test_adaptive_layer_norm(self, rng):
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.core.nn import (
+            adaptive_layer_norm, adaptive_layer_norm_init,
+        )
+
+        p = adaptive_layer_norm_init(jax.random.PRNGKey(0), 8, 4)
+        x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+        c1 = jnp.zeros((2, 4))
+        c2 = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+        a = adaptive_layer_norm(p, x, c1)
+        b = adaptive_layer_norm(p, x, c2)
+        assert a.shape == x.shape
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+class TestPortraitBuckets:
+    def test_portrait(self):
+        from hamer_yolo_tpu.pipeline.runner import pick_bucket
+
+        assert pick_bucket(640, 480) == (640, 480)
+        assert pick_bucket(1280, 720) == (1280, 720)
+        assert pick_bucket(480, 640) == (480, 640)
