@@ -152,5 +152,7 @@ def calculate_k_value(
     (sar_config_stage_1.py:19), so real_area defaults to 0.09 m^2.
     bbox_wh: (..., 2) processed-bbox width/height in pixels.
     """
-    area = bbox_wh[..., 0] * bbox_wh[..., 1]
+    # Degenerate (masked-slot) boxes get area clamped instead of producing
+    # inf that would leak into unmasked reads of root_depth.
+    area = jnp.maximum(bbox_wh[..., 0] * bbox_wh[..., 1], 1.0)
     return jnp.sqrt(real_area * fx * fy / area)
