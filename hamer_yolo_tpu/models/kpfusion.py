@@ -173,13 +173,26 @@ def point_stream(p: Params, pcl: jax.Array, cfg: KPFusionConfig
 
 # --- DETR-style decoder block ----------------------------------------------
 
+def sample_image_features(feat_map: jax.Array, uv_norm: jax.Array) -> jax.Array:
+    """GFM-style per-joint image feature sampling (util/generateFeature.py
+    equivalent): bilinear-read the fused feature map at projected joint
+    locations. feat_map: (B, h, w, C); uv_norm: (B, J, 2) in [-1, 1]."""
+    from hamer_yolo_tpu.geometry.affine import bilinear_sample
+
+    h, w = feat_map.shape[1], feat_map.shape[2]
+    xs = (uv_norm[..., 0] + 1.0) * 0.5 * (w - 1)
+    ys = (uv_norm[..., 1] + 1.0) * 0.5 * (h - 1)
+    return jax.vmap(lambda fm, x, y: bilinear_sample(fm, x, y))(feat_map, xs, ys)
+
+
 def decoder_block_init(key, cfg: KPFusionConfig) -> Params:
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     d = cfg.feat_dim
     return {
         "sa_norm": nn.layer_norm_init(d),
         "sa": nn.mha_qkv_init(k1, d, cfg.heads, qkv_bias=False),
         "desa": desa_init(k2, d),
+        "img_proj": nn.linear_init(k6, d, d),
         "ff_norm": nn.layer_norm_init(d),
         "ff": nn.mlp_init(k3, d, 2 * d),
         "pos_mlp": nn.mlp_init(k4, 3, d, d),
@@ -189,8 +202,14 @@ def decoder_block_init(key, cfg: KPFusionConfig) -> Params:
 
 def decoder_block(p: Params, joint_feat: jax.Array, joint_xyz: jax.Array,
                   pcl_feat: jax.Array, pcl_xyz: jax.Array,
-                  cfg: KPFusionConfig) -> Tuple[jax.Array, jax.Array]:
+                  cfg: KPFusionConfig,
+                  img_feat: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     x = joint_feat + nn.mlp_gelu(p["pos_mlp"], joint_xyz)
+    if img_feat is not None:
+        # image stream: sample the fused map at the current (normalized)
+        # joint uv — the reference's GFM/img2pcl bridge per refinement.
+        sampled = sample_image_features(img_feat, joint_xyz[..., :2])
+        x = x + nn.linear(p["img_proj"], sampled)
     x = x + nn.mha_self_attention(p["sa"], nn.layer_norm(p["sa_norm"], x), cfg.heads)
     x = desa(p["desa"], x, joint_xyz, pcl_feat, pcl_xyz)
     x = x + nn.mlp_gelu(p["ff"], nn.layer_norm(p["ff_norm"], x))
@@ -266,7 +285,8 @@ def kpfusion_forward(
     trajectory = [joint_xyz]
     for blk in params["blocks"]:
         joint_feat, joint_xyz = decoder_block(blk, joint_feat, joint_xyz,
-                                              pcl_feat, pcl_xyz, cfg)
+                                              pcl_feat, pcl_xyz, cfg,
+                                              img_feat=fused)
         trajectory.append(joint_xyz)
 
     out = {
