@@ -80,3 +80,30 @@ class TestPointCloud:
         pcl = np.asarray(depth_to_pointcloud(depth, K, 32, stride=1))
         # all slots collapse to the single valid point
         np.testing.assert_allclose(pcl[:, 2], 0.5, atol=1e-6)
+
+
+class TestTraining:
+    def test_train_step_loss_decreases(self):
+        from hamer_yolo_tpu.training.train_kpfusion import (
+            init_kpfusion_train_state, make_kpfusion_train_step,
+            synthetic_kpfusion_batch,
+        )
+
+        state, tx = init_kpfusion_train_state(jax.random.PRNGKey(0), CFG, lr=1e-4)
+        step = jax.jit(make_kpfusion_train_step(CFG, tx))
+        batch = synthetic_kpfusion_batch(jax.random.PRNGKey(1), 2, CFG)
+        losses = []
+        for _ in range(8):
+            state, m = step(state, batch)
+            losses.append(float(m["total"]))
+        assert all(np.isfinite(losses))
+        assert min(losses[4:]) < losses[0]  # overfits the fixed batch
+
+    def test_heatmap_targets_peak_at_joint(self):
+        from hamer_yolo_tpu.training.train_kpfusion import heatmap_targets
+
+        uv = jnp.array([[[0.0, 0.0], [-1.0, -1.0]]])  # center, top-left
+        hm = np.asarray(heatmap_targets(uv, 9, sigma=1.0))
+        assert hm.shape == (1, 9, 9, 2)
+        assert hm[0, 4, 4, 0] == hm[0].max()  # center joint peaks at center
+        assert hm[0, 0, 0, 1] == hm[0, :, :, 1].max()
