@@ -73,3 +73,84 @@ class TestFullConverterRoundTrip:
         y2 = np.asarray(yolov7_forward(
             jax.tree_util.tree_map(jnp.asarray, restored), x, cfg))
         np.testing.assert_array_equal(y1, y2)
+
+
+class TestHamerConverterRoundTrip:
+    def test_vit_and_head_roundtrip(self):
+        from hamer_yolo_tpu.models.mano_head import ManoHeadConfig, init_mano_head
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+
+        vcfg = ViTConfig(img_size=(64, 48), embed_dim=64, depth=2, num_heads=4,
+                         compute_dtype="float32")
+        hcfg = ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2,
+                              dim_head=8, mlp_dim=32)
+        vit = init_vit(jax.random.PRNGKey(0), vcfg)
+        head = init_mano_head(jax.random.PRNGKey(1), hcfg)
+
+        def lin_t(p):
+            out = {"weight": np.transpose(np.asarray(p["w"]))}
+            if "b" in p:
+                out["bias"] = np.asarray(p["b"])
+            return out
+
+        sd = {}
+        sd["backbone.patch_embed.proj.weight"] = np.transpose(
+            np.asarray(vit["patch_embed"]["w"]), (3, 2, 0, 1))
+        sd["backbone.patch_embed.proj.bias"] = np.asarray(vit["patch_embed"]["b"])
+        sd["backbone.pos_embed"] = np.asarray(vit["pos_embed"])
+        sd["backbone.last_norm.weight"] = np.asarray(vit["last_norm"]["scale"])
+        sd["backbone.last_norm.bias"] = np.asarray(vit["last_norm"]["bias"])
+        for i, blk in enumerate(vit["blocks"]):
+            b = f"backbone.blocks.{i}."
+            sd[b + "norm1.weight"] = np.asarray(blk["norm1"]["scale"])
+            sd[b + "norm1.bias"] = np.asarray(blk["norm1"]["bias"])
+            sd[b + "norm2.weight"] = np.asarray(blk["norm2"]["scale"])
+            sd[b + "norm2.bias"] = np.asarray(blk["norm2"]["bias"])
+            for k, v in lin_t(blk["attn"]["qkv"]).items():
+                sd[b + f"attn.qkv.{k}"] = v
+            for k, v in lin_t(blk["attn"]["proj"]).items():
+                sd[b + f"attn.proj.{k}"] = v
+            for k, v in lin_t(blk["mlp"]["fc1"]).items():
+                sd[b + f"mlp.fc1.{k}"] = v
+            for k, v in lin_t(blk["mlp"]["fc2"]).items():
+                sd[b + f"mlp.fc2.{k}"] = v
+
+        h = "mano_head."
+        for k, v in lin_t(head["token_embed"]).items():
+            sd[h + f"transformer.to_token_embedding.{k}"] = v
+        sd[h + "transformer.pos_embedding"] = np.asarray(head["pos_embed"])
+        for name in ("decpose", "decshape", "deccam"):
+            for k, v in lin_t(head[name]).items():
+                sd[h + f"{name}.{k}"] = v
+        for b in ("init_hand_pose", "init_betas", "init_cam"):
+            sd[h + b] = np.asarray(head[b])
+        for i, layer in enumerate(head["layers"]):
+            t = h + f"transformer.transformer.layers.{i}."
+            sd[t + "0.norm.weight"] = np.asarray(layer["sa_norm"]["scale"])
+            sd[t + "0.norm.bias"] = np.asarray(layer["sa_norm"]["bias"])
+            sd[t + "0.fn.to_qkv.weight"] = np.transpose(np.asarray(layer["sa"]["qkv"]["w"]))
+            for k, v in lin_t(layer["sa"]["proj"]).items():
+                sd[t + f"0.fn.to_out.0.{k}"] = v
+            sd[t + "1.norm.weight"] = np.asarray(layer["ca_norm"]["scale"])
+            sd[t + "1.norm.bias"] = np.asarray(layer["ca_norm"]["bias"])
+            sd[t + "1.fn.to_q.weight"] = np.transpose(np.asarray(layer["ca"]["to_q"]["w"]))
+            sd[t + "1.fn.to_kv.weight"] = np.transpose(np.asarray(layer["ca"]["to_kv"]["w"]))
+            for k, v in lin_t(layer["ca"]["proj"]).items():
+                sd[t + f"1.fn.to_out.0.{k}"] = v
+            sd[t + "2.norm.weight"] = np.asarray(layer["ff_norm"]["scale"])
+            sd[t + "2.norm.bias"] = np.asarray(layer["ff_norm"]["bias"])
+            for k, v in lin_t(layer["ff"]["fc1"]).items():
+                sd[t + f"2.fn.net.0.{k}"] = v
+            for k, v in lin_t(layer["ff"]["fc2"]).items():
+                sd[t + f"2.fn.net.3.{k}"] = v
+
+        r_vit = cv.convert_vit_state_dict(sd, "backbone.", depth=2)
+        r_head = cv.convert_mano_head_state_dict(sd, "mano_head.", depth=2)
+
+        for orig, restored in ((vit, r_vit), (head, r_head)):
+            a = jax.tree_util.tree_leaves(orig)
+            b = jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(jnp.asarray, restored))
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
