@@ -67,3 +67,57 @@ class TestCheckpointRoundtrip:
             np.asarray(jax.tree_util.tree_leaves(restored.ema.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(state.ema.params)[0]),
         )
+
+
+FULLSIZE = os.path.join(os.path.dirname(__file__), "fixtures", "fullsize_golden.npz")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(FULLSIZE), reason="fixture missing")
+class TestFullSizeGolden:
+    """Full-size seed-0 regression pins (CPU f32). Catches numerical drift
+    in the production-size graphs across refactors/rounds. ~2 min on CPU."""
+
+    def test_hamer_fullsize(self):
+        import dataclasses
+
+        from hamer_yolo_tpu.core.mano_assets import load_mano_model
+        from hamer_yolo_tpu.models.hamer import HamerConfig, hamer_forward, init_hamer
+        from hamer_yolo_tpu.models.mano import ManoModel
+        from hamer_yolo_tpu.models.vit import VITH_CONFIG
+
+        data = np.load(FULLSIZE)
+        hcfg = HamerConfig(vit=dataclasses.replace(VITH_CONFIG,
+                                                   compute_dtype="float32"))
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+        hp = jax.jit(lambda k: init_hamer(k, hcfg))(jax.random.PRNGKey(0))
+        out = hamer_forward(hp, mano, jnp.asarray(data["hamer_input"]), hcfg)
+        np.testing.assert_allclose(np.asarray(out["pred_vertices"]),
+                                   data["hamer_vertices"], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out["pred_cam"]),
+                                   data["hamer_cam"], atol=1e-3)
+
+    def test_yolo_fullsize(self):
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7, yolov7_forward
+
+        data = np.load(FULLSIZE)
+        ycfg = YoloConfig(nc=3, compute_dtype="float32")
+        yp = jax.jit(lambda k: init_yolov7(k, ycfg))(jax.random.PRNGKey(0))
+        rng2 = np.random.default_rng(0)
+        _ = rng2.normal(size=(1, 256, 256, 3))  # consume hamer draw
+        yimg = rng2.uniform(0, 1, (1, 640, 640, 3)).astype(np.float32)
+        pred = np.asarray(yolov7_forward(yp, jnp.asarray(yimg), ycfg))
+        rows = pred[0, data["yolo_top_idx"]]
+        np.testing.assert_allclose(rows, data["yolo_top_rows"], atol=2e-3)
+
+    def test_sar_fullsize(self):
+        from hamer_yolo_tpu.core.mano_assets import load_mano_model
+        from hamer_yolo_tpu.models.mano import ManoModel
+        from hamer_yolo_tpu.models.sar import SarConfig, init_sar, sar_forward
+
+        data = np.load(FULLSIZE)
+        scfg = SarConfig(compute_dtype="float32")
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+        sp = jax.jit(lambda k: init_sar(k, mano.v_template, scfg))(jax.random.PRNGKey(0))
+        uvd = np.asarray(sar_forward(sp, jnp.asarray(data["sar_input"]), scfg))
+        np.testing.assert_allclose(uvd, data["sar_uvd"], atol=1e-2, rtol=1e-3)
