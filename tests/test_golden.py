@@ -121,3 +121,45 @@ class TestFullSizeGolden:
         sp = jax.jit(lambda k: init_sar(k, mano.v_template, scfg))(jax.random.PRNGKey(0))
         uvd = np.asarray(sar_forward(sp, jnp.asarray(data["sar_input"]), scfg))
         np.testing.assert_allclose(uvd, data["sar_uvd"], atol=1e-2, rtol=1e-3)
+
+
+class TestPipelineCheckpointRoundtrip:
+    def test_templateless_restore_runs(self, tmp_path):
+        """CLI --checkpoint path: full pipeline params survive a
+        templateless orbax restore (None spec-layers intact) and the
+        restored detector forward runs."""
+        from hamer_yolo_tpu.core.checkpoint import (
+            init_pipeline_params, load_checkpoint, save_checkpoint,
+        )
+        from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+        from hamer_yolo_tpu.models.hamer import HamerConfig
+        from hamer_yolo_tpu.models.mano import ManoModel
+        from hamer_yolo_tpu.models.mano_head import ManoHeadConfig
+        from hamer_yolo_tpu.models.sar import SarConfig
+        from hamer_yolo_tpu.models.vit import ViTConfig
+        from hamer_yolo_tpu.models.yolov7 import YoloConfig, yolov7_forward
+
+        try:
+            mano = ManoModel.from_arrays(load_mano_model("right"))
+        except Exception:
+            mano = ManoModel.from_arrays(synthetic_mano_model())
+        params = init_pipeline_params(
+            jax.random.PRNGKey(0), mano,
+            yolo_cfg=YoloConfig(nc=3, img_size=64),
+            hamer_cfg=HamerConfig(
+                image_size=64, crop_margin=8,
+                vit=ViTConfig(img_size=(64, 48), embed_dim=64, depth=2,
+                              num_heads=4),
+                head=ManoHeadConfig(dim=32, context_dim=64, depth=2, heads=2,
+                                    dim_head=8, mlp_dim=32)),
+            sar_cfg=SarConfig(backbone="resnet34", input_size=64,
+                              feature_hw=2, heatmap_size=8))
+        path = str(tmp_path / "pipe")
+        save_checkpoint(path, params)
+        restored = load_checkpoint(path)
+        assert set(restored) == {"yolo", "hamer", "sar"}
+        assert len(restored["yolo"]["layers"]) == 106
+        assert restored["yolo"]["layers"][10] is None  # CAT layer slot
+        out = yolov7_forward(restored["yolo"], jnp.zeros((1, 64, 64, 3)),
+                             YoloConfig(nc=3, img_size=64))
+        assert out.shape == (1, 252, 8)
