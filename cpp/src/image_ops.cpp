@@ -33,29 +33,48 @@ inline float sample_bilinear(const float* img, int h, int w, int c_stride,
 
 extern "C" {
 
+namespace {
+// round-half-to-even, matching Python round()/jnp.round
+inline double round_he(double v) { return std::nearbyint(v); }
+}  // namespace
+
 void hyt_letterbox(const uint8_t* img, int h, int w, int out_size,
                    float* out, float* r_out, float* dw_out, float* dh_out) {
-  const float r = std::min(static_cast<float>(out_size) / h,
-                           static_cast<float>(out_size) / w);
-  const float new_w = w * r;
-  const float new_h = h * r;
-  const float dw = (out_size - new_w) / 2.f;
-  const float dh = (out_size - new_h) / 2.f;
-  *r_out = r;
-  *dw_out = dw;
-  *dh_out = dh;
+  // cv2-letterbox-EXACT geometry (reference general.py:999-1029,
+  // auto=True stride 32), rect content TOP-LEFT aligned in the square
+  // canvas — mirrors geometry/affine.letterbox_geometry_traced.
+  const double r = std::min(static_cast<double>(out_size) / h,
+                            static_cast<double>(out_size) / w);
+  const double new_w = round_he(w * r);
+  const double new_h = round_he(h * r);
+  const double dw_total = std::fmod(out_size - new_w, 32.0);
+  const double dh_total = std::fmod(out_size - new_h, 32.0);
+  const double left = round_he(dw_total / 2.0 - 0.1);
+  const double top = round_he(dh_total / 2.0 - 0.1);
+  const double rect_w = new_w + dw_total;
+  const double rect_h = new_h + dh_total;
+  const double gain = std::min(rect_h / h, rect_w / w);
+  *r_out = static_cast<float>(gain);
+  *dw_out = static_cast<float>((rect_w - w * gain) / 2.0);
+  *dh_out = static_cast<float>((rect_h - h * gain) / 2.0);
 
+  const double sx_scale = w / new_w;
+  const double sy_scale = h / new_h;
   for (int oy = 0; oy < out_size; ++oy) {
     for (int ox = 0; ox < out_size; ++ox) {
-      const bool inside = ox >= std::floor(dw) && ox < std::ceil(out_size - dw) &&
-                          oy >= std::floor(dh) && oy < std::ceil(out_size - dh);
+      const bool inside = ox >= left && ox < left + new_w &&
+                          oy >= top && oy < top + new_h;
       float* dst = out + (oy * out_size + ox) * 3;
       if (!inside) {
         dst[0] = dst[1] = dst[2] = 114.f;
         continue;
       }
-      const float sx = (ox - dw + 0.5f) / r - 0.5f;
-      const float sy = (oy - dh + 0.5f) / r - 0.5f;
+      const float sx = std::clamp(
+          static_cast<float>((ox - left + 0.5) * sx_scale - 0.5), 0.f,
+          static_cast<float>(w - 1));
+      const float sy = std::clamp(
+          static_cast<float>((oy - top + 0.5) * sy_scale - 0.5), 0.f,
+          static_cast<float>(h - 1));
       for (int c = 0; c < 3; ++c) {
         // uint8 source; promote taps inline.
         const int x0 = static_cast<int>(std::floor(sx));
@@ -67,9 +86,10 @@ void hyt_letterbox(const uint8_t* img, int h, int w, int out_size,
           yy = std::clamp(yy, 0, h - 1);
           return static_cast<float>(img[(yy * w + xx) * 3 + c]);
         };
-        const float top = tap(y0, x0) * (1.f - wx) + tap(y0, x0 + 1) * wx;
-        const float bot = tap(y0 + 1, x0) * (1.f - wx) + tap(y0 + 1, x0 + 1) * wx;
-        dst[c] = top * (1.f - wy) + bot * wy;
+        const float top_v = tap(y0, x0) * (1.f - wx) + tap(y0, x0 + 1) * wx;
+        const float bot_v = tap(y0 + 1, x0) * (1.f - wx) + tap(y0 + 1, x0 + 1) * wx;
+        // cv2.resize emits uint8: snap to the integer grid.
+        dst[c] = std::nearbyint(top_v * (1.f - wy) + bot_v * wy);
       }
     }
   }
@@ -77,15 +97,22 @@ void hyt_letterbox(const uint8_t* img, int h, int w, int out_size,
 
 void hyt_crop_bilinear(const float* img, int h, int w, float cx, float cy,
                        float size, int out_size, float* out) {
-  // src = (o - out/2) * (size / out) + c  (same rule as warp_matmul.py).
+  // src = (o - out/2) * (size / out) + c  (same rule as warp_matmul.py),
+  // with cv2.warpAffine parity: 1/32-px coordinate quantization
+  // (INTER_BITS=5) + uint8 output rounding.
   const float scale = size / out_size;
   for (int oy = 0; oy < out_size; ++oy) {
     for (int ox = 0; ox < out_size; ++ox) {
-      const float sx = (ox - out_size / 2.f) * scale + cx;
-      const float sy = (oy - out_size / 2.f) * scale + cy;
+      // cv2.warpAffine (8U) coordinate model: round to the 1/128
+      // interpolation grid (measured; see warp_matmul.py).
+      const float sx =
+          std::nearbyint(((ox - out_size / 2.f) * scale + cx) * 128.f) / 128.f;
+      const float sy =
+          std::nearbyint(((oy - out_size / 2.f) * scale + cy) * 128.f) / 128.f;
       float* dst = out + (oy * out_size + ox) * 3;
       for (int c = 0; c < 3; ++c) {
-        dst[c] = sample_bilinear(img, h, w, 3, sx, sy, c, 0.f);
+        // uint8 rounding: (acc + (1<<21)) >> 22 == round-half-up
+        dst[c] = std::floor(sample_bilinear(img, h, w, 3, sx, sy, c, 0.f) + 0.5f);
       }
     }
   }

@@ -117,26 +117,49 @@ def _convert_detect(sd, prefix: str, n_heads: int = 3) -> Dict[str, Any]:
     return {"m": heads}
 
 
-def convert_yolov7_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    """Full yolov7 (deploy topology) state dict -> our params pytree.
+def _convert_keypoint(sd, prefix: str, n_heads: int = 3) -> Dict[str, Any]:
+    """IKeypoint: det convs with ImplicitA/M fused (IDetect algebra) plus
+    plain keypoint convs (single-conv m_kpt variant; the dw_conv_kpt stack
+    is not used by any reference cfg)."""
+    det = _convert_detect(sd, prefix, n_heads)
+    if f"{prefix}.m_kpt.0.0.conv.weight" in sd:
+        raise NotImplementedError("dw_conv_kpt IKeypoint variant")
+    det["m_kpt"] = [
+        {"w": conv_w(sd[f"{prefix}.m_kpt.{j}.weight"]),
+         "b": sd[f"{prefix}.m_kpt.{j}.bias"]}
+        for j in range(n_heads)
+    ]
+    return det
 
-    Works for both training-form (IDetect + RepConv branches + BN) and
-    deploy-form checkpoints; everything is fused to the deploy graph.
+
+def convert_yolov7_state_dict(sd: Dict[str, np.ndarray],
+                              spec=None) -> Dict[str, Any]:
+    """Full yolov7 state dict -> our params pytree.
+
+    Works for both training-form (IDetect/IBin/IKeypoint + RepConv
+    branches + BN) and deploy-form checkpoints; everything is fused to the
+    deploy graph. ``spec`` defaults to the built-in yolov7 deploy spec;
+    pass yaml_spec output for other family members.
     """
-    from hamer_yolo_tpu.models.yolov7.model import yolov7_spec, C, MP_, CAT, SPP, UP, REP, DET
+    from hamer_yolo_tpu.models.yolov7.model import (
+        BIN, C, CAT, DET, KPT, MP_, REP, SPP, UP, yolov7_spec,
+    )
 
-    spec = yolov7_spec()
+    spec = spec if spec is not None else yolov7_spec()
     layers: List[Any] = []
     for i, (frm, op, args) in enumerate(spec):
         prefix = f"model.{i}"
+        n_heads = len(frm) if isinstance(frm, tuple) else 1
         if op == C:
             layers.append(_convert_conv_block(sd, prefix))
         elif op == SPP:
             layers.append(_convert_sppcspc(sd, prefix))
         elif op == REP:
             layers.append(_convert_repconv(sd, prefix))
-        elif op == DET:
-            layers.append(_convert_detect(sd, prefix))
+        elif op == DET or op == BIN:
+            layers.append(_convert_detect(sd, prefix, n_heads))
+        elif op == KPT:
+            layers.append(_convert_keypoint(sd, prefix, n_heads))
         else:
             layers.append(None)
     return {"layers": layers}
@@ -297,6 +320,42 @@ def convert_sar_checkpoint(path: str, template: np.ndarray) -> Dict[str, Any]:
     rootnet = {"depth_layer": {"w": conv_w(root_sd["depth_layer.weight"]),
                                "b": root_sd["depth_layer.bias"]}}
     return {"backbone": backbone, "head": head, "rootnet": rootnet}
+
+
+def convert_pipeline_checkpoints(
+    yolo_pt: Optional[str],
+    hamer_ckpt: Optional[str],
+    sar_pth: Optional[str],
+    template: Optional[np.ndarray] = None,
+) -> Dict[str, Any]:
+    """Assemble a full pipeline params dict from the reference's three
+    native checkpoints (yolov7_best.pt / hamer.ckpt / SAR-*-Root.pth;
+    SURVEY.md 2.7). Any path may be None to skip that branch.
+
+    Note: yolov7 .pt files pickle the whole nn.Module (train.py ckpt
+    format), so deserializing them requires the yolov7 model classes to
+    be importable — the reference repo on sys.path, or the test harness
+    (tests/ref_pipeline_oracle.py). The extracted state dict itself is
+    converted without touching reference code.
+    """
+    params: Dict[str, Any] = {}
+    if yolo_pt is not None:
+        import torch
+
+        ckpt = torch.load(yolo_pt, map_location="cpu", weights_only=False)
+        # attempt_load prefers the EMA weights (experimental.py:266)
+        module = ckpt["ema" if ckpt.get("ema") else "model"] \
+            if isinstance(ckpt, dict) else ckpt
+        sd = {k: np.asarray(v.detach().cpu().float().numpy())
+              for k, v in module.state_dict().items()}
+        params["yolo"] = convert_yolov7_state_dict(sd)
+    if hamer_ckpt is not None:
+        params["hamer"] = convert_hamer_checkpoint(hamer_ckpt)
+    if sar_pth is not None:
+        if template is None:
+            raise ValueError("SAR conversion needs the MANO template")
+        params["sar"] = convert_sar_checkpoint(sar_pth, template)
+    return params
 
 
 def _convert_sar_head(sd: Dict[str, np.ndarray], template: np.ndarray) -> Dict[str, Any]:

@@ -213,6 +213,38 @@ def letterbox_params(
     return r, new_unpad, (dw, dh), (top, bottom, left, right)
 
 
+def letterbox_geometry_traced(h, w, out_size: int, stride: float = 32.0):
+    """cv2-letterbox-EXACT geometry with traced (h, w) scalars.
+
+    Reproduces the reference letterbox (general.py:999-1029, auto=True)
+    bit-for-bit — int(round(w*r)) resize target, mod-stride rectangular
+    pad, the round(d-0.1) top/left quirk — for embedding in a STATIC
+    out_size x out_size canvas with the rect content TOP-LEFT aligned
+    (the extra square padding goes to the bottom/right, so the anchor-grid
+    alignment of every content pixel matches the reference's rect canvas
+    exactly).
+
+    Returns (r, new_w, new_h, left, top, gain, pad) where (gain, pad) are
+    what the reference's scale_coords (general.py:323) derives from the
+    rect canvas shape: gain = min(rect/orig), pad = (rect - orig*gain)/2
+    UNROUNDED.
+
+    jnp.round matches Python's round() (both half-to-even).
+    """
+    r = jnp.minimum(out_size / h, out_size / w)
+    new_w = jnp.round(w * r)
+    new_h = jnp.round(h * r)
+    dw_total = jnp.mod(out_size - new_w, stride)
+    dh_total = jnp.mod(out_size - new_h, stride)
+    left = jnp.round(dw_total / 2.0 - 0.1)
+    top = jnp.round(dh_total / 2.0 - 0.1)
+    rect_w = new_w + dw_total
+    rect_h = new_h + dh_total
+    gain = jnp.minimum(rect_h / h, rect_w / w)
+    pad = jnp.stack([(rect_w - w * gain) / 2.0, (rect_h - h * gain) / 2.0])
+    return r, new_w, new_h, left, top, gain, pad
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def letterbox_image(
     img: jax.Array,

@@ -26,13 +26,18 @@ def load_intrinsics(path: str) -> np.ndarray:
     return K.astype(np.float32)
 
 
-def frame_outputs_to_hand_dicts(out: Dict[str, np.ndarray]) -> Dict[str, Optional[dict]]:
+def frame_outputs_to_hand_dicts(out: Dict[str, np.ndarray],
+                                keep: str = "best") -> Dict[str, Optional[dict]]:
     """Convert masked slot arrays from infer_frame into the npy schema.
 
-    Keeps the highest-scored detection per side (the reference's
-    last-write-wins loop keeps the lowest-scored duplicate — a quirk we
-    deliberately correct; slots arrive score-sorted).
+    keep="best" (default) keeps the highest-scored detection per side;
+    the reference's last-write-wins loop (infer.py:1296-1304) keeps the
+    LAST duplicate in NMS order, i.e. the lowest-scored one — a quirk we
+    deliberately correct. keep="last" reproduces the reference behavior
+    exactly (used by the composed-pipeline parity test).
     """
+    if keep not in ("best", "last"):
+        raise ValueError(keep)
     results: Dict[str, Optional[dict]] = {"left": None, "right": None}
     valid = np.asarray(out["valid"])
     is_right = np.asarray(out["is_right"])
@@ -40,7 +45,7 @@ def frame_outputs_to_hand_dicts(out: Dict[str, np.ndarray]) -> Dict[str, Optiona
         if not valid[i]:
             continue
         label = "right" if is_right[i] > 0.5 else "left"
-        if results[label] is not None:
+        if results[label] is not None and keep == "best":
             continue  # slots are score-sorted; first hit is the best
         results[label] = {
             "betas": np.asarray(out["betas"][i]),

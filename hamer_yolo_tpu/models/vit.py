@@ -27,7 +27,11 @@ from hamer_yolo_tpu.core import nn
 class ViTConfig:
     img_size: tuple = (256, 192)  # (H, W) after the pipeline's center crop
     patch_size: int = 16
-    patch_padding: int = 4
+    # PatchEmbed conv padding: the reference computes 4 + 2*(ratio//2 - 1)
+    # with ratio=1 => **2** (vit.py:168) — not 4 as a quick read suggests.
+    # Verified against the live reference module by the composed parity
+    # test (tests/test_pipeline_parity.py).
+    patch_padding: int = 2
     embed_dim: int = 1280
     depth: int = 32
     num_heads: int = 16

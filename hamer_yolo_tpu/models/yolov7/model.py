@@ -34,6 +34,8 @@ from hamer_yolo_tpu.models.yolov7 import blocks as B
 # UP nearest2x; REP RepConv(c2); DET detect head.
 
 C, MP_, CAT, SPP, UP, REP, DET = "C", "MP", "CAT", "SPP", "UP", "REP", "DET"
+# IBin / IKeypoint head variants (models/yolov7/heads.py)
+BIN, KPT = "BIN", "KPT"
 
 
 def _elan(c_mid: int, c_out: int) -> List[Tuple[Any, str, tuple]]:
@@ -128,6 +130,10 @@ class YoloConfig:
     # bf16 conv backbone (the reference runs the detector in fp16,
     # yolo/detector.py:111); decode runs in f32.
     compute_dtype: str = "bfloat16"
+    # IBin / IKeypoint head parameters (heads.py; only used when the spec
+    # ends in a BIN/KPT op).
+    bin_count: int = 21
+    nkpt: int = 17
 
     @property
     def no(self) -> int:
@@ -205,6 +211,20 @@ def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
                 heads.append(nn.conv_init(det_keys[j], 1, channels[s], cfg.na * cfg.no, bias=True))
             layers.append({"m": heads})
             c2 = 0
+        elif op == BIN:
+            from hamer_yolo_tpu.models.yolov7 import heads as H
+
+            layers.append(H.init_bin_head(
+                keys[i], [channels[s] for s in srcs], cfg.na, cfg.nc,
+                cfg.bin_count))
+            c2 = 0
+        elif op == KPT:
+            from hamer_yolo_tpu.models.yolov7 import heads as H
+
+            layers.append(H.init_keypoint_head(
+                keys[i], [channels[s] for s in srcs], cfg.na, cfg.nc,
+                cfg.nkpt))
+            c2 = 0
         else:
             raise ValueError(op)
         channels.append(c2)
@@ -253,9 +273,17 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
             out = jnp.concatenate([a, b], axis=-1)
         elif op == REP:
             out = B.repconv(p, inputs[0])
-        elif op == DET:
+        elif op == DET or op == BIN:
             for head_p, inp in zip(p["m"], inputs):
                 det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            out = inputs[-1]
+        elif op == KPT:
+            # IKeypoint: concat [fused det conv | kpt conv] channels
+            # (models/yolo.py:264) before the (na, no) reshape.
+            for head_p, kpt_p, inp in zip(p["m"], p["m_kpt"], inputs):
+                d = nn.conv2d(head_p, inp, stride=1, padding=0)
+                k = nn.conv2d(kpt_p, inp, stride=1, padding=0)
+                det_maps.append(jnp.concatenate([d, k], axis=-1))
             out = inputs[-1]
         if i in saved:
             y[i] = out
@@ -342,9 +370,19 @@ def decode_detections(det_maps: Sequence[jax.Array],
 
 def yolov7_forward(params: nn.Params, x: jax.Array,
                    cfg: YoloConfig = YoloConfig(), spec=None) -> jax.Array:
-    """Full inference graph: image (B, H, W, 3) -> decoded (B, N, nc+5)."""
-    return decode_detections(
-        yolov7_backbone_forward(params, x, cfg, spec=spec), cfg)
+    """Full inference graph: image (B, H, W, 3) -> decoded (B, N, nc+5)
+    (IKeypoint specs append 3*nkpt keypoint columns)."""
+    maps = yolov7_backbone_forward(params, x, cfg, spec=spec)
+    head_op = (spec if spec is not None else yolov7_spec())[-1][1]
+    if head_op == BIN:
+        from hamer_yolo_tpu.models.yolov7 import heads as H
+
+        return H.decode_bin_detections(maps, cfg, cfg.bin_count)
+    if head_op == KPT:
+        from hamer_yolo_tpu.models.yolov7 import heads as H
+
+        return H.decode_keypoint_detections(maps, cfg, cfg.nkpt)
+    return decode_detections(maps, cfg)
 
 
 def yolov7_ensemble_forward(params_list, x: jax.Array,

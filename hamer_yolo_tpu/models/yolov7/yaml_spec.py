@@ -20,7 +20,7 @@ import math
 from typing import Any, Dict, List, Sequence, Tuple
 
 from hamer_yolo_tpu.models.yolov7.model import (
-    C, CAT, DET, MP_, REP, SPP, UP, YoloConfig,
+    BIN, C, CAT, DET, KPT, MP_, REP, SPP, UP, YoloConfig,
 )
 
 # extra ops introduced by larger/smaller family members
@@ -40,6 +40,8 @@ _ACT_MODULES = {
     "Detect": DET,
     "IDetect": DET,
     "IAuxDetect": DET,
+    "IBin": BIN,
+    "IKeypoint": KPT,
 }
 
 
@@ -85,20 +87,27 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
             spec.append((frm_t, SP_, (k,)))
         elif op in (MP_, CAT, UP, REORG):
             spec.append((frm_t, op, ()))
-        elif op == DET:
+        elif op in (DET, BIN, KPT):
             det_from = frm_t
             if module == "IAuxDetect":
                 # deploy strips the aux heads: keep the first half of inputs
                 half = len(det_from) // 2
                 det_from = tuple(det_from[:half])
-            spec.append((det_from, DET, ()))
+            head_args = ()
+            if op == KPT and len(args) > 2:  # [nc, anchors, nkpt]
+                head_args = (int(args[2]),)
+            spec.append((det_from, op, head_args))
 
+    head_op = spec[-1][1]
     nl = len(det_from)
     # stride pyramid: ReOrg models start at P3=8 despite the extra reorg
     # (w6/e6 use 4 levels 8..64); plain models use 8/16/32.
     strides = tuple(8 * (2 ** i) for i in range(nl))
     flat_anchors = tuple(tuple(a) for a in anchors)
-    cfg = YoloConfig(nc=nc, anchors=flat_anchors, strides=strides)
+    kw = {}
+    if head_op == KPT and spec[-1][2]:
+        kw["nkpt"] = spec[-1][2][0]
+    cfg = YoloConfig(nc=nc, anchors=flat_anchors, strides=strides, **kw)
     return spec, cfg
 
 

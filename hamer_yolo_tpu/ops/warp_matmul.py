@@ -32,6 +32,15 @@ import jax
 import jax.numpy as jnp
 
 
+def warpaffine_fixed_point_coords(a, b, o: jax.Array) -> jax.Array:
+    """cv2.warpAffine (8U, INTER_LINEAR) coordinate model: src = a*o + b
+    rounded to the interpolation-table grid. Measured on this build by
+    warping delta images: the effective fraction granularity is 1/128 and
+    round-to-nearest fits best (max residual 0.006 of a pixel step, the
+    coefficient-table quantization)."""
+    return jnp.round((a * o + b) * 128.0) / 128.0
+
+
 def _interp_matrix(src_coords: jax.Array, src_size: int) -> jax.Array:
     """(out,) float source coords -> (out, src_size) bilinear weights."""
     s = jax.lax.broadcasted_iota(jnp.float32, (src_coords.shape[0], src_size), 1)
@@ -77,9 +86,14 @@ def crop_square_matmul(
     out_h, out_w = out_hw
     ox = jnp.arange(out_w, dtype=jnp.float32)
     oy = jnp.arange(out_h, dtype=jnp.float32)
-    src_x = (ox - out_w / 2.0) * (size_wh[0] / out_w) + center[0]
-    src_y = (oy - out_h / 2.0) * (size_wh[1] / out_h) + center[1]
-    return resample_axis_aligned(img, src_x, src_y)
+    ax = size_wh[0] / out_w
+    ay = size_wh[1] / out_h
+    bx = center[0] - (out_w / 2.0) * ax
+    by = center[1] - (out_h / 2.0) * ay
+    src_x = warpaffine_fixed_point_coords(ax, bx, ox)
+    src_y = warpaffine_fixed_point_coords(ay, by, oy)
+    # uint8 output rounding: (acc + (1<<21)) >> 22 == round-half-up
+    return jnp.floor(resample_axis_aligned(img, src_x, src_y) + 0.5)
 
 
 def letterbox_matmul(
@@ -88,20 +102,24 @@ def letterbox_matmul(
     out_size: int = 640,
     pad_value: float = 114.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """MXU version of preprocess.device_letterbox (same geometry/returns)."""
+    """MXU version of preprocess.device_letterbox (same geometry/returns:
+    cv2-exact rect letterbox, top-left aligned in the square canvas)."""
+    from hamer_yolo_tpu.geometry.affine import letterbox_geometry_traced
+
     h, w = orig_hw[0], orig_hw[1]
-    r = jnp.minimum(out_size / h, out_size / w)
-    dw = (out_size - w * r) / 2.0
-    dh = (out_size - h * r) / 2.0
+    r, new_w, new_h, left, top, gain, pad = letterbox_geometry_traced(
+        h, w, out_size)
     o = jnp.arange(out_size, dtype=jnp.float32)
-    src_x = (o - dw + 0.5) / r - 0.5
-    src_y = (o - dh + 0.5) / r - 0.5
-    # Mask coords that fall into the pad region so they read the border.
-    H, W = img.shape[0], img.shape[1]
-    src_x = jnp.where((o >= jnp.floor(dw)) & (o < jnp.ceil(out_size - dw)), src_x, -2.0)
-    src_y = jnp.where((o >= jnp.floor(dh)) & (o < jnp.ceil(out_size - dh)), src_y, -2.0)
-    # Also clamp reads beyond the *valid* (unpadded-bucket) region.
-    src_x = jnp.where(src_x > w - 0.5, -2.0, src_x)
-    src_y = jnp.where(src_y > h - 0.5, -2.0, src_y)
+    src_x = (o - left + 0.5) * (w / new_w) - 0.5
+    src_y = (o - top + 0.5) * (h / new_h) - 0.5
+    # Content coords clamp to the valid edge (cv2.resize replicates at
+    # borders; this also keeps reads out of the bucket padding); pad
+    # region reads -2.0 => zero row weight => 114 blend below.
+    src_x = jnp.where((o >= left) & (o < left + new_w),
+                      jnp.clip(src_x, 0.0, w - 1.0), -2.0)
+    src_y = jnp.where((o >= top) & (o < top + new_h),
+                      jnp.clip(src_y, 0.0, h - 1.0), -2.0)
     out = resample_axis_aligned(img, src_x, src_y, pad_value=pad_value)
-    return out, r, jnp.stack([dw, dh])
+    # cv2.resize emits uint8; snap to the integer grid like the reference.
+    out = jnp.round(out)
+    return out, gain, pad

@@ -16,7 +16,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from hamer_yolo_tpu.geometry.affine import bilinear_sample, gen_trans_from_patch, invert_affine
+from hamer_yolo_tpu.geometry.affine import (
+    bilinear_sample, gen_trans_from_patch, invert_affine,
+    letterbox_geometry_traced,
+)
 from hamer_yolo_tpu.ops import warp_matmul
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -37,34 +40,38 @@ def device_letterbox(
 
     img: (Hb, Wb, 3) raw frame padded (bottom/right) to the bucket shape;
     orig_hw: (2,) actual (h, w). Returns (letterboxed (S, S, 3),
-    gain r, pad (dw, dh)). Matches reference letterbox geometry with
-    auto=False (full square pad), scaleup=True.
+    gain, pad (dw, dh)) with cv2-EXACT geometry: the reference's rect
+    letterbox (auto=True, mod-32 pad, round(d-0.1) quirks) top-left
+    aligned in the static square canvas — content pixels land on the
+    same anchor-grid cells as the reference's rect canvas, and
+    (gain, pad) are exactly what scale_coords derives there.
     """
     if WARP_IMPL == "matmul":
         return warp_matmul.letterbox_matmul(img, orig_hw, out_size, pad_value)
     h, w = orig_hw[0], orig_hw[1]
-    r = jnp.minimum(out_size / h, out_size / w)
-    new_w = w * r
-    new_h = h * r
-    dw = (out_size - new_w) / 2.0
-    dh = (out_size - new_h) / 2.0
-    # Map output pixel -> source pixel: x_src = (x_out - dw) / r.
+    r, new_w, new_h, left, top, gain, pad = letterbox_geometry_traced(
+        h, w, out_size)
     ys, xs = jnp.meshgrid(
         jnp.arange(out_size, dtype=jnp.float32),
         jnp.arange(out_size, dtype=jnp.float32),
         indexing="ij",
     )
-    # Align with cv2.resize sampling: src = (dst + 0.5) / r - 0.5.
-    src_x = (xs - dw + 0.5) / r - 0.5
-    src_y = (ys - dh + 0.5) / r - 0.5
+    # cv2.resize sampling to the ROUNDED target size: src = (dst+0.5)*scale-0.5,
+    # clamped to the valid edge (resize replicates at borders; also keeps
+    # reads out of the bucket padding).
+    src_x = jnp.clip((xs - left + 0.5) * (w / new_w) - 0.5, 0.0, w - 1.0)
+    src_y = jnp.clip((ys - top + 0.5) * (h / new_h) - 0.5, 0.0, h - 1.0)
     out = bilinear_sample(img, src_x, src_y, border_value=pad_value)
+    # cv2.resize emits uint8 (the reference letterboxes the raw frame);
+    # round to the integer grid so fixed-point quantization cannot drift.
+    out = jnp.round(out)
     # Padding region must be exactly pad_value (not blended with edges)
     inside = (
-        (xs >= jnp.floor(dw)) & (xs < jnp.ceil(out_size - dw))
-        & (ys >= jnp.floor(dh)) & (ys < jnp.ceil(out_size - dh))
+        (xs >= left) & (xs < left + new_w)
+        & (ys >= top) & (ys < top + new_h)
     )
     out = jnp.where(inside[..., None], out, pad_value)
-    return out, r, jnp.stack([dw, dh])
+    return out, gain, pad
 
 
 def normalize_imagenet(patch_rgb01: jax.Array) -> jax.Array:
@@ -95,9 +102,15 @@ def crop_square_patch(
         jnp.arange(out_w, dtype=jnp.float32),
         indexing="ij",
     )
-    src_x = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
-    src_y = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
-    return bilinear_sample(img, src_x, src_y, 0.0)
+    # cv2.warpAffine fixed-point coordinate model (see
+    # warp_matmul.warpaffine_fixed_point_coords); axis-aligned crop so the
+    # cross terms inv[0,1]/inv[1,0] are zero.
+    from hamer_yolo_tpu.ops.warp_matmul import warpaffine_fixed_point_coords
+
+    src_x = warpaffine_fixed_point_coords(inv[0, 0], inv[0, 2], xs)
+    src_y = warpaffine_fixed_point_coords(inv[1, 1], inv[1, 2], ys)
+    # uint8 output rounding: (acc + (1<<21)) >> 22 == round-half-up
+    return jnp.floor(bilinear_sample(img, src_x, src_y, 0.0) + 0.5)
 
 
 def hamer_crop(

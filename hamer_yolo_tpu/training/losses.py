@@ -96,15 +96,33 @@ def bce_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
 
 
 
-def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na):
+def _bin_L(bin_count):
+    return bin_count + 1
+
+
+def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na,
+                      head="detect", bin_count=21):
     """Per-level anchor/cell candidate construction (build_targets core).
 
     g is the neighbor-cell radius: 0.5 for lead heads, 1.0 for aux heads
     (ComputeLossAuxOTA's looser build_targets2, loss.py:1179+).
+
+    head="bin" switches to the IBin layout (ComputeLossBinOTA,
+    loss.py:852-1178): per-anchor channels [x, y, w_bin(bc+1),
+    h_bin(bc+1), obj, cls...]; the COST boxes decode wh via the forward
+    SigmoidBin (argmax bin), the LOSS boxes via the target-indexed bin
+    (SigmoidBin.training_loss semantics).
     """
     B, H, W, _ = raw.shape
     T = targets.shape[1]
-    m = raw.reshape(B, H, W, na, nc + 5)
+    if head == "bin":
+        Lb = _bin_L(bin_count)
+        no = nc + 3 + 2 * Lb
+        obj_idx = 2 + 2 * Lb
+    else:
+        no = nc + 5
+        obj_idx = 4
+    m = raw.reshape(B, H, W, na, no)
     m = jnp.transpose(m, (0, 3, 1, 2, 4))  # (B, na, H, W, no)
 
     t_xy = targets[..., 1:3] * jnp.array([W, H])  # grid units
@@ -144,12 +162,47 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na)
     match_f = match.astype(raw.dtype)
 
     ps_xy = jax.nn.sigmoid(psel[..., 0:2]) * 2.0 - 0.5
-    ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
     rel_xy = t_xy[:, :, None, None, :] - cells[:, :, :, None, :].astype(raw.dtype)
     rel_xy = jnp.broadcast_to(rel_xy, ps_xy.shape)
+    bin_bce = None
+    if head == "bin":
+        from hamer_yolo_tpu.models.yolov7.heads import (
+            sigmoid_bin_decode, sigmoid_bin_training_loss,
+        )
+
+        Lb = _bin_L(bin_count)
+        w_logits = psel[..., 2:2 + Lb]
+        h_logits = psel[..., 2 + Lb:obj_idx]
+        anc_b = jnp.broadcast_to(anc[None, None, None, :, :], ps_xy.shape[:-1] + (2,))
+        # cost wh: forward (argmax-bin) decode on sigmoided logits
+        wh_cost = jnp.stack([
+            sigmoid_bin_decode(jax.nn.sigmoid(w_logits), bin_count),
+            sigmoid_bin_decode(jax.nn.sigmoid(h_logits), bin_count),
+        ], axis=-1) * anc_b
+        # loss wh + bin BCE: target-indexed bin (training_loss)
+        t_wh_b = jnp.broadcast_to(t_wh[:, :, None, None, :], anc_b.shape)
+        bin_t_w = t_wh_b[..., 0] / anc_b[..., 0]
+        bin_t_h = t_wh_b[..., 1] / anc_b[..., 1]
+        wflat = match_f.reshape(-1)
+        _, pw = sigmoid_bin_training_loss(
+            w_logits.reshape(-1, Lb), bin_t_w.reshape(-1),
+            weight=wflat, bin_count=bin_count)
+        _, ph = sigmoid_bin_training_loss(
+            h_logits.reshape(-1, Lb), bin_t_h.reshape(-1),
+            weight=wflat, bin_count=bin_count)
+        bin_bce = (bin_t_w, bin_t_h)  # BCE recomputed post-OTA
+        ps_wh = jnp.stack([pw.reshape(anc_b.shape[:-1]),
+                           ph.reshape(anc_b.shape[:-1])], axis=-1) * anc_b
+        pbox_cost = jnp.concatenate([ps_xy, wh_cost], axis=-1)
+    else:
+        ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
+        pbox_cost = None
     pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
     tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
     ciou = bbox_ciou(pbox, tbox)
+    # plain IoU for the OTA cost (the reference uses box_iou, not CIoU)
+    cbox = pbox if pbox_cost is None else pbox_cost
+    iou_cost = _plain_iou_xywh(jax.lax.stop_gradient(cbox), tbox)
 
     flat_idx = (bidx * (L * na * 8192)  # unique per (b, lvl, anchor, cell)
                 + lvl * (na * 8192)
@@ -157,10 +210,25 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na)
                 + cells_y[..., None] * W + cells_x[..., None])
     return {
         "m": m, "psel": psel, "match_f": match_f, "ciou": ciou,
+        "iou_cost": iou_cost, "obj_idx": obj_idx, "anc_grid": anc,
+        "bin_t_w": None if bin_bce is None else bin_bce[0],
+        "bin_t_h": None if bin_bce is None else bin_bce[1],
         "t_cls": t_cls, "H": H, "W": W, "na": na, "lvl": lvl,
         "cells_y": cells_y, "cells_x": cells_x, "bidx": bidx,
         "flat_idx": flat_idx,
     }
+
+
+def _plain_iou_xywh(box1: jax.Array, box2: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Plain IoU between xywh boxes (reference general.py box_iou on xyxy)."""
+    b1x1, b1y1 = box1[..., 0] - box1[..., 2] / 2, box1[..., 1] - box1[..., 3] / 2
+    b1x2, b1y2 = box1[..., 0] + box1[..., 2] / 2, box1[..., 1] + box1[..., 3] / 2
+    b2x1, b2y1 = box2[..., 0] - box2[..., 2] / 2, box2[..., 1] - box2[..., 3] / 2
+    b2x2, b2y2 = box2[..., 0] + box2[..., 2] / 2, box2[..., 1] + box2[..., 3] / 2
+    inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0) * \
+        jnp.clip(jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0)
+    union = box1[..., 2] * box1[..., 3] + box2[..., 2] * box2[..., 3] - inter + eps
+    return inter / union
 
 
 def yolo_loss(
@@ -176,6 +244,8 @@ def yolo_loss(
     assigner: str = "neighbor",
     ota_topk: int = 10,
     aux_maps=None,
+    head: str = "detect",
+    bin_count: int = 21,
 ) -> Dict[str, jax.Array]:
     """Fixed-capacity YOLO loss.
 
@@ -197,67 +267,38 @@ def yolo_loss(
     na = anchors.shape[1]
     L = len(raw_maps)
     balance = (4.0, 1.0, 0.4, 0.1)[:L] if L <= 4 else (1.0,) * L
+    if head == "bin" and assigner != "simota":
+        raise ValueError("the IBin head only has an OTA loss "
+                         "(ComputeLossBinOTA, loss.py:852)")
 
     # ---- Pass 1: per-level candidate construction -------------------------
     per_level = [
         _level_candidates(raw, targets, anchors[lvl], strides[lvl], nc,
-                          anchor_t, 0.5, lvl, L, na)
+                          anchor_t, 0.5, lvl, L, na, head=head,
+                          bin_count=bin_count)
         for lvl, raw in enumerate(raw_maps)
     ]
 
-    # ---- SimOTA selection (optional) --------------------------------------
+    # ---- SimOTA: exact pooled formulation ----------------------------------
     if assigner == "simota":
-        # candidate pool per gt across all levels: C = L * 5 * na
-        iou_all = jnp.concatenate(
-            [d["ciou"].reshape(B, T, -1) for d in per_level], axis=-1)
-        match_all = jnp.concatenate(
-            [d["match_f"].reshape(B, T, -1) for d in per_level], axis=-1)
-        iou_pos = jnp.clip(jax.lax.stop_gradient(iou_all), 0.0, 1.0) * match_all
-
-        # classification cost (stop-grad; assignment only)
-        cls_cost_parts = []
-        for d in per_level:
-            p = jax.lax.stop_gradient(d["psel"])
-            p_cls = jax.nn.sigmoid(p[..., 5:]) * jax.nn.sigmoid(p[..., 4:5])
-            onehot = jax.nn.one_hot(d["t_cls"], nc)[:, :, None, None, :]
-            bce = -(onehot * jnp.log(p_cls + 1e-8)
-                    + (1 - onehot) * jnp.log(1 - p_cls + 1e-8)).sum(-1)
-            cls_cost_parts.append(bce.reshape(B, T, -1))
-        cls_cost = jnp.concatenate(cls_cost_parts, axis=-1)
-
-        cost = cls_cost + 3.0 * (-jnp.log(iou_pos + 1e-8))
-        BIG = 1e9
-        cost = jnp.where(match_all > 0, cost, BIG)
-
-        # dynamic k per gt: sum of top-10 IoUs, >= 1
-        k_top = min(ota_topk, iou_pos.shape[-1])
-        topk_iou, _ = jax.lax.top_k(iou_pos, k_top)
-        dyn_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, None)
-
-        # rank of each candidate's cost within its gt row
-        order = jnp.argsort(cost, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
-        select = (ranks < dyn_k[..., None]) & (match_all > 0)
-
-        # conflict resolution: a (cell, anchor) claimed by several gts goes
-        # to the lowest-cost gt (segment_min over flat ids)
-        flat_all = jnp.concatenate(
-            [d["flat_idx"].reshape(B, T, -1) for d in per_level], axis=-1)
-        sel_cost = jnp.where(select, cost, BIG)
-        nseg = B * L * na * 8192
-        min_cost = jax.ops.segment_min(
-            sel_cost.reshape(-1), flat_all.reshape(-1), num_segments=nseg,
-        )
-        winner = sel_cost <= min_cost[flat_all] + 1e-6
-        select = select & winner
-
-        # write the per-level selection back as the match mask
-        off = 0
-        for d in per_level:
-            n = d["ciou"].reshape(B, T, -1).shape[-1]
-            d["match_f"] = select[..., off:off + n].reshape(d["ciou"].shape).astype(
-                d["ciou"].dtype)
-            off += n
+        total_box, total_obj, total_cls = _simota_pooled_losses(
+            per_level, targets, strides, nc, head, bin_count, balance,
+            ota_topk, B, T, na)
+        if aux_maps is not None:
+            aux_level = [
+                _level_candidates(raw, targets, anchors[lvl], strides[lvl],
+                                  nc, anchor_t, 1.0, lvl, L, na)
+                for lvl, raw in enumerate(aux_maps)
+            ]
+            a_box, a_obj, a_cls = _accumulate_losses(aux_level, nc, balance, B)
+            total_box += 0.25 * a_box
+            total_obj += 0.25 * a_obj
+            total_cls += 0.25 * a_cls
+        loss = box_w * total_box + obj_w * total_obj + cls_w * total_cls
+        return {
+            "loss": loss * B,
+            "box": total_box, "obj": total_obj, "cls": total_cls,
+        }
 
     # ---- Pass 2: loss accumulation ----------------------------------------
     total_box, total_obj, total_cls = _accumulate_losses(per_level, nc, balance, B)
@@ -282,6 +323,184 @@ def yolo_loss(
     }
 
 
+def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
+                          balance, ota_topk, B, T, na):
+    """EXACT dense formulation of ComputeLoss(Bin)OTA's build_targets
+    (loss.py:559-851 / :852-1178).
+
+    The reference pools ALL find_3_positive candidates of an image across
+    gts and levels into one cost matrix — a candidate cell generated by
+    gt A can be assigned to gt B, and duplicate (cell, anchor) columns
+    from different source gts are separate columns (both can be matched,
+    to different gts). Conflicts are resolved per COLUMN only (lowest
+    cost gt). This function reproduces that with fixed shapes: the pool
+    is the padded (T * 5 offsets * na) candidate grid per level, masked
+    by candidate existence.
+    """
+    from hamer_yolo_tpu.models.yolov7.heads import (
+        sigmoid_bin_centers, sigmoid_bin_decode,
+    )
+
+    BIG = 1e9
+    Lb = bin_count + 1
+    img_w = per_level[0]["W"] * strides[0]
+    img_h = per_level[0]["H"] * strides[0]
+    gt_cls = targets[..., 0].astype(jnp.int32)          # (B, T)
+    gt_valid = targets[..., 3] > 0                       # (B, T)
+    gt_xy_px = targets[..., 1:3] * jnp.array([img_w, img_h], jnp.float32)
+    gt_wh_px = targets[..., 3:5] * jnp.array([img_w, img_h], jnp.float32)
+    gt_box_px = jnp.concatenate([gt_xy_px, gt_wh_px], axis=-1)  # (B, T, 4)
+
+    # ---- flatten candidates per level --------------------------------------
+    lvl_data = []
+    for d in per_level:
+        obj_idx = d["obj_idx"]
+        stride = strides[d["lvl"]]
+        no = d["psel"].shape[-1]
+        C = d["psel"].shape[1] * d["psel"].shape[2] * d["psel"].shape[3]
+        ps = d["psel"].reshape(B, C, no)
+        exist = d["match_f"].reshape(B, C) > 0
+        cellx = jnp.broadcast_to(d["cells_x"][..., None],
+                                 d["match_f"].shape).reshape(B, C)
+        celly = jnp.broadcast_to(d["cells_y"][..., None],
+                                 d["match_f"].shape).reshape(B, C)
+        anc = d["anc_grid"]  # (na, 2) grid units
+        anc_c = jnp.broadcast_to(
+            anc[None, None, None, :, :], d["match_f"].shape + (2,)
+        ).reshape(B, C, 2)
+
+        sxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
+        cell = jnp.stack([cellx, celly], axis=-1).astype(jnp.float32)
+        xy_grid = sxy + cell
+        if head == "bin":
+            w_logits = ps[..., 2:2 + Lb]
+            h_logits = ps[..., 2 + Lb:obj_idx]
+            wh_cost = jnp.stack([
+                sigmoid_bin_decode(jax.nn.sigmoid(w_logits), bin_count),
+                sigmoid_bin_decode(jax.nn.sigmoid(h_logits), bin_count),
+            ], axis=-1) * anc_c
+        else:
+            w_logits = h_logits = None
+            wh_cost = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anc_c
+        box_px = jnp.concatenate([xy_grid * stride, wh_cost * stride], axis=-1)
+        lvl_data.append(dict(
+            ps=ps, exist=exist, cell=cell, anc=anc_c, obj_idx=obj_idx,
+            box_px=box_px, stride=stride, C=C,
+            w_logits=w_logits, h_logits=h_logits,
+            obj_logit=ps[..., obj_idx], cls_logits=ps[..., obj_idx + 1:],
+            d=d,
+        ))
+
+    cand_box = jnp.concatenate([l["box_px"] for l in lvl_data], axis=1)
+    cand_exist = jnp.concatenate([l["exist"] for l in lvl_data], axis=1)
+    cand_obj = jnp.concatenate([l["obj_logit"] for l in lvl_data], axis=1)
+    cand_cls = jnp.concatenate([l["cls_logits"] for l in lvl_data], axis=1)
+
+    # ---- pairwise cost (B, T, Ctot), assignment only (stop-grad) ----------
+    iou = _plain_iou_xywh(jax.lax.stop_gradient(cand_box)[:, None, :, :],
+                          gt_box_px[:, :, None, :])
+    mask = cand_exist[:, None, :] & gt_valid[:, :, None]
+    iou_m = jnp.clip(iou, 0.0, 1.0) * mask
+    onehot = jax.nn.one_hot(gt_cls, nc)                  # (B, T, nc)
+    y = jnp.sqrt(jax.nn.sigmoid(jax.lax.stop_gradient(cand_cls))
+                 * jax.nn.sigmoid(jax.lax.stop_gradient(cand_obj))[..., None])
+    bce_cost = -(onehot[:, :, None, :] * jnp.log(y[:, None] + 1e-8)
+                 + (1 - onehot[:, :, None, :]) * jnp.log(1 - y[:, None] + 1e-8))
+    cost = bce_cost.sum(-1) + 3.0 * (-jnp.log(iou_m + 1e-8))
+    cost = jnp.where(mask, cost, BIG)
+
+    k_top = min(ota_topk, iou_m.shape[-1])
+    topk_iou, _ = jax.lax.top_k(iou_m, k_top)
+    dyn_k = jnp.clip(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1, None)
+    order = jnp.argsort(cost, axis=-1)
+    ranks = jnp.argsort(order, axis=-1)
+    select = (ranks < dyn_k[..., None]) & mask
+    # per-COLUMN conflict: lowest-cost gt keeps the candidate
+    sel_cost = jnp.where(select, cost, BIG)
+    col_min = sel_cost.min(axis=1, keepdims=True)
+    select = select & (sel_cost <= col_min)
+    sel_f = select.astype(jnp.float32)                  # (B, T, Ctot)
+
+    # ---- per-level losses over selected (gt, candidate) pairs -------------
+    total_box = 0.0
+    total_obj = 0.0
+    total_cls = 0.0
+    centers = sigmoid_bin_centers(bin_count)
+    off = 0
+    for l in lvl_data:
+        C = l["C"]
+        d = l["d"]
+        stride = l["stride"]
+        sl = sel_f[:, :, off:off + C]                    # (B, T, C)
+        n_sel = sl.sum()
+        n_den = jnp.maximum(n_sel, 1.0)
+        W_l, H_l = d["W"], d["H"]
+        t_xy = targets[..., 1:3] * jnp.array([W_l, H_l], jnp.float32)
+        t_wh = targets[..., 3:5] * jnp.array([W_l, H_l], jnp.float32)
+
+        xy_grid = (jax.nn.sigmoid(l["ps"][..., 0:2]) * 2.0 - 0.5) + l["cell"]
+        if head == "bin":
+            reg_scale, vmin, vmax = 2.0, 0.0, 4.0
+            step = (vmax - vmin) / bin_count
+            tw = t_wh[..., 0][:, :, None] / l["anc"][..., 0][:, None, :]
+            th = t_wh[..., 1][:, :, None] / l["anc"][..., 1][:, None, :]
+            idx_w = jnp.argmin(jnp.abs(tw[..., None] - centers), axis=-1)
+            idx_h = jnp.argmin(jnp.abs(th[..., None] - centers), axis=-1)
+            reg_w = (jax.nn.sigmoid(l["w_logits"][..., 0]) * reg_scale
+                     - reg_scale / 2.0) * step
+            reg_h = (jax.nn.sigmoid(l["h_logits"][..., 0]) * reg_scale
+                     - reg_scale / 2.0) * step
+            pw = jnp.clip(reg_w[:, None, :] + centers[idx_w], vmin, vmax) \
+                * l["anc"][..., 0][:, None, :]
+            ph = jnp.clip(reg_h[:, None, :] + centers[idx_h], vmin, vmax) \
+                * l["anc"][..., 1][:, None, :]
+            # SigmoidBin BCE over the selected pairs (w and h separately,
+            # each a mean over (n, bin_count) elements)
+            for logits, tgt_idx in ((l["w_logits"], idx_w), (l["h_logits"], idx_h)):
+                tgt_bins = jax.nn.one_hot(tgt_idx, bin_count)  # (B, T, C, bc)
+                lg = logits[:, None, :, 1:]
+                bce = jnp.maximum(lg, 0) - lg * tgt_bins + \
+                    jnp.log1p(jnp.exp(-jnp.abs(lg)))
+                total_box += (bce * sl[..., None]).sum() / (n_den * bin_count)
+            pbox = jnp.concatenate([
+                jnp.broadcast_to(xy_grid[:, None], sl.shape + (2,)),
+                jnp.stack([pw, ph], axis=-1)], axis=-1)
+        else:
+            wh = (jax.nn.sigmoid(l["ps"][..., 2:4]) * 2.0) ** 2 * l["anc"]
+            pbox = jnp.broadcast_to(
+                jnp.concatenate([xy_grid, wh], axis=-1)[:, None], sl.shape + (4,))
+        tbox = jnp.broadcast_to(
+            jnp.concatenate([t_xy, t_wh], axis=-1)[:, :, None], sl.shape + (4,))
+        ciou = bbox_ciou(pbox, tbox)                     # (B, T, C)
+        total_box += ((1.0 - ciou) * sl).sum() / n_den
+
+        # objectness: tobj[cell] = clamped detached CIoU of its pair
+        bidx = jnp.arange(B)[:, None, None]
+        anc_id = jnp.broadcast_to(
+            jnp.arange(na)[None, None, None, :], d["match_f"].shape
+        ).reshape(B, C)
+        cid = (bidx * (na * H_l * W_l)
+               + anc_id[:, None, :] * (H_l * W_l)
+               + l["cell"][..., 1].astype(jnp.int32)[:, None, :] * W_l
+               + l["cell"][..., 0].astype(jnp.int32)[:, None, :])  # (B,T,C)
+        iou_det = jnp.clip(jax.lax.stop_gradient(ciou), 0.0) * sl
+        obj_target = jax.ops.segment_max(
+            iou_det.reshape(-1), jnp.broadcast_to(cid, sl.shape).reshape(-1),
+            num_segments=B * na * H_l * W_l,
+        ).reshape(B, na, H_l, W_l)
+        obj_target = jnp.maximum(obj_target, 0.0)
+        obj_map = d["m"][..., l["obj_idx"]]              # (B, na, H, W)
+        total_obj += bce_logits(obj_map, obj_target).mean() * balance[d["lvl"]]
+
+        if nc > 1:
+            lg = l["cls_logits"][:, None]                # (B,1,C,nc)
+            tgt = jnp.broadcast_to(onehot[:, :, None, :], sl.shape + (nc,))
+            total_cls += (bce_logits(jnp.broadcast_to(lg, tgt.shape), tgt)
+                          * sl[..., None]).sum() / (n_den * nc)
+        off += C
+    return total_box, total_obj, total_cls
+
+
 def _accumulate_losses(per_level, nc, balance, B):
     total_box = 0.0
     total_obj = 0.0
@@ -289,8 +508,15 @@ def _accumulate_losses(per_level, nc, balance, B):
     for d in per_level:
         m, match_f, ciou = d["m"], d["match_f"], d["ciou"]
         H, W, na_, lvl = d["H"], d["W"], d["na"], d["lvl"]
+        obj_idx = d["obj_idx"]
         n_match = jnp.maximum(match_f.sum(), 1.0)
         total_box += ((1.0 - ciou) * match_f).sum() / n_match
+        if d.get("bin_t_w") is not None:
+            # SigmoidBin w/h BCE terms (ComputeLossBinOTA, loss.py:915-920).
+            # NOTE: the bin BCE inside _level_candidates used the PRE-OTA
+            # match mask; recompute against the final selection by scaling
+            # — exactness comes from recomputing here with match_f.
+            total_box += _recompute_bin_bce(d, match_f)
 
         # objectness target: IoU at matched locations (scatter-free segment max)
         lvl_flat = (d["bidx"] * (na_ * H * W)
@@ -302,12 +528,30 @@ def _accumulate_losses(per_level, nc, balance, B):
             num_segments=B * na_ * H * W, indices_are_sorted=False,
         ).reshape(B, na_, H, W)
         obj_target = jnp.maximum(obj_target, 0.0)  # -inf for empty segments
-        obj_loss = bce_logits(m[..., 4], obj_target).mean()
+        obj_loss = bce_logits(m[..., obj_idx], obj_target).mean()
         total_obj += obj_loss * balance[lvl]
 
         if nc > 1:
             cls_t = jax.nn.one_hot(d["t_cls"], nc, dtype=ciou.dtype)
-            cls_logits = d["psel"][..., 5:]
+            cls_logits = d["psel"][..., obj_idx + 1:]
             cls_tgt = jnp.broadcast_to(cls_t[:, :, None, None, :], cls_logits.shape)
             total_cls += (bce_logits(cls_logits, cls_tgt) * match_f[..., None]).sum() / (n_match * nc)
     return total_box, total_obj, total_cls
+
+
+def _recompute_bin_bce(d, match_f):
+    """w/h SigmoidBin BCE over the FINAL (post-OTA) matches."""
+    from hamer_yolo_tpu.models.yolov7.heads import sigmoid_bin_training_loss
+
+    psel = d["psel"]
+    obj_idx = d["obj_idx"]
+    Lb = (obj_idx - 2) // 2
+    bc = Lb - 1
+    w_logits = psel[..., 2:2 + Lb].reshape(-1, Lb)
+    h_logits = psel[..., 2 + Lb:obj_idx].reshape(-1, Lb)
+    tw = d["bin_t_w"].reshape(-1)
+    th = d["bin_t_h"].reshape(-1)
+    wflat = match_f.reshape(-1)
+    w_bce, _ = sigmoid_bin_training_loss(w_logits, tw, weight=wflat, bin_count=bc)
+    h_bce, _ = sigmoid_bin_training_loss(h_logits, th, weight=wflat, bin_count=bc)
+    return w_bce + h_bce

@@ -28,7 +28,9 @@ class TestLetterbox:
     def test_pad_value(self, rng):
         img = rng.integers(0, 255, (100, 200, 3)).astype(np.uint8)
         out, r, (dw, dh) = cpp.letterbox(img, 64)
-        assert np.allclose(out[:15], 114.0)  # dh = (64-32)/2 = 16
+        # rect letterbox (auto=True mod-32) sits TOP-LEFT in the square
+        # canvas: content rows 0..31, the rest is 114 gray.
+        assert np.allclose(out[32:], 114.0)
         assert r == pytest.approx(0.32)
 
 

@@ -20,7 +20,10 @@ class TestMatmulWarp:
         mm = np.asarray(warp_matmul.crop_square_matmul(img, center, size, (64, 64)))
         trans = gen_trans_from_patch(150.0, 90.0, 120.0, 120.0, 64.0, 64.0)
         gather = np.asarray(warp_affine(img, trans, (64, 64)))
-        np.testing.assert_allclose(mm, gather, atol=1e-2)
+        # matmul path applies cv2.warpAffine parity (1/32-px coord
+        # quantization + uint8 rounding); the raw gather warp is smooth.
+        assert np.abs(mm - gather).max() <= 0.5 + 255.0 / 64.0
+        assert np.abs(mm - gather).mean() < 0.5
 
     def test_crop_border_zero(self):
         img = jnp.full((50, 50, 3), 200.0)
@@ -54,7 +57,10 @@ class TestMatmulWarp:
         )
         trans = gen_trans_from_patch(50.0, 50.0, 10.0, 10.0, 64.0, 64.0)
         gather = np.asarray(warp_affine(img, trans, (64, 64)))
-        np.testing.assert_allclose(out, gather, atol=1e-2)
+        # 1/32-px coord quantization on a 10px->64 upsample steps visibly;
+        # bound by rounding + gradient * quantization error.
+        assert np.abs(out - gather).max() <= 0.5 + 255.0 / 32.0
+        assert np.abs(out - gather).mean() < 2.0
 
 
 class TestFlashAttention:

@@ -1,0 +1,223 @@
+"""COMPOSED end-to-end pipeline parity against the reference's own code.
+
+This is the reference-as-oracle test VERDICT.md round 1 asked for: the
+reference's `process_batch_manopara` (/root/reference/hamer/infer.py:1223)
+— its real Detector + TracedModel + NMS, real full-size HAMER (ViT-H +
+transformer MANO head), real crop/flip/camera-lift composition, real
+EstimateRGB root depth — runs in-process on RANDOM weights saved in each
+model's NATIVE checkpoint format, and the SAME checkpoints flow through
+hamer_yolo_tpu.core.convert into our single jitted XLA pipeline.
+
+Asserted:
+  - detector boxes + left/right labels exact;
+  - the saved per-image npy MANO dicts match (betas/theta/pose/cam_t);
+  - end-to-end MPVPE (vertices reconstructed from both npy dicts through
+    the same golden-tested MANO LBS) < 1 mm (BASELINE.md bar);
+  - RootNet absolute depth per detection matches.
+
+This proves the converter on the real checkpoint key namespaces (yolov7
+pickled-module ckpt incl. training-form RepConv/ImplicitA/M fusion,
+lightning state_dict keys, SAR network+rootnet sub-dicts) AND that our
+detect -> crop -> ViT -> head -> flip -> lift -> save composition is the
+reference's, not merely each stage in isolation.
+"""
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ref_pipeline_oracle as R  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not R.reference_available(),
+                                reason="reference not mounted")
+
+TEST_IMAGE = os.path.join(R.REF, "hamer", "example_data", "test1.jpg")
+K_REAL = np.array([[906.96, 0.0, 960.0],
+                   [0.0, 906.79, 540.0],
+                   [0.0, 0.0, 1.0]], np.float32)
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    """Checkpoints + the reference composed run + per-det oracles.
+
+    The input frame is pre-sized to 640x448 so the letterbox resize is an
+    identity (r=1, no interpolation): a RANDOM 106-layer detector is
+    chaotic — cv2's fixed-point resize differs from any float resampler
+    by +-1 LSB, which amplifies ~1000x over the depth and scrambles every
+    peak. Resize-kernel parity itself is covered to sub-LSB by the
+    dedicated letterbox golden tests (test_reference_golden2 / test_ops);
+    THIS test pins the composition and the converter bit-path.
+    """
+    import cv2
+
+    base = tmp_path_factory.mktemp("refpipe")
+
+    input_dir = base / "input"
+    input_dir.mkdir()
+    img_full = cv2.imread(TEST_IMAGE)
+    img_640 = cv2.resize(img_full, (640, 448), interpolation=cv2.INTER_AREA)
+    cv2.imwrite(str(input_dir / "test1.png"), img_640)
+
+    ck = R.make_checkpoints(str(base), seed=0,
+                            calibration_image=str(input_dir / "test1.png"))
+    out_dir = base / "refout"
+    out_dir.mkdir()
+
+    res = R.run_reference_pipeline(ck, str(input_dir), str(out_dir), K_REAL,
+                                   conf_thres=ck["conf_thres"])
+
+    # per-detection oracles (the composed npy only keeps last-per-side)
+    env = R.install_reference_environment()
+    img = cv2.imread(str(input_dir / "test1.png"))
+    detector = env["detector_mod"].Detector(env["yolo_opt"])
+    _, dets_list = detector.detect(img)
+    dets = dets_list[0]
+    sar = env["model_rgb"].get_model()
+    depths = [sar.estimate_root_depth_custom(img, K_REAL, b[1]) for b in dets]
+
+    return dict(ck=ck, res=res, dets=dets, depths=depths, img=img)
+
+
+@pytest.fixture(scope="module")
+def ours(oracle):
+    """Our pipeline on the converted checkpoints, f32, single jit."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.convert import convert_pipeline_checkpoints
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
+    from hamer_yolo_tpu.pipeline.runner import FrameProgram
+
+    ck = oracle["ck"]
+    mano = ManoModel.from_arrays(load_mano_model("right"))
+    params = convert_pipeline_checkpoints(
+        ck["yolo"], ck["hamer"], ck["sar"],
+        template=np.asarray(mano.v_template))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    base = PipelineConfig(max_hands=4)
+    cfg = replace(
+        base,
+        conf_thres=ck["conf_thres"],
+        yolo=replace(base.yolo, nc=3, compute_dtype="float32"),
+        hamer=replace(base.hamer,
+                      vit=replace(base.hamer.vit, compute_dtype="float32")),
+        sar=replace(base.sar, compute_dtype="float32"),
+    )
+    prog = FrameProgram(params, mano, cfg)
+    out = prog(oracle["img"].astype(np.float32), K_REAL)
+
+    # Second run with the REFERENCE's rounded boxes pinned: detector
+    # float noise makes the final .round() chaotic at x.5 boundaries
+    # (off-by-one px), which legitimately changes the crop; pinning the
+    # handoff makes the crop->ViT->head->flip->lift->save comparison
+    # deterministic while still exercising the full composition.
+    from hamer_yolo_tpu.pipeline.frame import infer_frame_with_boxes
+
+    S = cfg.max_hands
+    boxes = np.zeros((S, 4), np.float32)
+    is_right = np.zeros((S,), np.float32)
+    valid = np.zeros((S,), bool)
+    for i, (label, coords) in enumerate(oracle["dets"][:S]):
+        boxes[i] = coords
+        is_right[i] = float(label == "right")
+        valid[i] = True
+    h, w = oracle["img"].shape[:2]
+    bh, bw = 448, 640
+    padded = np.zeros((bh, bw, 3), np.float32)
+    padded[:h, :w] = oracle["img"]
+    pinned = jax.jit(
+        lambda p, im, b, ir, v, hw, K: infer_frame_with_boxes(
+            p, mano, im, b, ir, v, hw, K, cfg)
+    )(params, jnp.asarray(padded), jnp.asarray(boxes), jnp.asarray(is_right),
+      jnp.asarray(valid), jnp.asarray([h, w], jnp.float32),
+      jnp.asarray(K_REAL))
+    pinned = jax.tree_util.tree_map(np.asarray, pinned)
+    return {"detected": out, "pinned": pinned}
+
+
+class TestComposedPipelineParity:
+    def test_reference_found_hands(self, oracle):
+        assert len(oracle["dets"]) >= 1
+        assert any(v is not None for v in oracle["res"]["test1"].values())
+
+    def test_boxes_and_labels(self, oracle, ours):
+        det = ours["detected"]
+        valid = np.asarray(det["valid"]).astype(bool)
+        n_ours = int(valid.sum())
+        assert n_ours == len(oracle["dets"])
+        our_boxes = np.asarray(det["boxes"])[valid]
+        our_right = np.asarray(det["is_right"])[valid]
+        # reference det order is NMS order (conf-descending); ours too.
+        # 1px tolerance: both sides .round() the float coords, and torch
+        # -vs-XLA conv noise makes exact x.5 boundaries chaotic.
+        for i, (label, coords) in enumerate(oracle["dets"]):
+            np.testing.assert_allclose(our_boxes[i], np.asarray(coords),
+                                       atol=1.0)
+            assert (our_right[i] > 0.5) == (label == "right"), i
+
+    def test_npy_mano_dicts_match(self, oracle, ours):
+        from hamer_yolo_tpu.io.writers import frame_outputs_to_hand_dicts
+
+        got = frame_outputs_to_hand_dicts(ours["pinned"], keep="last")
+        want = oracle["res"]["test1"]
+        for side in ("left", "right"):
+            if want[side] is None:
+                assert got[side] is None, side
+                continue
+            assert got[side] is not None, side
+            for key, atol in (("betas", 2e-3), ("theta", 2e-3),
+                              ("pose_hand", 2e-3), ("pose_global", 2e-3),
+                              ("cam_t", 5e-3)):
+                np.testing.assert_allclose(
+                    got[side][key], want[side][key], atol=atol,
+                    err_msg=f"{side}.{key}")
+            assert bool(got[side]["is_right"]) == bool(want[side]["is_right"])
+
+    def test_end_to_end_mpvpe_under_1mm(self, oracle, ours):
+        """Reconstruct vertices from both npy dicts through the same
+        (golden-tested) MANO LBS; BASELINE.md demands < 1 mm MPVPE."""
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.core.mano_assets import load_mano_model
+        from hamer_yolo_tpu.geometry.rotations import aa_to_rotmat
+        from hamer_yolo_tpu.io.writers import frame_outputs_to_hand_dicts
+        from hamer_yolo_tpu.models.mano import ManoModel, lbs
+
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+        got = frame_outputs_to_hand_dicts(ours["pinned"], keep="last")
+        want = oracle["res"]["test1"]
+
+        def verts(hand):
+            theta = jnp.asarray(hand["theta"], jnp.float32).reshape(16, 3)
+            rotmats = aa_to_rotmat(theta)[None]
+            betas = jnp.asarray(hand["betas"], jnp.float32)[None]
+            return np.asarray(lbs(mano, betas, rotmats)[0][0])
+
+        checked = 0
+        for side in ("left", "right"):
+            if want[side] is None:
+                continue
+            v_ref = verts(want[side])
+            v_ours = verts(got[side])
+            mpvpe_mm = np.linalg.norm(v_ref - v_ours, axis=-1).mean() * 1000.0
+            assert mpvpe_mm < 1.0, f"{side}: MPVPE {mpvpe_mm:.3f} mm"
+            checked += 1
+        assert checked >= 1
+
+    def test_root_depth_matches(self, oracle, ours):
+        pinned = ours["pinned"]
+        valid = np.asarray(pinned["valid"]).astype(bool)
+        our_depth = np.asarray(pinned["root_depth"])[valid]
+        for i, d_ref in enumerate(oracle["depths"]):
+            np.testing.assert_allclose(our_depth[i], d_ref, atol=2e-3,
+                                       err_msg=f"det {i}")

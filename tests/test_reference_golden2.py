@@ -112,14 +112,19 @@ class TestLetterboxGolden:
         from hamer_yolo_tpu.pipeline.preprocess import device_letterbox
 
         img = rng.integers(0, 255, (360, 480, 3)).astype(np.uint8)
-        exp_img, _, (dw, dh) = ref_datasets.letterbox(img.copy(), 640, auto=False)
+        # device letterbox = the reference's RECT letterbox (auto=True)
+        # top-left aligned in the square canvas.
+        exp_img, exp_ratio, (dw, dh) = ref_datasets.letterbox(
+            img.copy(), 640, auto=True, stride=32)
         got, r, pad = device_letterbox(
             jnp.asarray(img.astype(np.float32)), jnp.asarray([360.0, 480.0]), 640)
         got = np.asarray(got)
-        top, bot = int(round(dh - 0.1)) + 1, 640 - int(round(dh + 0.1)) - 1
-        diff = np.abs(got[top:bot, 1:-1] - exp_img[top:bot, 1:-1].astype(np.float32))
-        assert diff.max() < 1.5  # cv2 fixed-point bilinear
-        assert diff.mean() < 0.5  # sub-LSB fixed-point noise
+        rh, rw = exp_img.shape[:2]
+        diff = np.abs(got[:rh, :rw] - exp_img.astype(np.float32))
+        assert diff.max() <= 1.0  # cv2 fixed-point bilinear, both uint8-rounded
+        assert diff.mean() < 0.2
+        assert np.allclose(got[rh:], 114.0)
+        assert float(r) == pytest.approx(exp_ratio[0], abs=1e-4)
 
 
 class TestPoseUtils:
@@ -174,14 +179,17 @@ class TestRootnetPreprocessing:
         bbox = ref_prep.process_bbox(
             np.array([60.0, 40.0, 120.0, 100.0]), 300, 200, (64, 64), 1.5)
         patch, trans, inv_trans = ref_prep.generate_patch_image(
-            img.astype(np.float32), bbox, 1.0, 0.0, False, (64, 64))
+            img, bbox, 1.0, 0.0, False, (64, 64))  # uint8: cv2 rounds, so do we
         cx = bbox[0] + bbox[2] / 2.0
         cy = bbox[1] + bbox[3] / 2.0
         ours = np.asarray(crop_square_matmul(
             jnp.asarray(img.astype(np.float32)), jnp.asarray([cx, cy]),
             jnp.asarray([bbox[2], bbox[3]]), (64, 64)))
-        assert np.abs(ours - patch).max() < 1.0  # cv2 fixed-point interp
-        assert np.abs(ours - patch).mean() < 0.1
+        # cv2's 8U warp quantizes coords to a 1/128 grid with a slightly
+        # nonlinear coefficient table (max 0.006 px-step residual); our
+        # model matches to ~1 LSB with rare 2-LSB outliers.
+        assert np.abs(ours - patch).max() <= 3.0
+        assert np.abs(ours - patch).mean() < 0.3
 
     def test_uvd_xyz(self, ref_prep, rng):
         K = np.array([[906.96, 0, 960.0], [0, 906.79, 540.0], [0, 0, 1.0]])
