@@ -100,6 +100,137 @@ def _convert_sppcspc(sd, prefix: str) -> Dict[str, Any]:
             for i in range(1, 8)}
 
 
+# --- ghost / swin / stem variants (models/yolov7/variants.py) --------------
+
+def _convert_ghost_conv(sd, prefix: str) -> Dict[str, Any]:
+    return {"cv1": _convert_conv_block(sd, f"{prefix}.cv1"),
+            "cv2": _convert_conv_block(sd, f"{prefix}.cv2")}
+
+
+def _convert_ghost_bottleneck(sd, prefix: str) -> Dict[str, Any]:
+    p = {"g1": _convert_ghost_conv(sd, f"{prefix}.conv.0"),
+         "g2": _convert_ghost_conv(sd, f"{prefix}.conv.2")}
+    if f"{prefix}.conv.1.conv.weight" in sd:  # s == 2 variant
+        p["dw"] = _convert_conv_block(sd, f"{prefix}.conv.1")
+        p["sc_dw"] = _convert_conv_block(sd, f"{prefix}.shortcut.0")
+        p["sc_pw"] = _convert_conv_block(sd, f"{prefix}.shortcut.1")
+    return p
+
+
+def _convert_ghost_csp(sd, prefix: str, variant: str) -> Dict[str, Any]:
+    n_cv = 4 if variant == "c" else 3
+    p = {f"cv{i}": _convert_conv_block(sd, f"{prefix}.cv{i}")
+         for i in range(1, n_cv + 1)}
+    p["m"] = []
+    i = 0
+    while f"{prefix}.m.{i}.conv.0.cv1.conv.weight" in sd:
+        p["m"].append(_convert_ghost_bottleneck(sd, f"{prefix}.m.{i}"))
+        i += 1
+    return p
+
+
+def _convert_ghost_sppcspc(sd, prefix: str) -> Dict[str, Any]:
+    return {f"cv{i}": _convert_ghost_conv(sd, f"{prefix}.cv{i}")
+            for i in range(1, 8)}
+
+
+def _convert_stem(sd, prefix: str) -> Dict[str, Any]:
+    ghost = f"{prefix}.cv1.cv1.conv.weight" in sd
+    conv = _convert_ghost_conv if ghost else _convert_conv_block
+    return {f"cv{i}": conv(sd, f"{prefix}.cv{i}") for i in range(1, 5)}
+
+
+def _convert_swin_block(sd, prefix: str) -> Dict[str, Any]:
+    p: Dict[str, Any] = {"layers": []}
+    if f"{prefix}.conv.conv.weight" in sd:
+        p["conv"] = _convert_conv_block(sd, f"{prefix}.conv")
+    i = 0
+    while f"{prefix}.blocks.{i}.norm1.weight" in sd:
+        b = f"{prefix}.blocks.{i}"
+        p["layers"].append({
+            "norm1": {"scale": sd[f"{b}.norm1.weight"],
+                      "bias": sd[f"{b}.norm1.bias"]},
+            "attn": {
+                "qkv": {"w": linear_w(sd[f"{b}.attn.qkv.weight"]),
+                        "b": sd[f"{b}.attn.qkv.bias"]},
+                "proj": {"w": linear_w(sd[f"{b}.attn.proj.weight"]),
+                         "b": sd[f"{b}.attn.proj.bias"]},
+                "rpb": sd[f"{b}.attn.relative_position_bias_table"],
+            },
+            "norm2": {"scale": sd[f"{b}.norm2.weight"],
+                      "bias": sd[f"{b}.norm2.bias"]},
+            "mlp": {"fc1": {"w": linear_w(sd[f"{b}.mlp.fc1.weight"]),
+                            "b": sd[f"{b}.mlp.fc1.bias"]},
+                    "fc2": {"w": linear_w(sd[f"{b}.mlp.fc2.weight"]),
+                            "b": sd[f"{b}.mlp.fc2.bias"]}},
+        })
+        i += 1
+    return p
+
+
+def _convert_stcsp(sd, prefix: str, variant: str) -> Dict[str, Any]:
+    n_cv = 4 if variant == "c" else 3
+    p = {f"cv{i}": _convert_conv_block(sd, f"{prefix}.cv{i}")
+         for i in range(1, n_cv + 1)}
+    p["m"] = _convert_swin_block(sd, f"{prefix}.m")
+    return p
+
+
+def _convert_orepa(sd, prefix: str, eps: float = 1e-3) -> Dict[str, Any]:
+    """RepConv_OREPA -> deploy fused 3x3 conv (switch_to_deploy math,
+    common.py:1311-1356; OREPA weight_gen :1177-1212)."""
+    if f"{prefix}.rbr_reparam.weight" in sd:  # already deployed
+        return {"reparam": {"w": conv_w(sd[f"{prefix}.rbr_reparam.weight"]),
+                            "b": sd[f"{prefix}.rbr_reparam.bias"]}}
+    d = f"{prefix}.rbr_dense"
+    vec = sd[f"{d}.vector"]  # (5, out)
+
+    def scale_o(w, v):
+        return w * v[:, None, None, None]
+
+    w_origin = scale_o(sd[f"{d}.weight_rbr_origin"], vec[0])
+    w_avg = scale_o(sd[f"{d}.weight_rbr_avg_conv"]
+                    * sd[f"{d}.weight_rbr_avg_avg"][None, None], vec[1])
+    w_pfir = scale_o(sd[f"{d}.weight_rbr_pfir_conv"]
+                     * sd[f"{d}.weight_rbr_prior"][:, None], vec[2])
+    if f"{d}.weight_rbr_1x1_kxk_idconv1" in sd:
+        c1x1 = (sd[f"{d}.weight_rbr_1x1_kxk_idconv1"]
+                + sd[f"{d}.id_tensor"]).squeeze(-1).squeeze(-1)
+    else:
+        c1x1 = sd[f"{d}.weight_rbr_1x1_kxk_conv1"].squeeze(-1).squeeze(-1)
+    c2kxk = sd[f"{d}.weight_rbr_1x1_kxk_conv2"]
+    w_1x1_kxk = scale_o(np.einsum("ti,othw->oihw", c1x1, c2kxk), vec[3])
+    dw = sd[f"{d}.weight_rbr_gconv_dw"]  # (in*8, 1, k, k)
+    pw = sd[f"{d}.weight_rbr_gconv_pw"]  # (out, in*8, 1, 1)
+    cin = dw.shape[0] // 8
+    # dwsc2full (common.py:1214-1224): groups = in_channels
+    w_gconv = np.einsum("gtihw,ogt->ogihw",
+                        dw.reshape(cin, 8, 1, dw.shape[2], dw.shape[3]),
+                        pw.squeeze(-1).squeeze(-1).reshape(pw.shape[0], cin, 8))
+    w_gconv = scale_o(w_gconv.reshape(pw.shape[0], cin, dw.shape[2], dw.shape[3]),
+                      vec[4])
+    kernel_dense = w_origin + w_avg + w_pfir + w_1x1_kxk + w_gconv
+
+    def fold(kernel, bnp):
+        gamma, beta = sd[f"{bnp}.weight"], sd[f"{bnp}.bias"]
+        mean, var = sd[f"{bnp}.running_mean"], sd[f"{bnp}.running_var"]
+        t = gamma / np.sqrt(var + eps)
+        return kernel * t[:, None, None, None], beta - mean * t
+
+    k3, b3 = fold(kernel_dense, f"{d}.bn")
+    k1, b1 = fold(sd[f"{prefix}.rbr_1x1.conv.weight"], f"{prefix}.rbr_1x1.bn")
+    k = k3 + np.pad(k1, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    b = b3 + b1
+    if f"{prefix}.rbr_identity.weight" in sd:
+        c = k.shape[0]
+        ident = np.zeros_like(k3)
+        ident[np.arange(c), np.arange(c) % k.shape[1], 1, 1] = 1.0
+        ki, bi = fold(ident, f"{prefix}.rbr_identity")
+        k = k + ki
+        b = b + bi
+    return {"reparam": {"w": conv_w(k), "b": b}}
+
+
 def _convert_detect(sd, prefix: str, n_heads: int = 3) -> Dict[str, Any]:
     """Detect/IDetect head: 1x1 convs with ImplicitA/M fused in."""
     heads: List[Dict[str, np.ndarray]] = []
@@ -155,7 +286,24 @@ def convert_yolov7_state_dict(sd: Dict[str, np.ndarray],
         elif op == SPP:
             layers.append(_convert_sppcspc(sd, prefix))
         elif op == REP:
-            layers.append(_convert_repconv(sd, prefix))
+            if f"{prefix}.rbr_dense.weight_rbr_origin" in sd:
+                layers.append(_convert_orepa(sd, prefix))  # RepConv_OREPA
+            else:
+                layers.append(_convert_repconv(sd, prefix))
+        elif op == "GHOSTC":
+            layers.append(_convert_ghost_conv(sd, prefix))
+        elif op == "GHOST":
+            layers.append(_convert_ghost_bottleneck(sd, prefix))
+        elif op in ("GCSPA", "GCSPB", "GCSPC"):
+            layers.append(_convert_ghost_csp(sd, prefix, op[-1].lower()))
+        elif op == "GSPP":
+            layers.append(_convert_ghost_sppcspc(sd, prefix))
+        elif op in ("STEM", "GSTEM"):
+            layers.append(_convert_stem(sd, prefix))
+        elif op == "SWINB":
+            layers.append(_convert_swin_block(sd, prefix))
+        elif op in ("STCSPA", "STCSPB", "STCSPC"):
+            layers.append(_convert_stcsp(sd, prefix, op[-1].lower()))
         elif op == DET or op == BIN:
             layers.append(_convert_detect(sd, prefix, n_heads))
         elif op == KPT:

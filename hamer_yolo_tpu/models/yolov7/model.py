@@ -38,6 +38,11 @@ C, MP_, CAT, SPP, UP, REP, DET = "C", "MP", "CAT", "SPP", "UP", "REP", "DET"
 BIN, KPT = "BIN", "KPT"
 
 
+def _variants():
+    from hamer_yolo_tpu.models.yolov7 import variants
+    return variants
+
+
 def _elan(c_mid: int, c_out: int) -> List[Tuple[Any, str, tuple]]:
     """ELAN block: 2 parallel 1x1 + chain of four 3x3, concat 4 taps, 1x1 out."""
     return [
@@ -202,8 +207,12 @@ def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
                 "cv3": B.conv_block_init(k3, c1, c2 // 2, 1, 1, deploy),
             })
         elif op == REP:
-            (c2,) = args
+            c2 = args[0]
             layers.append(B.repconv_init(keys[i], c1, c2, deploy=deploy))
+        elif op in _variants().VARIANT_OPS:
+            V = _variants()
+            layers.append(V.init_variant(op, keys[i], c1, args, deploy))
+            c2 = V.out_channels(op, c1, args)
         elif op == DET:
             heads = []
             det_keys = jax.random.split(keys[i], len(srcs))
@@ -272,7 +281,9 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
             b = B.conv_block(p["cv3"], B.mp(inputs[0]))
             out = jnp.concatenate([a, b], axis=-1)
         elif op == REP:
-            out = B.repconv(p, inputs[0])
+            out = B.repconv(p, inputs[0], s=args[1] if len(args) > 1 else 1)
+        elif op in _variants().VARIANT_OPS:
+            out = _variants().apply_variant(op, p, inputs[0], args)
         elif op == DET or op == BIN:
             for head_p, inp in zip(p["m"], inputs):
                 det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))

@@ -42,7 +42,29 @@ _ACT_MODULES = {
     "IAuxDetect": DET,
     "IBin": BIN,
     "IKeypoint": KPT,
+    # ghost / swin / stem variants (models/yolov7/variants.py)
+    "GhostConv": "GHOSTC",
+    "Ghost": "GHOST",
+    "GhostCSPA": "GCSPA",
+    "GhostCSPB": "GCSPB",
+    "GhostCSPC": "GCSPC",
+    "GhostSPPCSPC": "GSPP",
+    "Stem": "STEM",
+    "GhostStem": "GSTEM",
+    "SwinTransformerBlock": "SWINB",
+    "STCSPA": "STCSPA",
+    "STCSPB": "STCSPB",
+    "STCSPC": "STCSPC",
+    # OREPA deploys to a plain fused RepConv (core/convert._convert_orepa)
+    "RepConv_OREPA": REP,
 }
+
+# variant ops that take the repeat count n as their 2nd arg (parse_model
+# inserts it, models/yolo.py:776-786)
+_N_REPEAT_OPS = ("GCSPA", "GCSPB", "GCSPC", "GSPP",
+                 "STCSPA", "STCSPB", "STCSPC")
+_VARIANT_OPS = ("GHOSTC", "GHOST", "GCSPA", "GCSPB", "GCSPC", "GSPP",
+                "STEM", "GSTEM", "SWINB", "STCSPA", "STCSPB", "STCSPC")
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -79,7 +101,9 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
         elif op == SPP:
             spec.append((frm_t, SPP, (make_divisible(args[0] * gw),)))
         elif op == REP:
-            spec.append((frm_t, REP, (make_divisible(args[0] * gw),)))
+            s_ = int(args[2]) if len(args) > 2 else 1
+            spec.append((frm_t, REP, (make_divisible(args[0] * gw),)
+                         if s_ == 1 else (make_divisible(args[0] * gw), s_)))
         elif op == DOWNC:
             spec.append((frm_t, DOWNC, (make_divisible(args[0] * gw),)))
         elif op == SP_:
@@ -87,6 +111,15 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
             spec.append((frm_t, SP_, (k,)))
         elif op in (MP_, CAT, UP, REORG):
             spec.append((frm_t, op, ()))
+        elif op in _VARIANT_OPS:
+            c2 = make_divisible(args[0] * gw)
+            rest = tuple(args[1:])
+            if op in _N_REPEAT_OPS:
+                rest = (n,) + rest
+            elif op == "SWINB":
+                # [c2, num_heads, num_layers]
+                rest = tuple(args[1:3])
+            spec.append((frm_t, op, (c2,) + rest))
         elif op in (DET, BIN, KPT):
             det_from = frm_t
             if module == "IAuxDetect":
