@@ -470,6 +470,89 @@ def convert_sar_checkpoint(path: str, template: np.ndarray) -> Dict[str, Any]:
     return {"backbone": backbone, "head": head, "rootnet": rootnet}
 
 
+# ---------------------------------------------------------------------------
+# KeypointFusion RGBD (models/kpfusion_rgbd)
+# ---------------------------------------------------------------------------
+
+def _kpf_bn(sd, prefix: str) -> Dict[str, np.ndarray]:
+    return _bn(sd, prefix)
+
+
+def _kpf_conv(sd, prefix: str, bias: bool) -> Dict[str, np.ndarray]:
+    p = {"w": conv_w(sd[f"{prefix}.weight"])}
+    if bias:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _convert_hg_residual(sd, prefix: str) -> Dict[str, Any]:
+    """hourglass.Residual (hourglass.py:87-119); its Conv wraps nn.Conv2d
+    as `.conv` with bias=True."""
+    p = {
+        "bn1": _kpf_bn(sd, f"{prefix}.bn1"),
+        "conv1": _kpf_conv(sd, f"{prefix}.conv1.conv", True),
+        "bn2": _kpf_bn(sd, f"{prefix}.bn2"),
+        "conv2": _kpf_conv(sd, f"{prefix}.conv2.conv", True),
+        "bn3": _kpf_bn(sd, f"{prefix}.bn3"),
+        "conv3": _kpf_conv(sd, f"{prefix}.conv3.conv", True),
+    }
+    # skip_layer exists in the module even when unused (need_skip False);
+    # only map it when shapes differ.
+    w_in = sd[f"{prefix}.conv1.conv.weight"].shape[1]
+    w_out = sd[f"{prefix}.conv3.conv.weight"].shape[0]
+    if w_in != w_out:
+        p["skip"] = _kpf_conv(sd, f"{prefix}.skip_layer.conv", True)
+    return p
+
+
+def _convert_kpf_resnet18(sd, prefix: str) -> Dict[str, Any]:
+    p: Dict[str, Any] = {
+        "conv1": {"w": conv_w(sd[f"{prefix}.conv1.weight"])},
+        "bn1": _kpf_bn(sd, f"{prefix}.bn1"),
+        "stages": [],
+    }
+    for li, n in enumerate((2, 2, 2, 2)):
+        blocks = []
+        for b in range(n):
+            bp = f"{prefix}.layer{li + 1}.{b}"
+            blk = {
+                "conv1": {"w": conv_w(sd[f"{bp}.conv1.weight"])},
+                "bn1": _kpf_bn(sd, f"{bp}.bn1"),
+                "conv2": {"w": conv_w(sd[f"{bp}.conv2.weight"])},
+                "bn2": _kpf_bn(sd, f"{bp}.bn2"),
+            }
+            if f"{bp}.downsample.0.weight" in sd:
+                blk["down"] = {"w": conv_w(sd[f"{bp}.downsample.0.weight"])}
+                blk["down_bn"] = _kpf_bn(sd, f"{bp}.downsample.1")
+            blocks.append(blk)
+        p["stages"].append(blocks)
+    return p
+
+
+def convert_kpf_unet(sd, prefix: str) -> Dict[str, Any]:
+    """OfficialResNetUnet(_RGB2offset_3D) -> resunet params
+    (resnetUnet.py:251-420). `up{n}` is Sequential(Residual, Upsample) so
+    its Residual lives at `.0`."""
+    p: Dict[str, Any] = {
+        "backbone": _convert_kpf_resnet18(sd, f"{prefix}.backbone"),
+        "skip4": _convert_hg_residual(sd, f"{prefix}.skip_layer4"),
+        "up4": _convert_hg_residual(sd, f"{prefix}.up4.0"),
+        "fuse4": _convert_hg_residual(sd, f"{prefix}.fusion_layer4"),
+        "skip3": _convert_hg_residual(sd, f"{prefix}.skip_layer3"),
+        "up3": _convert_hg_residual(sd, f"{prefix}.up3.0"),
+        "fuse3": _convert_hg_residual(sd, f"{prefix}.fusion_layer3"),
+        "skip2": _convert_hg_residual(sd, f"{prefix}.skip_layer2"),
+        "up2": _convert_hg_residual(sd, f"{prefix}.up2.0"),
+        "fuse2": _convert_hg_residual(sd, f"{prefix}.fusion_layer2"),
+        "finals": [],
+    }
+    i = 0
+    while f"{prefix}.finals.{i}.weight" in sd:
+        p["finals"].append(_kpf_conv(sd, f"{prefix}.finals.{i}", True))
+        i += 1
+    return p
+
+
 def convert_pipeline_checkpoints(
     yolo_pt: Optional[str],
     hamer_ckpt: Optional[str],

@@ -64,7 +64,10 @@ def reference_available() -> bool:
 # ---------------------------------------------------------------------------
 
 def _new_module(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -76,8 +79,11 @@ def _new_module(name: str, **attrs) -> types.ModuleType:
 
 
 def _inert_module(name: str) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
     mod.__file__ = f"<stub {name}>"
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
 
     def _getattr(attr, _n=name):
         if attr.startswith("__"):  # keep module introspection sane
@@ -458,7 +464,8 @@ def _build_misc_stubs():
     # GL / viz / export / profiling deps never exercised by the composed
     # CPU pipeline.
     for name in ("pyrender", "trimesh", "open3d", "onnxruntime",
-                 "webdataset", "chumpy", "braceexpand"):
+                 "webdataset", "chumpy", "braceexpand", "pytorch3d",
+                 "pytorch3d.transforms"):
         if name not in sys.modules:
             _inert_module(name)
 
@@ -660,6 +667,76 @@ EXTRA:
 LOSS_WEIGHTS:
   ADVERSARIAL: 0
 """
+
+
+def install_kpfusion_environment():
+    """Make the reference's KeypointFusion package importable.
+
+    Its modules import through a `software.KeypointFusion.*` namespace
+    (the repo layout on the authors' machine); alias it onto
+    /root/reference/rootnet/KeypointFusion, stub the CUDA pointnet2 ops
+    with a pure-torch QueryAndGroup (ball query + grouping, exactly the
+    _ext semantics), and pre-seed the chumpy-needing webuser module.
+    """
+    install_reference_environment()
+    if "software" in sys.modules:
+        return
+
+    import torch
+
+    soft = types.ModuleType("software")
+    soft.__path__ = []
+    sys.modules["software"] = soft
+    kpf = types.ModuleType("software.KeypointFusion")
+    kpf.__path__ = [os.path.join(REF, "rootnet", "KeypointFusion")]
+    sys.modules["software.KeypointFusion"] = kpf
+    soft.KeypointFusion = kpf
+
+    # pure-torch QueryAndGroup matching pointnet2_ops semantics
+    class QueryAndGroup(torch.nn.Module):
+        def __init__(self, radius, nsample, use_xyz=True):
+            super().__init__()
+            self.radius, self.nsample, self.use_xyz = radius, nsample, use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            B, N, _ = xyz.shape
+            S = new_xyz.shape[1]
+            d2 = torch.cdist(new_xyz, xyz) ** 2              # (B, S, N)
+            inside = d2 < self.radius ** 2                   # strict, _ext parity
+            # ball_query: first nsample indices inside the radius; missing
+            # slots replicate the first found; none found -> index 0
+            arange = torch.arange(N).view(1, 1, N).expand(inside.shape)
+            big = torch.where(inside, arange, torch.full_like(arange, N))
+            order, _ = torch.sort(big, dim=-1)
+            order = order[:, :, :self.nsample]
+            first = order[:, :, :1].expand_as(order)
+            idx = torch.where(order >= N, first, order)
+            idx = torch.where(idx >= N, torch.zeros_like(idx), idx)
+            grouped_xyz = torch.gather(
+                xyz.unsqueeze(1).expand(B, S, N, 3), 2,
+                idx.unsqueeze(-1).expand(B, S, self.nsample, 3))
+            grouped_xyz = (grouped_xyz - new_xyz.unsqueeze(2)).permute(0, 3, 1, 2)
+            if features is not None:
+                C = features.shape[1]
+                grouped_feat = torch.gather(
+                    features.unsqueeze(2).expand(B, C, S, N), 3,
+                    idx.unsqueeze(1).expand(B, C, S, self.nsample))
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped_feat], dim=1)
+                return grouped_feat
+            return grouped_xyz
+
+    pn_base = "software.KeypointFusion.pointNet"
+    _new_module(pn_base)
+    _new_module(pn_base + ".pointnet2_ops_lib")
+    _new_module(pn_base + ".pointnet2_ops_lib.pointnet2_ops")
+    _new_module(pn_base + ".pointnet2_ops_lib.pointnet2_ops.pointnet2_utils",
+                QueryAndGroup=QueryAndGroup)
+
+    # chumpy-needing MANO loader used by the dataloader package
+    _new_module(
+        "software.KeypointFusion.dataloader.webuser.smpl_handpca_wrapper_HAND_only",
+        load_model=lambda *a, **k: None)
 
 
 DEFAULT_CALIBRATION_IMAGE = os.path.join(REF, "hamer", "example_data",
