@@ -553,6 +553,150 @@ def convert_kpf_unet(sd, prefix: str) -> Dict[str, Any]:
     return p
 
 
+def _conv1d_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d (out, in, 1) -> linear (in, out)."""
+    return np.transpose(w[:, :, 0])
+
+
+def _bn1d(sd, prefix: str) -> Dict[str, np.ndarray]:
+    return _bn(sd, prefix)
+
+
+def _convert_kpf_emb(sd, prefix: str) -> Dict[str, Any]:
+    """nn.Sequential(Conv1d(k=1), BatchNorm1d)."""
+    return {"conv": {"w": _conv1d_w(sd[f"{prefix}.0.weight"]),
+                     "b": sd[f"{prefix}.0.bias"]},
+            "bn": _bn1d(sd, f"{prefix}.1")}
+
+
+def _convert_desa(sd, prefix: str, n_scales: int = 3) -> Dict[str, Any]:
+    scales = []
+    for i in range(n_scales):
+        sp = {
+            "l0": {"conv": {"w": conv_w(sd[f"{prefix}.conv_l0_blocks.{i}.weight"]),
+                            "b": sd[f"{prefix}.conv_l0_blocks.{i}.bias"]},
+                   "bn": _bn(sd, f"{prefix}.bn_l0_blocks.{i}")},
+            "f0": {"conv": {"w": conv_w(sd[f"{prefix}.conv_f0_blocks.{i}.weight"]),
+                            "b": sd[f"{prefix}.conv_f0_blocks.{i}.bias"]},
+                   "bn": _bn(sd, f"{prefix}.bn_f0_blocks.{i}")},
+            "mlp": [],
+        }
+        j = 0
+        while f"{prefix}.conv_blocks.{i}.{j}.weight" in sd:
+            sp["mlp"].append({
+                "conv": {"w": conv_w(sd[f"{prefix}.conv_blocks.{i}.{j}.weight"]),
+                         "b": sd[f"{prefix}.conv_blocks.{i}.{j}.bias"]},
+                "bn": _bn(sd, f"{prefix}.bn_blocks.{i}.{j}"),
+            })
+            j += 1
+        scales.append(sp)
+    fusion_w = _conv1d_w(sd[f"{prefix}.fusion.0.weight"])[None, None]
+    return {"scales": scales,
+            "fusion": {"conv": {"w": fusion_w,
+                                "b": sd[f"{prefix}.fusion.0.bias"]},
+                       "bn": _bn1d(sd, f"{prefix}.fusion.1")}}
+
+
+def _convert_bert_encoder(sd, prefix: str, n_layers: int = 4) -> Dict[str, Any]:
+    def lin(pfx):
+        return {"w": linear_w(sd[f"{pfx}.weight"]), "b": sd[f"{pfx}.bias"]}
+
+    layers = []
+    for i in range(n_layers):
+        lp = f"{prefix}.encoder.layer.{i}"
+        layers.append({
+            "q": lin(f"{lp}.attention.self.query"),
+            "k": lin(f"{lp}.attention.self.key"),
+            "v": lin(f"{lp}.attention.self.value"),
+            "attn_out": lin(f"{lp}.attention.output.dense"),
+            "attn_ln": {"scale": sd[f"{lp}.attention.output.LayerNorm.weight"],
+                        "bias": sd[f"{lp}.attention.output.LayerNorm.bias"]},
+            "inter": lin(f"{lp}.intermediate.dense"),
+            "out": lin(f"{lp}.output.dense"),
+            "out_ln": {"scale": sd[f"{lp}.output.LayerNorm.weight"],
+                       "bias": sd[f"{lp}.output.LayerNorm.bias"]},
+        })
+    return {
+        "pos_embed": sd[f"{prefix}.position_embeddings.weight"],
+        "img_embed": lin(f"{prefix}.img_embedding"),
+        "layers": layers,
+    }
+
+
+def _convert_kp_interaction(sd, prefix: str, n_layers: int = 4) -> Dict[str, Any]:
+    def lin(pfx):
+        return {"w": linear_w(sd[f"{pfx}.weight"]), "b": sd[f"{pfx}.bias"]}
+
+    return {"bert": _convert_bert_encoder(sd, f"{prefix}.bert", n_layers),
+            "cls_head": lin(f"{prefix}.cls_head"),
+            "residual": lin(f"{prefix}.residual")}
+
+
+def _convert_transfusion_decoder(sd, prefix: str, n_layers: int = 4) -> Dict[str, Any]:
+    def lin(pfx):
+        return {"w": linear_w(sd[f"{pfx}.weight"]), "b": sd[f"{pfx}.bias"]}
+
+    layers = []
+    for i in range(n_layers):
+        lp = f"{prefix}.decoder.{i}"
+        p = {
+            "attn": {
+                "in_proj_w": linear_w(sd[f"{lp}.multihead_attn.in_proj_weight"]),
+                "in_proj_b": sd[f"{lp}.multihead_attn.in_proj_bias"],
+                "out_proj": lin(f"{lp}.multihead_attn.out_proj"),
+            },
+            "linear1": lin(f"{lp}.linear1"),
+            "linear2": lin(f"{lp}.linear2"),
+            "norm2": {"scale": sd[f"{lp}.norm2.weight"],
+                      "bias": sd[f"{lp}.norm2.bias"]},
+            "norm3": {"scale": sd[f"{lp}.norm3.weight"],
+                      "bias": sd[f"{lp}.norm3.bias"]},
+        }
+        if f"{lp}.self_posembed.weight" in sd:
+            p["self_posembed"] = sd[f"{lp}.self_posembed.weight"]
+        if f"{lp}.cross_posembed.weight" in sd:
+            p["cross_posembed"] = sd[f"{lp}.cross_posembed.weight"]
+        layers.append(p)
+    return {"layers": layers}
+
+
+def _convert_kpf_block(sd, prefix: str) -> Dict[str, Any]:
+    return {
+        "pcl_feat_emb": _convert_kpf_emb(sd, f"{prefix}.pcl_feat_emb"),
+        "pcl_xyz_emb": _convert_kpf_emb(sd, f"{prefix}.pcl_xyz_emb"),
+        "pcl_pose_emb": _convert_kpf_emb(sd, f"{prefix}.pcl_pose_emb"),
+        "joint_feat_emb": _convert_kpf_emb(sd, f"{prefix}.joint_feat_emb"),
+        "joint_xyz_emb": _convert_kpf_emb(sd, f"{prefix}.joint_xyz_emb"),
+        "pcl_feat_emb_RGB": _convert_kpf_emb(sd, f"{prefix}.pcl_feat_emb_RGB"),
+        "FA": _convert_desa(sd, f"{prefix}.FA"),
+        "init_TR": _convert_kp_interaction(sd, f"{prefix}.init_TR"),
+        "final_TR": _convert_kp_interaction(sd, f"{prefix}.final_TR"),
+        "crossTR": _convert_transfusion_decoder(sd, f"{prefix}.crossTR"),
+        "atten_spatial": {
+            "w": np.transpose(sd[f"{prefix}.atten_spatial.weight"][:, :, 0, 0]),
+            "b": sd[f"{prefix}.atten_spatial.bias"]},
+        "fc_spatial": {
+            "w": linear_w(sd[f"{prefix}.fc_spatial2joint_feature.weight"]),
+            "b": sd[f"{prefix}.fc_spatial2joint_feature.bias"]},
+        "weight_dis": sd[f"{prefix}.weight_dis"],
+    }
+
+
+def convert_kpfusion_state_dict(sd: Dict[str, np.ndarray],
+                                prefix: str = "",
+                                num_stages: int = 2) -> Dict[str, Any]:
+    """KPFusion (model/model.py:357) state dict -> kpfusion_rgbd params.
+
+    Accepts the Model_RGBD ckpt namespace (often wrapped in
+    ``module.`` by DataParallel — strip before calling)."""
+    return {
+        "backbone_rgb": convert_kpf_unet(sd, f"{prefix}backbone_rgb"),
+        "backbone_d": convert_kpf_unet(sd, f"{prefix}backbone_d"),
+        "blocks": [_convert_kpf_block(sd, f"{prefix}block{i + 1}")
+                   for i in range(num_stages)],
+    }
+
+
 def convert_pipeline_checkpoints(
     yolo_pt: Optional[str],
     hamer_ckpt: Optional[str],

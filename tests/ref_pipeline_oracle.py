@@ -199,7 +199,14 @@ def _build_torchvision_stub():
     def resnet34(pretrained=False, **kw):
         return ResNet((3, 4, 6, 3))
 
-    models = _new_module("torchvision.models", resnet34=resnet34)
+    def resnet18(pretrained=False, **kw):
+        return ResNet((2, 2, 2, 2))
+
+    def resnet50(pretrained=False, **kw):
+        raise NotImplementedError("bottleneck resnets not stubbed")
+
+    models = _new_module("torchvision.models", resnet34=resnet34,
+                         resnet18=resnet18, resnet50=resnet50)
     tv.models = models
 
     # --- transforms: only what EstimateRGB uses ---
@@ -683,6 +690,11 @@ def install_kpfusion_environment():
         return
 
     import torch
+
+    # the KeypointFusion code hard-codes .cuda() on tensors/modules
+    # (TR_Encoder.forward, decoders); make it a no-op on this CPU host.
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
 
     soft = types.ModuleType("software")
     soft.__path__ = []

@@ -201,3 +201,190 @@ class TestGeometry:
         got_hm = np.asarray(G.joint2heatmap(jnp.asarray(joint), 0.8, 32,
                                             sigma=1.0))
         np.testing.assert_allclose(got_hm, ref_hm, atol=1e-5, rtol=1e-4)
+
+
+class TestBertAndDecoders:
+    def test_kp_interaction_parity(self, kpf_env, rng):
+        import torch
+        from transformers import BertConfig
+
+        mm = kpf_env.import_module("software.KeypointFusion.model.model")
+        from hamer_yolo_tpu.core.convert import _convert_kp_interaction
+        from hamer_yolo_tpu.models.kpfusion_rgbd.bert import kp_interaction
+
+        cfg = BertConfig.from_json_file(
+            os.path.join(R.REF, "rootnet/KeypointFusion/config/config.json"))
+        cfg.output_attentions = False
+        cfg.output_hidden_states = False
+        cfg.hidden_dropout_prob = 0.1
+        cfg.img_feature_dim = 128
+        cfg.output_feature_dim = 3
+        cfg.num_hidden_layers = 4
+        cfg.hidden_size = 128
+        cfg.num_attention_heads = 4
+        cfg.intermediate_size = 16
+        cfg.multi = False
+        torch.manual_seed(0)
+        m = mm.KP_Interaction_TR(cfg)
+        m.eval()
+        x = rng.normal(size=(2, 21, 128)).astype(np.float32)
+        with torch.no_grad():
+            ref_seq, ref_pred = m(torch.from_numpy(x))
+        p = jax.tree_util.tree_map(
+            jnp.asarray, _convert_kp_interaction(_sd(m), "net"))
+        got_seq, got_pred = kp_interaction(p, jnp.asarray(x), heads=4)
+        np.testing.assert_allclose(np.asarray(got_seq), ref_seq.numpy(),
+                                   atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_pred), ref_pred.numpy(),
+                                   atol=1e-4, rtol=1e-3)
+
+    @pytest.mark.parametrize("variant,torch_name", [
+        ("updated", "updatedDecoder"),
+        ("detr", "detrDecoder"),
+        ("spatial", "spatial_aggregate_TR"),
+    ])
+    def test_decoder_parity(self, kpf_env, variant, torch_name, rng):
+        import torch
+
+        th = kpf_env.import_module(
+            "software.KeypointFusion.model.transfusion_head")
+        from hamer_yolo_tpu.core.convert import _convert_transfusion_decoder
+        from hamer_yolo_tpu.models.kpfusion_rgbd.transfusion import decoder_forward
+
+        torch.manual_seed(1)
+        m = getattr(th, torch_name)(joint_num=21, hidden_channel=128,
+                                    num_heads=4, ffn_channel=128,
+                                    dropout=0.1, num_decoder_layers=4,
+                                    activation="relu")
+        m.eval()
+        joints = rng.normal(size=(2, 21, 128)).astype(np.float32)
+        img = rng.normal(size=(2, 128, 8, 8)).astype(np.float32)
+        with torch.no_grad():
+            if variant == "updated":
+                ref = m(torch.from_numpy(joints), torch.from_numpy(joints * 0.5))
+            elif variant == "detr":
+                ref = m(torch.from_numpy(joints), torch.from_numpy(img))
+            else:
+                ref = m(torch.from_numpy(img), torch.from_numpy(joints))
+        ref = ref.numpy()
+
+        p = jax.tree_util.tree_map(
+            jnp.asarray, _convert_transfusion_decoder(_sd(m), "net"))
+        if variant == "updated":
+            got = decoder_forward(p, "updated", jnp.asarray(joints),
+                                  jnp.asarray(joints * 0.5), heads=4)
+        elif variant == "detr":
+            key = jnp.asarray(img.reshape(2, 128, 64).transpose(0, 2, 1))
+            got = decoder_forward(p, "detr", jnp.asarray(joints), key,
+                                  heads=4, grid_hw=(8, 8))
+        else:
+            q = jnp.asarray(img.reshape(2, 128, 64).transpose(0, 2, 1))
+            got = decoder_forward(p, "spatial", q, jnp.asarray(joints),
+                                  heads=4, grid_hw=(8, 8))
+        # reference returns (B, C, P); ours (B, P, C)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref,
+                                   atol=1e-4, rtol=1e-3)
+
+
+class TestDESA:
+    def test_desa_parity(self, kpf_env, rng):
+        import torch
+
+        mm = kpf_env.import_module("software.KeypointFusion.model.model")
+        from hamer_yolo_tpu.core.convert import _convert_desa
+        from hamer_yolo_tpu.models.kpfusion_rgbd.desa import desa_forward
+
+        torch.manual_seed(2)
+        m = mm.DESA(128, [128, 128], [64, 64, 64], [0.1, 0.2, 0.4])
+        _spread_bn(m)
+        m.eval()
+        B, N, J, C = 2, 96, 21, 128
+        pcl_feat = rng.normal(size=(B, N, C)).astype(np.float32)
+        node_feat = rng.normal(size=(B, J, C)).astype(np.float32)
+        pcl_xyz = rng.uniform(-1, 1, (B, N, 3)).astype(np.float32)
+        node_xyz = rng.uniform(-0.7, 0.7, (B, J, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = m(torch.from_numpy(pcl_feat), torch.from_numpy(node_feat),
+                    torch.from_numpy(pcl_xyz), torch.from_numpy(node_xyz)).numpy()
+        p = jax.tree_util.tree_map(jnp.asarray, _convert_desa(_sd(m), "net"))
+        got = desa_forward(p, jnp.asarray(pcl_feat), jnp.asarray(node_feat),
+                           jnp.asarray(pcl_xyz), jnp.asarray(node_xyz))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-3)
+
+
+class TestFullKPFusion:
+    def test_full_forward_parity(self, kpf_env, rng):
+        import torch
+        from transformers import BertConfig
+
+        mm = kpf_env.import_module("software.KeypointFusion.model.model")
+        pd = kpf_env.import_module(
+            "software.KeypointFusion.dataloader.processing_depth")
+        from hamer_yolo_tpu.core.convert import convert_kpfusion_state_dict
+        from hamer_yolo_tpu.models.kpfusion_rgbd.model import (
+            KPFusionConfig, kpfusion_forward,
+        )
+
+        # redirect the hard-coded BertConfig.from_pretrained path
+        real_cfg_dir = os.path.join(R.REF, "rootnet/KeypointFusion/config")
+
+        class PatchedBertConfig(BertConfig):
+            @classmethod
+            def from_pretrained(cls, path, *a, **k):
+                return BertConfig.from_pretrained(real_cfg_dir, *a, **k)
+
+        orig = mm.BertConfig
+        mm.BertConfig = PatchedBertConfig
+        try:
+            torch.manual_seed(3)
+            net = mm.KPFusion("KPFusion-resnet-18", "1k", 21, "hands",
+                              "./MANO/", kernel_size=0.8)
+        finally:
+            mm.BertConfig = orig
+        _spread_bn(net)
+        net.eval()
+
+        loader = pd.loader.__new__(pd.loader)
+        loader.img_size = 128
+        loader.flip = 1
+        loader.sample_num = 1024
+
+        B, N = 1, 256
+        img_rgb = rng.uniform(0, 1, (B, 3, 128, 128)).astype(np.float32)
+        img = rng.uniform(-1, 1, (B, 1, 128, 128)).astype(np.float32)
+        pcl = rng.uniform(-1, 1, (B, N, 3)).astype(np.float32)
+        center = np.stack([rng.uniform(400, 600, B), rng.uniform(200, 400, B),
+                           rng.uniform(400, 600, B)], -1).astype(np.float32)
+        M = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        M[:, 0, 0] = M[:, 1, 1] = 0.4
+        M[:, 0, 2] = -120.0
+        M[:, 1, 2] = -80.0
+        cube = np.tile(np.array([250.0] * 3, np.float32), (B, 1))
+        cam = np.tile(np.array([906.96, 906.79, 956.75, 547.23], np.float32),
+                      (B, 1))
+
+        with torch.no_grad():
+            results, spatial, _ = net(
+                torch.from_numpy(img_rgb), torch.from_numpy(img),
+                torch.from_numpy(pcl), loader, torch.from_numpy(center),
+                torch.from_numpy(M), torch.from_numpy(cube),
+                torch.from_numpy(cam), 0.8)
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_kpfusion_state_dict(
+                {k: np.asarray(v.numpy()) for k, v in net.state_dict().items()}))
+        cfg = KPFusionConfig(sample_num=N)
+        out = kpfusion_forward(params, jnp.asarray(img_rgb), jnp.asarray(img),
+                               jnp.asarray(pcl), jnp.asarray(center),
+                               jnp.asarray(M), jnp.asarray(cube),
+                               jnp.asarray(cam), cfg)
+
+        for i, (name, ref_t) in enumerate(zip(
+                ["off_d", "off_rgb", "s1_3d", "s1_2d", "s2_3d", "s2_2d"],
+                results)):
+            got = np.asarray(out["results"][i])
+            ref_np = ref_t.numpy()
+            if got.ndim == 4 and got.shape != ref_np.shape:
+                got = got.transpose(0, 3, 1, 2)
+            np.testing.assert_allclose(got, ref_np, atol=5e-4, rtol=1e-3,
+                                       err_msg=name)
