@@ -198,6 +198,67 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_rgbd(args) -> int:
+    """RGB-D KeypointFusion inference (Model_RGBD / test_wild equivalent:
+    reference Model_RGBD.py:64-205, test_wild.py)."""
+    import json
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.models.kpfusion_rgbd.model import (
+        KPFusionConfig, init_kpfusion,
+    )
+    from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import RGBDRuntime
+
+    cfg = KPFusionConfig()
+    if args.kpf_checkpoint:
+        from hamer_yolo_tpu.core.convert import convert_kpfusion_checkpoint
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_kpfusion_checkpoint(args.kpf_checkpoint))
+    else:
+        print("warning: no --kpf-checkpoint; random weights", file=sys.stderr)
+        params = init_kpfusion(jax.random.PRNGKey(0), cfg)
+
+    if not args.bbox and not args.bbox_file:
+        print("error: rgbd needs --bbox x,y,w,h or --bbox-file", file=sys.stderr)
+        return 2
+    rgb = cv2.imread(args.rgb)
+    if rgb is None:
+        print(f"error: cannot read RGB image {args.rgb}", file=sys.stderr)
+        return 2
+    rgb = rgb.astype(np.float32)
+    if args.depth.endswith(".npy"):
+        depth = np.load(args.depth).astype(np.float32)
+    else:
+        depth = cv2.imread(args.depth, cv2.IMREAD_ANYDEPTH)
+        if depth is None:
+            print(f"error: cannot read depth image {args.depth}", file=sys.stderr)
+            return 2
+        depth = depth.astype(np.float32)
+    if args.bbox_file:
+        # the reference's wild-test fixtures store normalized CENTER
+        # boxes (test_wild.py:666-671): cx, cy, w, h in image fractions
+        v = np.loadtxt(args.bbox_file).reshape(-1)[:4]
+        H, W = depth.shape[:2]
+        bw, bh = v[2] * W, v[3] * H
+        bbox = [v[0] * W - bw / 2, v[1] * H - bh / 2, bw, bh]
+    else:
+        bbox = [float(x) for x in args.bbox.split(",")]
+
+    rt = RGBDRuntime(params, cfg)
+    np.random.seed(args.seed)  # pcl sampling (reference process_depth RNG)
+    out = rt.estimate_pose_rgbd(rgb, depth, bbox)
+    print(json.dumps({
+        "joint_uvd_full": out["joint_uvd_full"].tolist(),
+        "joint_xyz_world": out["joint_xyz_world"].tolist(),
+        "center": np.asarray(out["center"]).tolist(),
+    }))
+    return 0
+
+
 def _default_K(shape) -> np.ndarray:
     h, w = shape[:2]
     f = 5000.0 / 256.0 * max(h, w)
@@ -254,6 +315,19 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--intrinsics", default=None)
     p.set_defaults(fn=cmd_depth)
+
+    p = sub.add_parser("rgbd", help="RGB-D KeypointFusion inference "
+                                    "(Model_RGBD equivalent)")
+    p.add_argument("--rgb", required=True, help="RGB image path")
+    p.add_argument("--depth", required=True, help="depth image (.npy / 16-bit png, mm)")
+    p.add_argument("--bbox", default=None, help="x,y,w,h")
+    p.add_argument("--bbox-file", default=None, help="txt with x y w h "
+                   "(e.g. the reference's test/20_bbox.txt fixtures)")
+    p.add_argument("--kpf-checkpoint", default=None,
+                   help="KPFusion .pth (Model_RGBD format)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="point-cloud sampling seed (deterministic output)")
+    p.set_defaults(fn=cmd_rgbd)
 
     p = sub.add_parser("reconstruct", help=".npy dir -> .obj meshes")
     common(p)

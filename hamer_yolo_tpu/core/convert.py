@@ -697,6 +697,23 @@ def convert_kpfusion_state_dict(sd: Dict[str, np.ndarray],
     }
 
 
+def convert_centernet(sd, prefix: str) -> Dict[str, Any]:
+    """centerNet ResNet18 regression head (model/centerNet.py:102-189)."""
+    return {
+        "backbone": _convert_kpf_resnet18(sd, prefix),
+        "fc": {"w": linear_w(sd[f"{prefix}.fc.weight"]),
+               "b": sd[f"{prefix}.fc.bias"]},
+    }
+
+
+def convert_kpfusion_checkpoint(path: str, num_stages: int = 2) -> Dict[str, Any]:
+    """KPFusion .pth (Model_RGBD format: {'model': state_dict} with
+    DataParallel 'module.' prefixes, Model_RGBD.py:55-62) -> params."""
+    sd = load_torch_state_dict(path, key="model")
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+    return convert_kpfusion_state_dict(sd, num_stages=num_stages)
+
+
 def convert_pipeline_checkpoints(
     yolo_pt: Optional[str],
     hamer_ckpt: Optional[str],

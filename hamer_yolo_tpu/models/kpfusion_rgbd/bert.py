@@ -87,10 +87,13 @@ def kp_interaction_init(key, img_dim: int, out_dim: int = 3,
     k1, k2, k3 = jax.random.split(key, 3)
     lin = lambda k, i, o: {"w": nn.kaiming_uniform(k, (i, o)),
                            "b": jnp.zeros((o,))}
+    small = lambda k, i, o: {"w": 0.001 * jax.random.normal(k, (i, o)),
+                             "b": jnp.zeros((o,))}
     return {
         "bert": tr_encoder_init(k1, img_dim, hidden, heads, layers, intermediate),
-        "cls_head": lin(k2, hidden, out_dim),
-        "residual": lin(k3, img_dim, out_dim),
+        # KPFusion _init_weights puts all Linears at N(0, 0.001)
+        "cls_head": small(k2, hidden, out_dim),
+        "residual": small(k3, img_dim, out_dim),
     }
 
 

@@ -49,7 +49,8 @@ class KPFusionConfig:
 
 
 def _lin_init(key, i, o):
-    return {"w": nn.kaiming_uniform(key, (i, o)), "b": jnp.zeros((o,))}
+    # KPFusion._init_weights: Linear ~ N(0, 0.001) (model/model.py:278-286)
+    return {"w": 0.001 * jax.random.normal(key, (i, o)), "b": jnp.zeros((o,))}
 
 
 def _emb_init(key, c_in: int, c_out: int) -> Params:

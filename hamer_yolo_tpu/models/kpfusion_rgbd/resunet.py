@@ -138,7 +138,9 @@ def unet_init(key, joint_num: int = 21, in_channels: int = 1,
         "skip2": residual_init(keys[7], 64, 64),
         "up2": residual_init(keys[8], 128, 128),
         "fuse2": residual_init(keys[9], 128 + 64, deconv_dim),
-        "finals": [nn.conv_init(k, 1, deconv_dim, d, bias=True)
+        # reference init: finals ~ N(0, 0.001), zero bias (resunet init_weights)
+        "finals": [{"w": 0.001 * jax.random.normal(k, (1, 1, deconv_dim, d)),
+                    "b": jnp.zeros((d,))}
                    for k, d in zip(jax.random.split(keys[10], len(out_dim_list)),
                                    out_dim_list)],
     }

@@ -751,6 +751,47 @@ def install_kpfusion_environment():
         load_model=lambda *a, **k: None)
 
 
+def load_model_rgbd_module():
+    """Import the reference's Model_RGBD.py (Model_RGBD.py:1-680).
+
+    It was written to run with cwd=KeypointFusion, importing top-level
+    `config` / `util` / `dataloader` / `model.model`; those names collide
+    with the pipeline packages already on sys.path, so alias them
+    explicitly before loading the file by path.
+    """
+    install_kpfusion_environment()
+    if "ref_model_rgbd" in sys.modules:
+        return sys.modules["ref_model_rgbd"]
+
+    kpf_dir = os.path.join(REF, "rootnet", "KeypointFusion")
+
+    # `from config import opt` -> attach KeypointFusion/config.py's opt to
+    # the existing top-level config namespace package.
+    spec = importlib.util.spec_from_file_location(
+        "kpf_config", os.path.join(kpf_dir, "config.py"))
+    kpf_config = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kpf_config)
+    sys.modules["config"].opt = kpf_config.opt if hasattr(kpf_config, "opt") \
+        else kpf_config.Config()
+
+    # `from util import vis_tool` / `from dataloader...` / `from model.model`
+    util_pkg = types.ModuleType("util")
+    util_pkg.__path__ = [os.path.join(kpf_dir, "util")]
+    sys.modules.setdefault("util", util_pkg)
+    dl_pkg = types.ModuleType("dataloader")
+    dl_pkg.__path__ = [os.path.join(kpf_dir, "dataloader")]
+    sys.modules.setdefault("dataloader", dl_pkg)
+    mm = importlib.import_module("software.KeypointFusion.model.model")
+    sys.modules["model.model"] = mm
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_model_rgbd", os.path.join(kpf_dir, "Model_RGBD.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_model_rgbd"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 DEFAULT_CALIBRATION_IMAGE = os.path.join(REF, "hamer", "example_data",
                                          "test1.jpg")
 

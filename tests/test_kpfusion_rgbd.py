@@ -388,3 +388,108 @@ class TestFullKPFusion:
                 got = got.transpose(0, 3, 1, 2)
             np.testing.assert_allclose(got, ref_np, atol=5e-4, rtol=1e-3,
                                        err_msg=name)
+
+
+class TestModelRGBDRuntime:
+    def test_composed_runtime_parity(self, kpf_env, rng):
+        """The reference's own Model_RGBD.estimate_pose_RGBD vs our
+        RGBDRuntime on the SAME random weights and synthetic RGB-D frame
+        (bbox from the reference's wild-test fixtures)."""
+        import torch
+        from transformers import BertConfig
+
+        mm = kpf_env.import_module("software.KeypointFusion.model.model")
+        mrgbd = R.load_model_rgbd_module()
+        from hamer_yolo_tpu.core.convert import convert_kpfusion_state_dict
+        from hamer_yolo_tpu.models.kpfusion_rgbd.model import KPFusionConfig
+        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import RGBDRuntime
+
+        real_cfg_dir = os.path.join(R.REF, "rootnet/KeypointFusion/config")
+
+        class PatchedBertConfig(BertConfig):
+            @classmethod
+            def from_pretrained(cls, path, *a, **k):
+                return BertConfig.from_pretrained(real_cfg_dir, *a, **k)
+
+        opt = sys.modules["config"].opt
+        opt.load_model = ""
+        orig = mm.BertConfig
+        mm.BertConfig = PatchedBertConfig
+        try:
+            torch.manual_seed(7)
+            ref_rt = mrgbd.Model_RGBD(opt)
+        finally:
+            mm.BertConfig = orig
+        _spread_bn(ref_rt.net)
+        ref_rt.net.eval()
+
+        # synthetic frame: a hand-depth blob inside the fixture bbox
+        bbox_file = os.path.join(R.REF, "rootnet/KeypointFusion/test/20_bbox.txt")
+        if os.path.exists(bbox_file):
+            vals = np.loadtxt(bbox_file).reshape(-1)[:4]
+            bbox = [float(v) for v in vals]
+        else:
+            bbox = [260.0, 180.0, 160.0, 150.0]
+        H, W = 1080, 1920
+        depth = np.zeros((H, W), np.float32)
+        x0, y0, w, h = (int(v) for v in bbox)
+        yy, xx = np.mgrid[0:h, 0:w]
+        blob = 500.0 + 60.0 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+        blob[((xx - w / 2) ** 2 + (yy - h / 2) ** 2) > (min(h, w) / 2.2) ** 2] = 0
+        depth[y0:y0 + h, x0:x0 + w] = blob
+        img_rgb = (rng.uniform(0, 255, (H, W, 3))).astype(np.float32)
+
+        np.random.seed(1234)
+        with torch.no_grad():
+            meta, ref_out = ref_rt.estimate_pose_RGBD(
+                {"rgb": img_rgb.copy(), "depth": depth.copy(),
+                 "bbox": bbox, "hand_type": "right"})
+
+        sd = {k[len("module."):] if k.startswith("module.") else k:
+              np.asarray(v.numpy()) for k, v in ref_rt.net.state_dict().items()}
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_kpfusion_state_dict(sd))
+        ours = RGBDRuntime(params, KPFusionConfig())
+        np.random.seed(1234)
+        got = ours.estimate_pose_rgbd(img_rgb, depth, bbox)
+
+        np.testing.assert_allclose(got["joint_xyz_world"],
+                                   np.asarray(ref_out["joint_xyz"]),
+                                   atol=1e-4, rtol=1e-3)
+        # The reference's joint_uvd output is buggy: it applies inv(M) to
+        # NORMALIZED uv (the unnormalize line Model_RGBD.py:174 is
+        # commented out) and reads stage index [2] (first-stage joints).
+        # Our runtime emits corrected full-image uvd of the FINAL joints;
+        # assert it is geometrically consistent with the metric output.
+        uvd = got["joint_uvd_full"]
+        assert np.isfinite(uvd).all()
+        fx, fy, fu, fv = 906.96, 906.79, 956.75, 547.23
+        xyz_mm = got["joint_xyz_world"] * np.array([1, -1, -1]) * 1000.0
+        # invert the HO3D reorder to compare like-for-like
+        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import MANO2HO3D
+        inv = np.argsort(MANO2HO3D)
+        xyz_mano = xyz_mm[inv]
+        u = xyz_mano[:, 0] * fx / xyz_mano[:, 2] + fu
+        v = xyz_mano[:, 1] * fy / xyz_mano[:, 2] + fv
+        np.testing.assert_allclose(uvd[:, 0], u, atol=0.5)
+        np.testing.assert_allclose(uvd[:, 1], v, atol=0.5)
+
+
+class TestCenterNet:
+    def test_forward_parity(self, kpf_env, rng):
+        import torch
+
+        cn = kpf_env.import_module("software.KeypointFusion.model.centerNet")
+        from hamer_yolo_tpu.core.convert import convert_centernet
+        from hamer_yolo_tpu.models.kpfusion_rgbd.centernet import centernet_forward
+
+        torch.manual_seed(9)
+        m = cn.ResNet18(21)
+        _spread_bn(m)
+        m.eval()
+        x = rng.uniform(-1, 1, (2, 1, 128, 128)).astype(np.float32)
+        with torch.no_grad():
+            ref = m(torch.from_numpy(x))[0].numpy()
+        p = jax.tree_util.tree_map(jnp.asarray, convert_centernet(_sd(m), "net"))
+        got = np.asarray(centernet_forward(p, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
