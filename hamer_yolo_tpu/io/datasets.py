@@ -39,8 +39,13 @@ class YoloDataConfig:
     hsv_s: float = 0.7
     hsv_v: float = 0.4
     fliplr: float = 0.5
-    scale: float = 0.5
-    translate: float = 0.1
+    # random_perspective params (hyp.scratch.p5.yaml)
+    degrees: float = 0.0
+    translate: float = 0.2
+    scale: float = 0.9
+    shear: float = 0.0
+    perspective: float = 0.0
+    mixup: float = 0.15
 
 
 def load_yolo_labels(label_path: str) -> np.ndarray:
@@ -79,6 +84,106 @@ def augment_hsv(img: np.ndarray, rng: np.random.Generator, cfg: YoloDataConfig) 
     return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
 
 
+def random_perspective(
+    img: np.ndarray,
+    targets: np.ndarray,
+    rng: np.random.Generator,
+    degrees: float = 10.0,
+    translate: float = 0.1,
+    scale: float = 0.1,
+    shear: float = 10.0,
+    perspective: float = 0.0,
+    border: Tuple[int, int] = (0, 0),
+    params: Optional[Tuple[float, ...]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Affine/perspective jitter (reference datasets.py:1032-1121).
+
+    targets: (n, 5) [cls, x1, y1, x2, y2] in PIXELS of ``img``. ``border``
+    shrinks the canvas (the mosaic passes (-S/2, -S/2) to cut the 2S
+    collage to S). ``params`` overrides the 8 random draws
+    (px, py, angle, scale, shear_x_deg, shear_y_deg, tx_frac, ty_frac) —
+    drawn from ``rng`` in the reference's exact order otherwise.
+    Host-side cv2 (input pipeline; not part of the jitted graph).
+    """
+    import math as _math
+
+    import cv2
+
+    height = img.shape[0] + border[0] * 2
+    width = img.shape[1] + border[1] * 2
+    if params is None:
+        params = (
+            rng.uniform(-perspective, perspective),
+            rng.uniform(-perspective, perspective),
+            rng.uniform(-degrees, degrees),
+            rng.uniform(1 - scale, 1.1 + scale),
+            rng.uniform(-shear, shear),
+            rng.uniform(-shear, shear),
+            rng.uniform(0.5 - translate, 0.5 + translate),
+            rng.uniform(0.5 - translate, 0.5 + translate),
+        )
+    px, py, a, s_, sh_x, sh_y, txf, tyf = params
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = px
+    P[2, 1] = py
+    R = np.eye(3)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s_)
+    Sh = np.eye(3)
+    Sh[0, 1] = _math.tan(sh_x * _math.pi / 180)
+    Sh[1, 0] = _math.tan(sh_y * _math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = txf * width
+    T[1, 2] = tyf * height
+    M = T @ Sh @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(width, height),
+                                      borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height),
+                                 borderValue=(114, 114, 114))
+
+    n = len(targets)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
+        x = xy[:, [0, 2, 4, 6]]
+        y = xy[:, [1, 3, 5, 7]]
+        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        keep = _box_candidates(targets[:, 1:5].T * s_, new.T)
+        targets = targets[keep]
+        targets[:, 1:5] = new[keep]
+    return img, targets
+
+
+def _box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1, eps=1e-16):
+    """reference datasets.py:1124-1129."""
+    w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
+    w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & \
+        (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def mixup(img: np.ndarray, labels: np.ndarray, img2: np.ndarray,
+          labels2: np.ndarray, rng: np.random.Generator
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Beta(8, 8) image blend + label concat (reference train path /
+    yolov5-style mixup used at hyp mixup=0.15)."""
+    r = rng.beta(8.0, 8.0)
+    out = (img.astype(np.float32) * r
+           + img2.astype(np.float32) * (1 - r)).astype(img.dtype)
+    return out, np.concatenate([labels, labels2], axis=0)
+
+
 def load_mosaic4(
     pairs: Sequence[Tuple[str, str]],
     indices: Sequence[int],
@@ -86,9 +191,9 @@ def load_mosaic4(
     cfg: YoloDataConfig,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """4-image mosaic (reference datasets.py:723-780): 2x2 collage around a
-    random center on a 2S canvas, labels shifted accordingly, then center-
-    cropped... the reference keeps the 2S canvas for random_perspective;
-    here we resize the canvas back to S (scale/translate handled there)."""
+    random center on a 2S canvas, labels to pixel xyxy, then
+    random_perspective with border=(-S/2, -S/2) cuts it to S (the
+    reference composition; the earlier canvas-resize shortcut is gone)."""
     import cv2
 
     S = cfg.img_size
@@ -124,21 +229,26 @@ def load_mosaic4(
             lab[:, 4] = labels[:, 4] * h
             all_labels.append(lab)
     labels = np.concatenate(all_labels) if all_labels else np.zeros((0, 5), np.float32)
-    # resize 2S -> S; renormalize labels
-    canvas = cv2.resize(canvas, (S, S))
+    # xywh (pixels on 2S canvas) -> xyxy, clipped (datasets.py:763-765)
     if len(labels):
-        labels[:, 1:] /= (2 * S)
-        # clip to image
-        cx, cy, w, h = labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4]
-        x1 = np.clip(cx - w / 2, 0, 1)
-        y1 = np.clip(cy - h / 2, 0, 1)
-        x2 = np.clip(cx + w / 2, 0, 1)
-        y2 = np.clip(cy + h / 2, 0, 1)
-        labels[:, 1] = (x1 + x2) / 2
-        labels[:, 2] = (y1 + y2) / 2
-        labels[:, 3] = x2 - x1
-        labels[:, 4] = y2 - y1
-        labels = labels[(labels[:, 3] > 2 / S) & (labels[:, 4] > 2 / S)]
+        xyxy = labels.copy()
+        xyxy[:, 1] = labels[:, 1] - labels[:, 3] / 2
+        xyxy[:, 2] = labels[:, 2] - labels[:, 4] / 2
+        xyxy[:, 3] = labels[:, 1] + labels[:, 3] / 2
+        xyxy[:, 4] = labels[:, 2] + labels[:, 4] / 2
+        np.clip(xyxy[:, 1:], 0, 2 * S, out=xyxy[:, 1:])
+        labels = xyxy
+    canvas, labels = random_perspective(
+        canvas, labels, rng, cfg.degrees, cfg.translate, cfg.scale,
+        cfg.shear, cfg.perspective, border=(-S // 2, -S // 2))
+    # back to normalized xywh for the fixed-shape batch
+    if len(labels):
+        out = labels.copy()
+        out[:, 1] = (labels[:, 1] + labels[:, 3]) / 2 / S
+        out[:, 2] = (labels[:, 2] + labels[:, 4]) / 2 / S
+        out[:, 3] = (labels[:, 3] - labels[:, 1]) / S
+        out[:, 4] = (labels[:, 4] - labels[:, 2]) / S
+        labels = out
     return canvas, labels
 
 
@@ -215,6 +325,10 @@ def yolo_batch_iterator(
             if cfg.mosaic:
                 idxs = rng.integers(0, len(pairs), 4)
                 img, labels = load_mosaic4(pairs, idxs, rng, cfg)
+                if cfg.mixup > 0 and rng.uniform() < cfg.mixup:
+                    idxs2 = rng.integers(0, len(pairs), 4)
+                    img2, labels2 = load_mosaic4(pairs, idxs2, rng, cfg)
+                    img, labels = mixup(img, labels, img2, labels2, rng)
             else:
                 i = int(rng.integers(0, len(pairs)))
                 img = cv2.imread(pairs[i][0])
@@ -255,6 +369,9 @@ class HamerAugConfig:
     rot_aug_rate: float = 0.6
     do_flip: bool = False
     flip_aug_rate: float = 0.5
+    # EFT extreme cropping (configs/__init__.py:66, utils.py:574-586)
+    extreme_crop_aug_rate: float = 0.10
+    extreme_crop_aug_level: int = 1
 
 
 def hamer_training_crop(
@@ -266,12 +383,19 @@ def hamer_training_crop(
     out_size: int = 256,
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
+    keypoints_2d: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, Dict[str, float]]:
     """One augmented training crop (get_example / do_augmentation parity).
 
+    `keypoints_2d` (44, 3) in pixel coords enables the EFT extreme-crop
+    augmentation branch (reference utils.py:574-586, THRESH=4 guard).
     Returns (normalized RGB crop (S, S, 3) float32, aug params applied).
     """
     import cv2
+
+    from hamer_yolo_tpu.io.extreme_crop import (
+        extreme_cropping, extreme_cropping_aggressive,
+    )
 
     aug = aug or HamerAugConfig()
     tx = float(np.clip(rng.normal(), -1, 1) * aug.trans_factor)
@@ -280,11 +404,21 @@ def hamer_training_crop(
     rot = float(np.clip(rng.normal(), -2, 2) * aug.rot_factor) \
         if rng.uniform() <= aug.rot_aug_rate else 0.0
     do_flip = aug.do_flip and rng.uniform() <= aug.flip_aug_rate
+    do_extreme = rng.uniform() <= aug.extreme_crop_aug_rate
     c_low, c_up = 1 - aug.color_scale, 1 + aug.color_scale
     color = rng.uniform(c_low, c_up, 3)
 
-    c_x = center[0] + tx * bbox_size
-    c_y = center[1] + ty * bbox_size
+    c_x, c_y = float(center[0]), float(center[1])
+    if do_extreme and keypoints_2d is not None:
+        fn = (extreme_cropping_aggressive if aug.extreme_crop_aug_level == 1
+              else extreme_cropping)
+        cx1, cy1, w1, h1 = fn(c_x, c_y, bbox_size, bbox_size, keypoints_2d,
+                              rng=rng)
+        if w1 >= 4 and h1 >= 4:  # reference THRESH=4 skip guard
+            c_x, c_y, bbox_size = cx1, cy1, float(max(w1, h1))
+
+    c_x = c_x + tx * bbox_size
+    c_y = c_y + ty * bbox_size
 
     h, w = img_bgr.shape[:2]
     img = img_bgr
@@ -330,6 +464,7 @@ def hamer_batch_iterator(
     aug: Optional["HamerAugConfig"] = None,
     seed: int = 0,
     infinite: bool = True,
+    mocap: Optional["MoCapSource"] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """HaMeR training batches from webdataset-style tar shards.
 
@@ -337,6 +472,11 @@ def hamer_batch_iterator(
     with optional fields keypoints_2d (21, 3), keypoints_3d (21, 4),
     mano_pose (48,) aa, mano_betas (10,), bbox center/scale. Missing
     annotations become zero-confidence / has_mano_params = 0.
+
+    `mocap` supplies the unpaired MANO samples the adversarial prior
+    trains against (reference mocap_dataset.py); without one the batch's
+    own params are reused as a stand-in (discriminator loss degenerates
+    to a self-consistency regularizer — fine for smoke tests only).
     """
     import json as _json
 
@@ -394,6 +534,10 @@ def hamer_batch_iterator(
             if got == 0:
                 return
         rot = np.asarray(aa_to_rotmat(jnp.asarray(pose_aa.reshape(batch_size, 16, 3))))
+        if mocap is not None:
+            mocap_pose, mocap_betas = mocap.sample_rotmats(batch_size, rng)
+        else:
+            mocap_pose, mocap_betas = rot[:, 1:], betas  # stand-in
         yield {
             "img": imgs,
             "keypoints_2d": kp2d,
@@ -402,9 +546,53 @@ def hamer_batch_iterator(
             "mano_hand_pose": rot[:, 1:],
             "mano_betas": betas,
             "has_mano_params": has_mano,
-            "mocap_hand_pose": rot[:, 1:],  # stand-in mocap prior source
-            "mocap_betas": betas,
+            "mocap_hand_pose": mocap_pose,
+            "mocap_betas": mocap_betas,
         }
+
+
+class MoCapSource:
+    """Unpaired MANO parameter pool for the adversarial prior (reference
+    hamer/datasets/mocap_dataset.py: npz with hand_pose (N, 48) aa — the
+    global orient is dropped — and betas (N, 10))."""
+
+    def __init__(self, dataset_file: str):
+        data = np.load(dataset_file)
+        self.pose = data["hand_pose"].astype(np.float32)[:, 3:]
+        self.betas = data["betas"].astype(np.float32)
+        self.length = len(self.pose)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return {"hand_pose": self.pose[idx].copy(),
+                "betas": self.betas[idx].copy()}
+
+    def sample_rotmats(self, n: int,
+                       rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        """n random samples as ((n, 15, 3, 3) rotmats, (n, 10) betas) —
+        the form the discriminator consumes (hamer.py training_step)."""
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.geometry.rotations import aa_to_rotmat
+
+        idx = rng.integers(0, self.length, size=n)
+        pose = self.pose[idx].reshape(n, 15, 3)
+        return np.asarray(aa_to_rotmat(jnp.asarray(pose))), self.betas[idx]
+
+
+def write_synthetic_mocap_npz(path: str, n: int = 4096, seed: int = 0) -> str:
+    """A stand-in mocap pool when the real CMU/FreiHAND npz is absent:
+    MANO poses drawn near the flat-hand mean with per-joint jitter. Same
+    npz schema as the reference file, so swapping in the real one is a
+    path change."""
+    rng = np.random.default_rng(seed)
+    hand_pose = np.zeros((n, 48), np.float32)
+    hand_pose[:, 3:] = rng.normal(0.0, 0.25, (n, 45)).astype(np.float32)
+    betas = rng.normal(0.0, 0.5, (n, 10)).astype(np.float32)
+    np.savez(path, hand_pose=hand_pose, betas=betas)
+    return path
 
 
 def iter_tar_samples(tar_paths: Sequence[str]) -> Iterator[Tuple[str, Dict[str, bytes]]]:

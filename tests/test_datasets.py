@@ -134,3 +134,38 @@ class TestTarStreaming:
         assert len(samples) == 2
         key0, s0 = samples[0]
         assert key0 == "a" and s0["jpg"] == b"a-jpg" and "json" in s0
+
+
+def test_mocap_source(tmp_path):
+    from hamer_yolo_tpu.io.datasets import MoCapSource, write_synthetic_mocap_npz
+
+    p = write_synthetic_mocap_npz(str(tmp_path / "mocap.npz"), n=64, seed=3)
+    src = MoCapSource(p)
+    assert len(src) == 64
+    item = src[5]
+    assert item["hand_pose"].shape == (45,) and item["betas"].shape == (10,)
+    pose, betas = src.sample_rotmats(7, np.random.default_rng(0))
+    assert pose.shape == (7, 15, 3, 3) and betas.shape == (7, 10)
+    # valid rotations
+    eye = np.einsum("njab,njcb->njac", pose, pose)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-5)
+
+
+def test_extreme_crop_in_training_crop():
+    from hamer_yolo_tpu.io.datasets import HamerAugConfig, hamer_training_crop
+
+    img = np.random.default_rng(0).integers(0, 255, (480, 640, 3),
+                                            np.uint8)
+    kp = np.zeros((44, 3), np.float32)
+    kp[:, :2] = np.random.default_rng(1).uniform(100, 400, (44, 2))
+    kp[:, 2] = 1.0
+    aug = HamerAugConfig(extreme_crop_aug_rate=1.0, rot_aug_rate=0.0)
+    crop, params = hamer_training_crop(
+        img, np.array([320.0, 240.0]), 200.0, np.random.default_rng(2),
+        aug, 256, keypoints_2d=kp)
+    assert crop.shape == (256, 256, 3)
+    base, _ = hamer_training_crop(
+        img, np.array([320.0, 240.0]), 200.0, np.random.default_rng(2),
+        HamerAugConfig(extreme_crop_aug_rate=0.0, rot_aug_rate=0.0), 256)
+    assert np.abs(crop - base).max() > 0.1  # extreme crop changed the view

@@ -232,3 +232,163 @@ class TestYoloGeneral:
             jnp.asarray(coords), jnp.asarray(1.0), jnp.asarray([0.0, 80.0]),
             (480.0, 640.0)))
         np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+class TestRandomPerspectiveGolden:
+    def test_random_perspective_parity(self, ref_datasets, rng):
+        """Execute the reference's random_perspective (datasets.py:1032)
+        with seeded python-random draws; ours must reproduce image and
+        surviving boxes exactly given the same 8 parameters."""
+        import random as pyrandom
+
+        from hamer_yolo_tpu.io import datasets as D
+
+        img = rng.integers(0, 255, (256, 256, 3)).astype(np.uint8)
+        targets = np.array([
+            [0, 40.0, 50.0, 120.0, 160.0],
+            [1, 150.0, 30.0, 240.0, 200.0],
+            [2, 10.0, 180.0, 60.0, 250.0],
+        ], np.float32)
+        for seed, border in ((0, (0, 0)), (3, (-64, -64))):
+            kw = dict(degrees=10.0, translate=0.1, scale=0.5, shear=5.0,
+                      perspective=0.0)
+            pyrandom.seed(seed)
+            ref_img, ref_t = ref_datasets.random_perspective(
+                img.copy(), targets.copy(), (), border=border, **kw)
+            # replay the reference's draw order
+            pyrandom.seed(seed)
+            params = (
+                pyrandom.uniform(-kw["perspective"], kw["perspective"]),
+                pyrandom.uniform(-kw["perspective"], kw["perspective"]),
+                pyrandom.uniform(-kw["degrees"], kw["degrees"]),
+                pyrandom.uniform(1 - kw["scale"], 1.1 + kw["scale"]),
+                pyrandom.uniform(-kw["shear"], kw["shear"]),
+                pyrandom.uniform(-kw["shear"], kw["shear"]),
+                pyrandom.uniform(0.5 - kw["translate"], 0.5 + kw["translate"]),
+                pyrandom.uniform(0.5 - kw["translate"], 0.5 + kw["translate"]),
+            )
+            got_img, got_t = D.random_perspective(
+                img.copy(), targets.copy(), np.random.default_rng(0),
+                border=border, params=params, **kw)
+            np.testing.assert_array_equal(got_img, ref_img)
+            np.testing.assert_allclose(got_t, ref_t, atol=1e-5)
+
+    def test_perspective_branch(self, ref_datasets, rng):
+        import random as pyrandom
+
+        from hamer_yolo_tpu.io import datasets as D
+
+        img = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        targets = np.array([[0, 20.0, 20.0, 90.0, 100.0]], np.float32)
+        kw = dict(degrees=5.0, translate=0.1, scale=0.2, shear=2.0,
+                  perspective=0.0005)
+        pyrandom.seed(7)
+        ref_img, ref_t = ref_datasets.random_perspective(
+            img.copy(), targets.copy(), (), border=(0, 0), **kw)
+        pyrandom.seed(7)
+        params = (
+            pyrandom.uniform(-kw["perspective"], kw["perspective"]),
+            pyrandom.uniform(-kw["perspective"], kw["perspective"]),
+            pyrandom.uniform(-kw["degrees"], kw["degrees"]),
+            pyrandom.uniform(1 - kw["scale"], 1.1 + kw["scale"]),
+            pyrandom.uniform(-kw["shear"], kw["shear"]),
+            pyrandom.uniform(-kw["shear"], kw["shear"]),
+            pyrandom.uniform(0.5 - kw["translate"], 0.5 + kw["translate"]),
+            pyrandom.uniform(0.5 - kw["translate"], 0.5 + kw["translate"]),
+        )
+        got_img, got_t = D.random_perspective(
+            img.copy(), targets.copy(), np.random.default_rng(0),
+            border=(0, 0), params=params, **kw)
+        np.testing.assert_array_equal(got_img, ref_img)
+        np.testing.assert_allclose(got_t, ref_t, atol=1e-4)
+
+
+class TestExtremeCropGolden:
+    @pytest.fixture(scope="class")
+    def ref_utils(self):
+        # load hamer/datasets/utils.py standalone by spec (the full oracle
+        # env conflicts with this file's lightweight yolov7 stubs)
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        import ref_pipeline_oracle as R
+
+        R._build_yacs_stub()
+        R._build_misc_stubs()
+        return _load("ref_hamer_ds_utils",
+                     f"{REF}/hamer/hamer/datasets/utils.py")
+
+    def _kps(self, rng, visible=None):
+        kp = np.zeros((44, 3), np.float32)
+        kp[:, :2] = rng.uniform(50, 400, (44, 2))
+        vis = visible if visible is not None else rng.uniform(0, 1, 44) > 0.3
+        kp[:, 2] = vis.astype(np.float32)
+        kp[kp[:, 2] == 0, :2] = 0
+        return kp
+
+    def test_crop_variants_parity(self, ref_utils, rng):
+        from hamer_yolo_tpu.io import extreme_crop as EC
+
+        names = {
+            "hips": ref_utils.crop_to_hips,
+            "shoulders": ref_utils.crop_to_shoulders,
+            "head": ref_utils.crop_to_head,
+            "torso": ref_utils.crop_torso_only,
+            "rightarm": ref_utils.crop_rightarm_only,
+            "leftarm": ref_utils.crop_leftarm_only,
+            "legs": ref_utils.crop_legs_only,
+            "rightleg": ref_utils.crop_rightleg_only,
+            "leftleg": ref_utils.crop_leftleg_only,
+        }
+        for trial in range(6):
+            kp = self._kps(np.random.default_rng(trial))
+            for name, fn in names.items():
+                ref = fn(100.0, 120.0, 80.0, 90.0, kp.copy())
+                got = EC.crop_variant(name, 100.0, 120.0, 80.0, 90.0, kp.copy())
+                np.testing.assert_allclose(got, ref, atol=1e-5,
+                                           err_msg=f"{name} trial {trial}")
+
+    def test_extreme_cropping_parity(self, ref_utils, rng):
+        import torch
+
+        from hamer_yolo_tpu.io import extreme_crop as EC
+
+        # full-body-visible keypoints
+        for trial in range(8):
+            r = np.random.default_rng(100 + trial)
+            kp = self._kps(r, visible=np.ones(44, bool))
+            torch.manual_seed(trial)
+            ref = ref_utils.extreme_cropping(100.0, 120.0, 80.0, 90.0, kp.copy())
+            torch.manual_seed(trial)
+            p = torch.rand(1).item()
+            got = EC.extreme_cropping(100.0, 120.0, 80.0, 90.0, kp.copy(), p=p)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+            torch.manual_seed(trial)
+            ref = ref_utils.extreme_cropping_aggressive(
+                100.0, 120.0, 80.0, 90.0, kp.copy())
+            got = EC.extreme_cropping_aggressive(
+                100.0, 120.0, 80.0, 90.0, kp.copy(), p=p)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_upper_body_branch(self, ref_utils, rng):
+        import torch
+
+        from hamer_yolo_tpu.io import extreme_crop as EC
+
+        vis = np.zeros(44, bool)
+        # upper-body visible, lower hidden (indices per utils.py:897-910)
+        for i in [0, 1, 15, 16, 17, 18, 2, 5, 25 + 8, 25 + 9, 25 + 12,
+                  25 + 13, 25 + 17, 25 + 18]:
+            vis[i] = True
+        kp = self._kps(np.random.default_rng(9), visible=vis)
+        assert EC.upper_body(kp) == bool(ref_utils.upper_body(kp))
+        for trial in range(5):
+            torch.manual_seed(trial)
+            ref = ref_utils.extreme_cropping_aggressive(
+                50.0, 60.0, 70.0, 80.0, kp.copy())
+            torch.manual_seed(trial)
+            p = torch.rand(1).item()
+            got = EC.extreme_cropping_aggressive(
+                50.0, 60.0, 70.0, 80.0, kp.copy(), p=p)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
