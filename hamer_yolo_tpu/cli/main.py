@@ -173,10 +173,13 @@ def cmd_depth(args) -> int:
 
 def cmd_reconstruct(args) -> int:
     from hamer_yolo_tpu.io.writers import load_hand_npy
-    from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_and_save_obj
+    from hamer_yolo_tpu.pipeline.reconstruct import (
+        combine_hand_meshes, reconstruct_and_save_obj, reconstruct_hand_mesh,
+    )
 
     params, mano, cfg = _load_runtime(args)
     os.makedirs(args.output, exist_ok=True)
+    overlay_dir = getattr(args, "overlay_images", None)
     count = 0
     for f in sorted(os.listdir(args.input)):
         if not f.endswith(".npy"):
@@ -185,8 +188,38 @@ def cmd_reconstruct(args) -> int:
         obj_path = os.path.join(args.output, f.replace(".npy", ".obj"))
         if reconstruct_and_save_obj(mano, results, obj_path) is not None:
             count += 1
+        if overlay_dir:
+            _write_lit_overlay(mano, results, f, overlay_dir, args.output)
     print(f"wrote {count} OBJ files to {args.output}")
     return 0
+
+
+def _write_lit_overlay(mano, results, npy_name, image_dir, out_dir) -> None:
+    """Lit z-buffered AA mesh overlay (pyrender-capability path,
+    reference renderer.py:222-386) for one frame's npy next to its image."""
+    import cv2
+
+    from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_hand_mesh
+    from hamer_yolo_tpu.utils.render import lit_mesh_overlay
+
+    stem = npy_name[:-4]
+    img = None
+    for ext in (".png", ".jpg", ".jpeg", ".bmp"):
+        p = os.path.join(image_dir, stem + ext)
+        if os.path.exists(p):
+            img = cv2.imread(p)
+            break
+    if img is None:
+        return
+    hands = [reconstruct_hand_mesh(mano, results[s])
+             for s in ("left", "right") if results.get(s) is not None]
+    if not hands:
+        return
+    K = _default_K(img.shape)
+    out = img
+    for h in hands:
+        out = lit_mesh_overlay(out, h["vertices"], h["faces"], K)
+    cv2.imwrite(os.path.join(out_dir, stem + "_overlay.png"), out)
 
 
 def cmd_bench(args) -> int:
@@ -333,6 +366,9 @@ def main(argv: Optional[list] = None) -> int:
     common(p)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--overlay-images", default=None, metavar="DIR",
+                   help="source image dir: also write lit z-buffered mesh "
+                        "overlays (<stem>_overlay.png) next to the OBJs")
     p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("bench", help="run the benchmark")

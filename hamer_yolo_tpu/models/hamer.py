@@ -75,15 +75,17 @@ def hamer_forward(
     m = cfg.crop_margin
     x = img[:, :, m:-m, :]  # (B, 256, 192, 3) NHWC center crop
 
-    if cfg.int8_backbone:
-        from hamer_yolo_tpu.core.quant import vit_forward_int8
-
-        context = vit_forward_int8(params["backbone"], x, cfg.vit)
-    elif cfg.tome_r > 0:
+    if cfg.tome_r > 0:
+        # Composes with int8_backbone: vit_forward_tome routes the block
+        # matmuls through the int8 ops when params are quantized.
         from hamer_yolo_tpu.models.tome import vit_forward_tome
 
         context = vit_forward_tome(params["backbone"], x, cfg.vit,
                                    r_per_layer=cfg.tome_r, attn_impl=attn_impl)
+    elif cfg.int8_backbone:
+        from hamer_yolo_tpu.core.quant import vit_forward_int8
+
+        context = vit_forward_int8(params["backbone"], x, cfg.vit)
     else:
         context = vit_forward(params["backbone"], x, cfg.vit, attn_impl=attn_impl)
     pred_mano, pred_cam = mano_head_forward(params["mano_head"], context, cfg.head)

@@ -80,10 +80,23 @@ def bipartite_soft_matching_merge(
 
 
 def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
-    """ViT forward with per-layer token merging (drop-in for vit_forward)."""
+    """ViT forward with per-layer token merging (drop-in for vit_forward).
+
+    Composes with W8A8: if ``params`` came from quantize_vit_params
+    (leaves hold {"wq": ...}), the block matmuls route through the int8
+    ops — ToMe shrinks N while int8 doubles MXU rate, multiplicative.
+    """
     from hamer_yolo_tpu.core import nn
 
-    attn = attn_impl or nn.mha_self_attention
+    quantized = "wq" in params["blocks"][0]["attn"]["qkv"]
+    if quantized:
+        from hamer_yolo_tpu.core.quant import int8_mha_self_attention, int8_mlp_gelu
+
+        attn = attn_impl or int8_mha_self_attention
+        mlp = int8_mlp_gelu
+    else:
+        attn = attn_impl or nn.mha_self_attention
+        mlp = nn.mlp_gelu
     B = x.shape[0]
     x = x.astype(jnp.dtype(cfg.compute_dtype))
     tok = nn.conv2d(params["patch_embed"], x, stride=cfg.patch_size,
@@ -94,5 +107,5 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
     for blk in params["blocks"]:
         tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
         tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
-        tok = tok + nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+        tok = tok + mlp(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
     return nn.layer_norm(params["last_norm"], tok)

@@ -25,13 +25,54 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[Any]] = None,
+    n_replica: int = 1,
 ) -> Mesh:
+    """("data", "model") mesh, optionally with an outer "replica" axis.
+
+    "replica" models the DCN (cross-host) dimension of a multi-pod/
+    multi-host topology: pure data parallelism whose gradient all-reduce
+    is the only cross-axis collective, so it tolerates DCN bandwidth,
+    while "data"/"model" collectives stay on ICI. On a real multi-host
+    run use ``make_hybrid_mesh`` so the axis order matches the physical
+    DCN/ICI split; on a single host (or the virtual CPU mesh) the same
+    axes are emulated by reshaping the device list.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (n_data, n_model, len(devices))
-    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, ("data", "model"))
+        n_data = len(devices) // (n_model * n_replica)
+    need = n_data * n_model * n_replica
+    assert need <= len(devices), (n_replica, n_data, n_model, len(devices))
+    if n_replica == 1:
+        grid = np.array(devices[:need]).reshape(n_data, n_model)
+        return Mesh(grid, ("data", "model"))
+    grid = np.array(devices[:need]).reshape(n_replica, n_data, n_model)
+    return Mesh(grid, ("replica", "data", "model"))
+
+
+def make_hybrid_mesh(n_model: int = 1) -> Mesh:
+    """Multi-host mesh with the DCN dimension as the outer "replica" axis.
+
+    Uses mesh_utils.create_hybrid_device_mesh so "replica" spans hosts
+    (DCN) and "data"/"model" stay within a host's ICI domain. Requires a
+    jax.distributed-initialized multi-process runtime; falls back to
+    make_mesh on a single process.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(n_model=n_model)
+    from jax.experimental import mesh_utils
+
+    per_host = len(jax.local_devices())
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, per_host // n_model, n_model),
+        dcn_mesh_shape=(n_proc, 1, 1),
+    )
+    return Mesh(grid, ("replica", "data", "model"))
+
+
+def data_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """Mesh axes the batch dim is sharded over (replica+data when present)."""
+    return tuple(a for a in ("replica", "data") if a in mesh.shape)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -39,8 +80,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dim over "data"."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) dim over the data axes (replica+data)."""
+    return NamedSharding(mesh, P(data_axes(mesh), *([None] * (ndim - 1))))
 
 
 def _tp_spec_for_path(path: str, ndim: int) -> P:
@@ -76,7 +117,9 @@ def shard_params(params: Any, shardings: Any) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    axes = data_axes(mesh)
+
     def one(x):
-        return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+        return jax.device_put(x, NamedSharding(mesh, P(axes, *([None] * (x.ndim - 1)))))
 
     return jax.tree_util.tree_map(one, batch)

@@ -79,6 +79,47 @@ class TestTrainStep:
         )
         assert d > 0.0
 
+    def test_dcn_replica_axis_train_step(self):
+        """2x2x2 (replica x data x model) mesh: the DCN-style outer axis.
+
+        "replica" models the cross-host DCN dimension (pure DP whose only
+        cross-axis collective is the gradient all-reduce); the step must
+        match the single-device result exactly like plain DP does.
+        """
+        mano = _mano()
+        state, (gen_tx, disc_tx) = init_train_state(jax.random.PRNGKey(0), TINY_CFG)
+        step_fn = make_train_step(mano, TINY_CFG, gen_tx, disc_tx)
+        batch = synthetic_batch(jax.random.PRNGKey(3), 8, TINY_CFG)
+
+        s1, m1 = jax.jit(step_fn)(state, batch)
+
+        mesh = make_mesh(n_data=2, n_model=2, n_replica=2)
+        assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
+        with jax.set_mesh(mesh):
+            sh_params = shard_params(state.params, vit_tp_shardings(state.params, mesh))
+            sh_state = state._replace(params=sh_params)
+            sh_batch = shard_batch(batch, mesh)
+            # batch rows split over replica*data = 4 groups of 2
+            assert sh_batch["img"].sharding.spec[0] == ("replica", "data")
+            s2, m2 = jax.jit(step_fn)(sh_state, sh_batch)
+        np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=2e-4)
+
+    def test_dcn_replica_grad_sync_equivalence(self):
+        """Gradients all-reduced over replica+data == full-batch gradients."""
+        mano = _mano()
+        state, (gen_tx, disc_tx) = init_train_state(jax.random.PRNGKey(0), TINY_CFG)
+        step = make_train_step(mano, TINY_CFG, gen_tx, disc_tx)
+        batch = synthetic_batch(jax.random.PRNGKey(4), 8, TINY_CFG)
+
+        s_full, _ = jax.jit(step)(state, batch)
+        mesh = make_mesh(n_data=4, n_model=1, n_replica=2)
+        with jax.set_mesh(mesh):
+            s_dp, _ = jax.jit(step)(state, shard_batch(batch, mesh))
+        lead = jax.tree_util.tree_leaves(s_full.params)
+        lead_dp = jax.tree_util.tree_leaves(s_dp.params)
+        for a, b in zip(lead[:10], lead_dp[:10]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_grad_sync_equivalence(self):
         """DP gradients == full-batch gradients (the DDP allreduce check)."""
         mano = _mano()

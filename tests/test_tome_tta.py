@@ -49,6 +49,21 @@ class TestToMe:
         assert base.shape == (1, 12, 64)
         assert merged.shape == (1, 12 - 3 * 2, 64)
 
+    def test_vit_tome_int8_composition(self, rng):
+        """ToMe over quantized params routes the int8 matmuls and stays
+        close to the bf16 ToMe output (W8A8 + token merge compose)."""
+        from hamer_yolo_tpu.core.quant import quantize_vit_params
+
+        params = init_vit(jax.random.PRNGKey(0), TINY)
+        x = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).astype(np.float32))
+        ref = vit_forward_tome(params, x, TINY, r_per_layer=2)
+        q = quantize_vit_params(params)
+        out = vit_forward_tome(q, x, TINY, r_per_layer=2)
+        assert out.shape == ref.shape
+        cos = np.sum(np.asarray(ref) * np.asarray(out)) / (
+            np.linalg.norm(np.asarray(ref)) * np.linalg.norm(np.asarray(out)))
+        assert cos > 0.99
+
 
 class TestTTA:
     def test_tta_output_shape_and_flip_consistency(self):

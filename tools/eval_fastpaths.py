@@ -1,0 +1,91 @@
+"""Accuracy qualification of the fast ViT paths (VERDICT round-1 weak #1).
+
+Measures the end-to-end HaMeR output deltas (MPVPE in mm, 3D keypoint
+error, MANO parameter drift) of each accelerated backbone against the
+exact-bf16 baseline on the SAME production-shape seed-0 weights:
+
+- ToMe r in {2, 4, 8}   (static-schedule token merging, models/tome.py)
+- W8A8 dynamic int8     (core/quant.py)
+- bf16 vs f32           (context: the noise floor quantization must beat)
+
+Caveat: random (seed-0) weights — real-checkpoint deltas may differ, but
+this pins the numeric distortion of each path at production shapes. The
+BASELINE.md parity bar is MPVPE < 1 mm.
+
+Usage: python tools/eval_fastpaths.py   (TPU or CPU; ~minutes of compiles)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
+    from hamer_yolo_tpu.core.quant import quantize_vit_params
+    from hamer_yolo_tpu.models.hamer import HamerConfig, hamer_forward, init_hamer
+    from hamer_yolo_tpu.models.mano import ManoModel
+
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+
+    cfg = HamerConfig()
+    params = jax.jit(lambda k: init_hamer(k, cfg))(jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    # Realistic crop statistics: ImageNet-normalized pixels.
+    crops = jnp.asarray(rng.standard_normal((8, 256, 256, 3)), jnp.float32)
+
+    def run(cfg_variant, p=params):
+        out = jax.jit(lambda p, x: hamer_forward(p, mano, x, cfg_variant))(p, crops)
+        return {k: np.asarray(out[k], np.float64) for k in
+                ("pred_vertices", "pred_keypoints_3d", "pred_cam")}
+
+    base = run(cfg)
+
+    def delta(name, other):
+        mpvpe = np.linalg.norm(other["pred_vertices"] - base["pred_vertices"],
+                               axis=-1).mean() * 1000.0
+        kp3d = np.linalg.norm(other["pred_keypoints_3d"] - base["pred_keypoints_3d"],
+                              axis=-1).mean() * 1000.0
+        cam = np.abs(other["pred_cam"] - base["pred_cam"]).max()
+        print(f"{name:<14s} MPVPE {mpvpe:8.4f} mm   kp3d {kp3d:8.4f} mm   "
+              f"cam max|d| {cam:.5f}", flush=True)
+        return {"mpvpe_mm": round(float(mpvpe), 4),
+                "kp3d_mm": round(float(kp3d), 4), "cam_maxd": round(float(cam), 5)}
+
+    results = {}
+    f32_cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, compute_dtype="float32"))
+    results["f32_vs_bf16"] = delta("f32(ctx)", run(f32_cfg))
+
+    for r in (2, 4, 8):
+        results[f"tome_r{r}"] = delta(
+            f"tome_r{r}", run(dataclasses.replace(cfg, tome_r=r)))
+
+    qparams = dict(params)
+    qparams["backbone"] = jax.jit(quantize_vit_params)(params["backbone"])
+    results["int8"] = delta(
+        "w8a8_int8", run(dataclasses.replace(cfg, int8_backbone=True), qparams))
+
+    results["int8_tome_r4"] = delta(
+        "int8+tome_r4",
+        run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4), qparams))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
