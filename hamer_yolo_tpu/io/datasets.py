@@ -614,3 +614,103 @@ def iter_tar_samples(tar_paths: Sequence[str]) -> Iterator[Tuple[str, Dict[str, 
                 sample[ext.lstrip(".")] = data
             if current_key is not None and sample:
                 yield current_key, sample
+
+
+# ---------------------------------------------------------------------------
+# JSON box-file dataset (reference hamer/datasets/json_dataset.py:46-213)
+# ---------------------------------------------------------------------------
+
+class JsonBoxDataset:
+    """Images + a JSON file of xyxy boxes -> HaMeR training/eval items.
+
+    Reference parity (json_dataset.py): the JSON holds one [x1, y1, x2, y2]
+    per image of the sorted ``*.jpg`` glob of ``img_dir``; center/scale use
+    the reference's 200-pixel convention (center = box midpoint, scale =
+    2 * (xy2 - xy1) / 200, bbox_size = (scale * 200).max()); ``right``
+    stamps the constant handedness flag; optional npz annotations
+    (hand_pose (N, 48) aa + has_hand_pose, betas (N, 10) + has_betas,
+    hand_keypoints_2d (N, 21, 3), hand_keypoints_3d (N, 21, 4)) fill the
+    MANO supervision slots, zeros otherwise. Items carry the same keys the
+    reference emits (img, keypoints_2d/3d, box_center, box_size,
+    mano_params, has_mano_params, right, imgname, personid, idx).
+
+    train=True routes through the full augmentation crop
+    (hamer_training_crop: scale/rot/trans/color + EFT extreme-crop);
+    train=False uses the deterministic crop (all aug rates zeroed).
+    """
+
+    def __init__(self, dataset_file: str, img_dir: str, right: bool = True,
+                 train: bool = False, aug: Optional[HamerAugConfig] = None,
+                 out_size: int = 256, annotations_npz: Optional[str] = None,
+                 seed: int = 0):
+        import glob as _glob
+        import json as _json
+
+        boxes = np.asarray(_json.load(open(dataset_file)), np.float32)
+        if boxes.ndim == 1:
+            boxes = boxes[None]
+        self.imgname = sorted(_glob.glob(os.path.join(img_dir, "*.jpg")))
+        n = len(boxes)
+        self.center = (boxes[:, 2:4] + boxes[:, 0:2]) / 2.0
+        self.scale = 2 * (boxes[:, 2:4] - boxes[:, 0:2]) / 200.0
+        self.right = np.full(n, 1.0 if right else 0.0, np.float32)
+        self.train = train
+        self.out_size = out_size
+        self.aug = aug or HamerAugConfig()
+        if not train:
+            self.aug = HamerAugConfig(
+                scale_factor=0.0, rot_factor=0.0, trans_factor=0.0,
+                color_scale=0.0, rot_aug_rate=0.0, do_flip=False,
+                extreme_crop_aug_rate=0.0)
+        self.rng = np.random.default_rng(seed)
+
+        def _get(d, key, default):
+            return d[key].astype(np.float32) if d is not None and key in d \
+                else default
+
+        ann = np.load(annotations_npz) if annotations_npz else None
+        self.hand_pose = _get(ann, "hand_pose", np.zeros((n, 48), np.float32))
+        self.has_hand_pose = _get(ann, "has_hand_pose", np.zeros(n, np.float32))
+        self.betas = _get(ann, "betas", np.zeros((n, 10), np.float32))
+        self.has_betas = _get(ann, "has_betas", np.zeros(n, np.float32))
+        self.keypoints_2d = _get(ann, "hand_keypoints_2d",
+                                 np.zeros((n, 21, 3), np.float32))
+        self.keypoints_3d = _get(ann, "hand_keypoints_3d",
+                                 np.zeros((n, 21, 4), np.float32))
+
+    def __len__(self) -> int:
+        return len(self.scale)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        import cv2
+
+        image_file = self.imgname[idx]
+        img = cv2.imread(image_file)
+        center = self.center[idx].copy()
+        bbox_size = float((self.scale[idx] * 200).max())
+        crop, aug_params = hamer_training_crop(
+            img, center, bbox_size, self.rng, self.aug, self.out_size,
+            keypoints_2d=self.keypoints_2d[idx] if self.train else None)
+        hand_pose = self.hand_pose[idx]
+        return {
+            "img": crop,
+            "keypoints_2d": self.keypoints_2d[idx].copy(),
+            "keypoints_3d": self.keypoints_3d[idx].copy(),
+            "orig_keypoints_2d": self.keypoints_2d[idx].copy(),
+            "box_center": center,
+            "box_size": np.float32(bbox_size),
+            "mano_params": {
+                "global_orient": hand_pose[:3].copy(),
+                "hand_pose": hand_pose[3:].copy(),
+                "betas": self.betas[idx].copy(),
+            },
+            "has_mano_params": {
+                "global_orient": self.has_hand_pose[idx].copy(),
+                "hand_pose": self.has_hand_pose[idx].copy(),
+                "betas": self.has_betas[idx].copy(),
+            },
+            "right": self.right[idx].copy(),
+            "imgname": image_file,
+            "personid": np.int32(idx),
+            "idx": np.int32(idx),
+        }

@@ -43,7 +43,8 @@ def conv_block_init(key, c1: int, c2: int, k: int = 1, s: int = 1,
 
 
 def conv_block(p: Params, x: jax.Array, s: int = 1, act: bool = True) -> jax.Array:
-    k = p["conv"]["w"].shape[0]
+    w = p["conv"]["w"]
+    k = (w["q"] if isinstance(w, dict) else w).shape[0]
     y = nn.conv2d(p["conv"], x, stride=s, padding=autopad(k))
     if "bn" in p:
         y = nn.batch_norm(p["bn"], y)

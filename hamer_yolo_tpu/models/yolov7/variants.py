@@ -53,7 +53,8 @@ VARIANT_OPS = (GHOSTC, GHOST, GCSPA, GCSPB, GCSPC, GSPP, STEM, GSTEM,
 def _conv(p: Params, x: jax.Array, s: int = 1, act: bool = True,
           groups: int = 1) -> jax.Array:
     """Conv(+folded BN)+SiLU with group support (DWConv etc.)."""
-    k = p["conv"]["w"].shape[0]
+    w = p["conv"]["w"]
+    k = (w["q"] if isinstance(w, dict) else w).shape[0]
     y = nn.conv2d(p["conv"], x, stride=s, padding=k // 2, groups=groups)
     if "bn" in p:
         y = nn.batch_norm(p["bn"], y)

@@ -41,6 +41,11 @@ class PipelineConfig:
     iou_thres: float = 0.35    # config/yolo_config.py:8
     classes: Tuple[int, ...] = (0, 1, 2)  # config/yolo_config.py:9
     agnostic_nms: bool = True  # config/yolo_config.py:10
+    # Static NMS candidate pool (reference max_nms=30000, general.py:616).
+    # 512 is ample for hands at conf 0.25; raise for dense-object cfgs —
+    # overflow behavior (highest-score candidates kept) is pinned by
+    # tests/test_nms.py::TestCandidateOverflow.
+    max_nms_static: int = 512
     right_class: int = 1       # cls==1 -> right (yolo/detector.py:144-148)
     crop_size: int = 256
     use_depth_refine: bool = False  # d_infer.py behavior when True
@@ -78,6 +83,7 @@ def detect_hands(
         classes=cfg.classes,
         agnostic=cfg.agnostic_nms,
         max_det=cfg.max_hands,
+        max_nms_static=cfg.max_nms_static,
     )
     boxes = scale_coords(nms.boxes[0], r, pad, (orig_hw[0], orig_hw[1]))
     boxes = jnp.round(boxes)  # detector rounds (yolo/detector.py:142)

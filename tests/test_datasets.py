@@ -169,3 +169,48 @@ def test_extreme_crop_in_training_crop():
         img, np.array([320.0, 240.0]), 200.0, np.random.default_rng(2),
         HamerAugConfig(extreme_crop_aug_rate=0.0, rot_aug_rate=0.0), 256)
     assert np.abs(crop - base).max() > 0.1  # extreme crop changed the view
+
+
+def test_json_box_dataset(tmp_path):
+    """JsonBoxDataset mirrors the reference json_dataset.py conventions."""
+    import json
+
+    import cv2
+
+    from hamer_yolo_tpu.io.datasets import JsonBoxDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"img_{i}.jpg"),
+                    rng.integers(0, 255, (240, 320, 3)).astype(np.uint8))
+    boxes = [[40, 50, 200, 210], [10, 10, 110, 150], [60, 20, 260, 220]]
+    (tmp_path / "boxes.json").write_text(json.dumps(boxes))
+    np.savez(tmp_path / "ann.npz",
+             hand_pose=rng.normal(0, 0.2, (3, 48)).astype(np.float32),
+             has_hand_pose=np.ones(3, np.float32),
+             betas=np.zeros((3, 10), np.float32),
+             has_betas=np.ones(3, np.float32))
+
+    ds = JsonBoxDataset(str(tmp_path / "boxes.json"), str(tmp_path),
+                        right=True, train=False,
+                        annotations_npz=str(tmp_path / "ann.npz"))
+    assert len(ds) == 3
+    item = ds[0]
+    # reference center/scale convention (json_dataset.py:84-86, 160)
+    np.testing.assert_allclose(item["box_center"], [120.0, 130.0])
+    # bbox_size = (scale*200).max() with scale = 2*(xy2-xy1)/200 -> 2x side
+    assert float(item["box_size"]) == 320.0
+    assert item["img"].shape == (256, 256, 3)
+    assert item["right"] == 1.0
+    assert item["mano_params"]["global_orient"].shape == (3,)
+    assert item["mano_params"]["hand_pose"].shape == (45,)
+    assert item["has_mano_params"]["betas"] == 1.0
+    # eval mode is deterministic
+    item2 = JsonBoxDataset(str(tmp_path / "boxes.json"), str(tmp_path),
+                           right=True, train=False,
+                           annotations_npz=str(tmp_path / "ann.npz"))[0]
+    np.testing.assert_array_equal(item["img"], item2["img"])
+    # train mode augments
+    ds_tr = JsonBoxDataset(str(tmp_path / "boxes.json"), str(tmp_path),
+                           right=True, train=True, seed=7)
+    assert np.abs(ds_tr[0]["img"] - item["img"]).max() > 1e-3

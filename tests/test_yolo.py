@@ -130,6 +130,30 @@ class TestNMS:
         np.testing.assert_allclose(got, exp_boxes[order], rtol=1e-4)
         np.testing.assert_array_equal(got_cls, exp_cls[order])
 
+    def test_candidate_overflow_keeps_highest_scores(self, rng):
+        """More candidates above conf than max_nms_static: the static top-K
+        must keep the HIGHEST-scoring candidates (silent truncation only
+        ever drops the weakest tail — VERDICT round-1 weak #8).
+
+        Pinned semantics: equivalent to the reference sorting by score and
+        truncating to max_nms (general.py:663-666 `x[x[:, 4].argsort(
+        descending=True)[:max_nms]]`) BEFORE the greedy suppression.
+        """
+        N, nc, K = 300, 3, 64
+        pred = np.zeros((1, N, 5 + nc), np.float32)
+        # non-overlapping boxes spread far apart -> NMS suppresses nothing
+        cx = (np.arange(N) % 50) * 400.0 + 100.0
+        cy = (np.arange(N) // 50) * 400.0 + 100.0
+        pred[0, :, 0], pred[0, :, 1] = cx, cy
+        pred[0, :, 2:4] = 50.0
+        pred[0, :, 4] = rng.uniform(0.3, 1.0, N)  # all above conf
+        pred[0, :, 5] = 1.0  # class 0
+        out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                  iou_thres=0.45, max_det=K, max_nms_static=K)
+        got_scores = np.sort(np.asarray(out.scores[0])[np.asarray(out.valid[0])])
+        exp = np.sort(pred[0, :, 4])[-K:]  # the K best survive truncation
+        np.testing.assert_allclose(got_scores, exp, rtol=1e-5)
+
     def test_class_filter(self, rng):
         pred = np.zeros((1, 10, 8), np.float32)
         pred[0, :, 0:4] = [100, 100, 20, 20]
