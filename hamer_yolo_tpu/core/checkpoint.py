@@ -53,3 +53,27 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
         if template is not None:
             return ckptr.restore(path, template)
         return ckptr.restore(path)
+
+
+def latest_checkpoint(run_dir: str) -> Optional[str]:
+    """Newest ``ckpt_*`` under a run dir (reference get_latest_run,
+    yolov7/utils/general.py:58: wandb auto-resume picks last.pt of the
+    most recent run). ``ckpt_final`` wins over any numbered step; else
+    the highest ``ckpt_<step>``.
+    """
+    if not os.path.isdir(run_dir):
+        return None
+    final = os.path.join(run_dir, "ckpt_final")
+    if os.path.isdir(final):
+        return final
+    best: Optional[str] = None
+    best_step = -1
+    for name in os.listdir(run_dir):
+        if name.startswith("ckpt_"):
+            try:
+                step = int(name[5:])
+            except ValueError:
+                continue
+            if step > best_step:
+                best_step, best = step, os.path.join(run_dir, name)
+    return best

@@ -167,3 +167,19 @@ class TestPortraitBuckets:
         assert pick_bucket(640, 480) == (640, 480)
         assert pick_bucket(1280, 720) == (1280, 720)
         assert pick_bucket(480, 640) == (480, 640)
+
+
+class TestLatestCheckpoint:
+    def test_picks_final_then_highest_step(self, tmp_path):
+        from hamer_yolo_tpu.core.checkpoint import latest_checkpoint
+
+        assert latest_checkpoint(str(tmp_path / "missing")) is None
+        run = tmp_path / "run"
+        run.mkdir()
+        assert latest_checkpoint(str(run)) is None
+        (run / "ckpt_200").mkdir()
+        (run / "ckpt_1000").mkdir()
+        (run / "ckpt_junk").mkdir()
+        assert latest_checkpoint(str(run)).endswith("ckpt_1000")
+        (run / "ckpt_final").mkdir()
+        assert latest_checkpoint(str(run)).endswith("ckpt_final")

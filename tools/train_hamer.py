@@ -36,7 +36,9 @@ def main() -> int:
 
     import jax
 
-    from hamer_yolo_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from hamer_yolo_tpu.core.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
     from hamer_yolo_tpu.core.mano_assets import load_mano_model, synthetic_mano_model
     from hamer_yolo_tpu.models.hamer import HamerConfig
     from hamer_yolo_tpu.models.mano import ManoModel
@@ -66,8 +68,9 @@ def main() -> int:
         mano = ManoModel.from_arrays(synthetic_mano_model())
 
     state, (gen_tx, disc_tx) = init_train_state(jax.random.PRNGKey(0), cfg, args.lr)
-    if args.resume and os.path.exists(args.resume):
-        state = load_checkpoint(args.resume, state)
+    resume = latest_checkpoint(args.out) if args.resume == "auto" else args.resume
+    if resume and os.path.exists(resume):
+        state = load_checkpoint(resume, state)
         print(f"resumed at step {int(state.step)}")
 
     n_dev = args.devices or len(jax.devices())

@@ -36,7 +36,9 @@ def main() -> int:
     import jax
     import numpy as np
 
-    from hamer_yolo_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from hamer_yolo_tpu.core.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
     from hamer_yolo_tpu.io.datasets import YoloDataConfig, yolo_batch_iterator
     from hamer_yolo_tpu.models.yolov7.model import YoloConfig
     from hamer_yolo_tpu.parallel.mesh import make_mesh, shard_batch
@@ -46,9 +48,10 @@ def main() -> int:
 
     cfg = YoloConfig(nc=args.nc, img_size=args.img_size)
     state, tx = init_yolo_train_state(jax.random.PRNGKey(0), cfg, args.steps)
-    if args.resume and os.path.exists(args.resume):
-        state = load_checkpoint(args.resume, state)
-        print(f"resumed from {args.resume} at step {int(state.step)}")
+    resume = latest_checkpoint(args.out) if args.resume == "auto" else args.resume
+    if resume and os.path.exists(resume):
+        state = load_checkpoint(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}")
 
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
