@@ -95,9 +95,12 @@ def conv2d(
     """x: (B, H, W, C) -> (B, H', W', C_out).
 
     W8A8 path: if ``p["w"]`` is a dict {"q": int8 HWIO, "scale": (C_out,)}
-    (from core/quant.quantize_conv_params), the conv runs on the int8 MXU
-    mode (per-tensor dynamic activation scale, int32 accumulation) —
-    measured ~1.8x faster than bf16 at YOLOv7 trunk shapes on v5e.
+    (from core/quant.quantize_conv_weight), the conv runs int8 with
+    per-tensor dynamic activation scale and int32 accumulation. CAUTION:
+    measured SLOWER than bf16 on v5e (e2e 124.7 -> 102.5 fps with the
+    YOLO trunk quantized) — XLA lowers int8 convs via widening, not the
+    MXU int8 mode (unlike dot_general, where int8 IS faster). Kept as an
+    opt-in for backends with native int8 conv support.
     """
     strides = (stride, stride) if isinstance(stride, int) else stride
     if isinstance(padding, int):

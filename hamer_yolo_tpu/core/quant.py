@@ -121,7 +121,11 @@ def quantize_conv_tree(tree: Params) -> Params:
 
 
 def quantize_yolo_params(params: Params, quant_detect: bool = False) -> Params:
-    """W8A8 the YOLOv7 deploy graph's convs (trunk ~1.8x faster on v5e).
+    """W8A8 the YOLOv7 deploy graph's convs.
+
+    NOTE: on v5e this is a measured LOSS (e2e 124.7 -> 102.5 fps at
+    batch 32) — XLA has no MXU int8 conv lowering; see nn.conv2d. Opt-in
+    via BENCH_INT8_YOLO=1 for backends where int8 convs are native.
 
     The final detect/bin/keypoint head layer keeps f32 weights by default
     (box regression is precision-sensitive and the head is cheap).

@@ -74,8 +74,10 @@ def init_block(key, cfg: KPFusionConfig) -> Params:
         "joint_xyz_emb": _emb_init(keys[4], 3, C),
         "pcl_feat_emb_RGB": _emb_init(keys[5], C, C),
         "FA": desa_init(keys[6], C, (C, C)),
-        "init_TR": kp_interaction_init(keys[7], C),
-        "final_TR": kp_interaction_init(keys[8], C + 3),
+        # hidden == C (reference hidden 128 with dim 128, model.py:225-247);
+        # tying them keeps scaled-down test configs consistent.
+        "init_TR": kp_interaction_init(keys[7], C, hidden=C),
+        "final_TR": kp_interaction_init(keys[8], C + 3, hidden=C),
         "crossTR": decoder_init(keys[9], "updated", J, C, C, 4),
         "atten_spatial": _lin_init(keys[10], C + J, J),
         "fc_spatial": _lin_init(keys[11], cfg.feature_size ** 2, 1),

@@ -65,9 +65,13 @@ class BatchedPipeline:
 
         self._fn = fn
 
-    def process_batch(self, frames: List[np.ndarray], K: np.ndarray) -> Dict[str, np.ndarray]:
-        """frames: list of HWC BGR uint8/float; returns stacked outputs
-        (leading dim = len(frames); padded internally to batch_size)."""
+    def _dispatch(self, frames: List[np.ndarray], K: np.ndarray):
+        """Pad + upload + enqueue one batch; returns (lazy pytree, n).
+
+        JAX dispatch is asynchronous: this returns as soon as the program
+        is enqueued, so host prep of the NEXT batch overlaps the device's
+        work on this one (the H2D/dispatch pipelining of the stream path).
+        """
         n = len(frames)
         hmax = max(f.shape[0] for f in frames)
         wmax = max(f.shape[1] for f in frames)
@@ -85,27 +89,48 @@ class BatchedPipeline:
             from hamer_yolo_tpu.parallel.mesh import shard_batch
 
             batch = tuple(shard_batch(list(batch), self.mesh))
-        out = self._fn(self.params, *batch)
+        return self._fn(self.params, *batch), n
+
+    @staticmethod
+    def _fetch(out, n: int) -> Dict[str, np.ndarray]:
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
 
-    def stream(self, frame_iter: Iterator[np.ndarray], K: np.ndarray
-               ) -> Iterator[Dict[str, np.ndarray]]:
-        """Consume a frame iterator in batches; yields per-batch outputs."""
+    def process_batch(self, frames: List[np.ndarray], K: np.ndarray) -> Dict[str, np.ndarray]:
+        """frames: list of HWC BGR uint8/float; returns stacked outputs
+        (leading dim = len(frames); padded internally to batch_size)."""
+        return self._fetch(*self._dispatch(frames, K))
+
+    def stream(self, frame_iter: Iterator[np.ndarray], K: np.ndarray,
+               depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Consume a frame iterator in batches; yields per-batch outputs.
+
+        Keeps up to ``depth`` batches in flight: batch i+1 is prepped,
+        uploaded, and enqueued before batch i's results are fetched, so
+        the host never sits idle waiting on the device (nor vice versa).
+        """
+        from collections import deque
+
         stats = ServingStats()
         buf: List[np.ndarray] = []
+        pending: deque = deque()
         t0 = time.time()
+
+        def _drain_one():
+            out, n = pending.popleft()
+            stats.frames += n
+            stats.batches += 1
+            return self._fetch(out, n)
+
         for frame in frame_iter:
             buf.append(frame)
             if len(buf) == self.batch_size:
-                out = self.process_batch(buf, K)
-                stats.frames += len(buf)
-                stats.batches += 1
+                pending.append(self._dispatch(buf, K))
                 buf = []
-                yield out
+                if len(pending) >= depth:
+                    yield _drain_one()
         if buf:
-            out = self.process_batch(buf, K)
-            stats.frames += len(buf)
-            stats.batches += 1
-            yield out
+            pending.append(self._dispatch(buf, K))
+        while pending:
+            yield _drain_one()
         stats.total_s = time.time() - t0
         self.last_stats = stats

@@ -493,3 +493,22 @@ class TestCenterNet:
         p = jax.tree_util.tree_map(jnp.asarray, convert_centernet(_sd(m), "net"))
         got = np.asarray(centernet_forward(p, jnp.asarray(x.transpose(0, 2, 3, 1))))
         np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+class TestSmoothL1Golden:
+    def test_matches_reference_loss(self, kpf_env, rng):
+        """Our smooth_l1 vs the reference's custom SmoothL1Loss
+        (model/loss.py:3-26) executed as oracle."""
+        import torch
+
+        from software.KeypointFusion.model.loss import SmoothL1Loss
+
+        from hamer_yolo_tpu.training.train_kpfusion_rgbd import smooth_l1
+
+        # span the knee at |z| = 0.01: tiny, medium, large residuals
+        for scale in (0.001, 0.02, 1.0):
+            x = rng.normal(0, scale, (4, 21, 3)).astype(np.float32)
+            y = rng.normal(0, scale, (4, 21, 3)).astype(np.float32)
+            ref = float(SmoothL1Loss()(torch.from_numpy(x), torch.from_numpy(y)))
+            got = float(smooth_l1(jnp.asarray(x), jnp.asarray(y)))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-8)

@@ -129,3 +129,28 @@ class TestConfig:
     def test_describe(self):
         s = C.describe(YoloConfig())
         assert "img_size" in s
+
+
+class TestServingPipelined:
+    def test_stream_depth_preserves_order(self, rng):
+        """depth=3 keeps multiple batches in flight; output order and
+        contents must match the depth=1 (fully synchronous) stream."""
+        cfg = tiny_cfg()
+        try:
+            mano = ManoModel.from_arrays(load_mano_model("right"))
+        except Exception:
+            mano = ManoModel.from_arrays(synthetic_mano_model())
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+        pipe = BatchedPipeline(params, mano, cfg, batch_size=2,
+                               bucket_hw=(128, 128))
+        frames = [rng.integers(0, 255, (100, 120, 3)).astype(np.float32)
+                  for _ in range(6)]
+        K = np.array([[200.0, 0, 60], [0, 200.0, 50], [0, 0, 1]], np.float32)
+        sync = list(pipe.stream(iter(frames), K, depth=1))
+        deep = list(pipe.stream(iter(frames), K, depth=3))
+        assert len(sync) == len(deep) == 3
+        for a, b in zip(sync, deep):
+            np.testing.assert_array_equal(a["boxes"], b["boxes"])
+            np.testing.assert_array_equal(a["valid"], b["valid"])

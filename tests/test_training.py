@@ -174,3 +174,43 @@ class TestBatchNormTraining:
             assert a.shape == b.shape
             assert np.isfinite(np.asarray(a)).all()
             assert np.isfinite(np.asarray(b)).all()
+
+
+class TestKPFusionRGBDTraining:
+    def test_loss_composition_and_decrease(self, rng):
+        """Reference train.py:210-261 loss layout on the layer-exact RGBD
+        net: every stage term present + finite, and a few AdamW steps on a
+        fixed synthetic batch reduce the total."""
+        import jax
+
+        from hamer_yolo_tpu.models.kpfusion_rgbd.model import KPFusionConfig
+        from hamer_yolo_tpu.training.train_kpfusion_rgbd import (
+            init_train_state, kpfusion_rgbd_loss, make_optimizer,
+            make_train_step, synthetic_rgbd_batch,
+        )
+
+        cfg = KPFusionConfig(img_size=32, feature_size=8, dim=32,
+                             sample_num=64, num_stages=1, heads=2)
+        tx = make_optimizer(lr=3e-4)
+        params, opt_state = init_train_state(jax.random.PRNGKey(0), cfg, tx)
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_rgbd_batch(rng, 2, cfg).items()}
+
+        _, m0 = jax.jit(lambda p, b: kpfusion_rgbd_loss(p, b, cfg, 0))(
+            params, batch)
+        for key in ("pixel_d", "pixel_rgb", "coord_d", "coord_rgb",
+                    "coord_kfam_0", "coord_kfam_1", "spatial_0", "loss"):
+            assert np.isfinite(float(m0[key])), key
+        # spatial term gates off past SPATIAL_EPOCH
+        _, m_late = jax.jit(lambda p, b: kpfusion_rgbd_loss(p, b, cfg, 30))(
+            params, batch)
+        assert float(m_late["spatial_0"]) == 0.0
+        assert float(m0["spatial_0"]) > 0.0
+
+        step = jax.jit(make_train_step(cfg, tx))
+        first = None
+        for i in range(8):
+            params, opt_state, metrics = step(params, opt_state, batch, 0)
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
