@@ -16,11 +16,14 @@ Exposed as a drop-in attention/MLP implementation for vit_forward
 — pass quantized params from ``quantize_vit_params``). Opt-in; bf16 stays
 the default.
 
-STATUS (measured on v5e via BENCH_INT8=1): numerically solid (cos > 0.99)
-but 15x SLOWER end-to-end — XLA's dot_general lowering on this TPU stack
-does not engage the int8 MXU mode, and the per-token dynamic quantization
-ops don't fuse. Kept as groundwork; a production int8 path needs AQT or a
-hand-written Pallas int8 matmul kernel.
+STATUS (measured on v5e via BENCH_INT8=1): the dot_general path DOES
+engage the int8 MXU mode (microbench 152 TFLOP/s vs 117 bf16 at ViT
+shapes) — e2e 124.7 -> 140.2 fps at batch 32, 128.9 -> 146.3 at batch
+64, MPVPE delta 1.44 mm (tools/eval_fastpaths.py; bf16 noise floor
+0.83 mm). Composition with ToMe is NEGATIVE (159.0 -> 147.8 at r=4):
+once token merging shrinks the GEMMs, the unfused dynamic-quantize
+elementwise passes dominate. Convs are a different story — see
+quantize_yolo_params below.
 """
 from __future__ import annotations
 

@@ -46,5 +46,27 @@ class MetricLogger:
                         continue
                     tf.summary.scalar(k, v, step=step)
 
+    def log_image(self, step: int, name: str, image_bgr) -> None:
+        """Log a prediction image (reference hamer.py:213-267
+        tensorboard_logging grids). Goes to tensorboard when available,
+        and always to ``<log_dir>/images/<name>_<step>.png`` so the
+        artifact exists without a tf install."""
+        import numpy as np
+
+        img = np.asarray(image_bgr)
+        img_dir = os.path.join(os.path.dirname(self.path), "images")
+        os.makedirs(img_dir, exist_ok=True)
+        try:
+            import cv2
+
+            cv2.imwrite(os.path.join(img_dir, f"{name}_{int(step)}.png"), img)
+        except Exception:
+            pass
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                tf.summary.image(name, img[None, :, :, ::-1], step=int(step))
+
     def close(self) -> None:
         self._file.close()

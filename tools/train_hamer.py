@@ -31,6 +31,10 @@ def main() -> int:
     p.add_argument("--tiny", action="store_true", help="tiny ViT (smoke)")
     p.add_argument("--out", default="runs/hamer")
     p.add_argument("--resume", default=None)
+    p.add_argument("--viz-every", type=int, default=100,
+                   help="log a skeleton-overlay prediction grid every N "
+                        "steps (reference hamer.py tensorboard_logging); "
+                        "0 disables")
     p.add_argument("--ckpt-every", type=int, default=50)
     args = p.parse_args()
 
@@ -82,6 +86,15 @@ def main() -> int:
         args.synthetic = True
 
     os.makedirs(args.out, exist_ok=True)
+    from hamer_yolo_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(args.out)
+    viz_fwd = None
+    if args.viz_every:
+        from hamer_yolo_tpu.models.hamer import hamer_forward
+
+        viz_fwd = jax.jit(lambda p, x: hamer_forward(p, mano, x, cfg)
+                          ["pred_keypoints_2d"])
     t0 = time.time()
     key = jax.random.PRNGKey(1)
     ctx = jax.set_mesh(mesh) if mesh is not None else None
@@ -99,9 +112,24 @@ def main() -> int:
                 batch = shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch)
             if step % 10 == 0:
+                logger.log(step, {k: float(v) for k, v in metrics.items()})
                 print(f"step {step}: total={float(metrics['total']):.4f} "
                       f"kp2d={float(metrics['keypoints_2d']):.4f} "
                       f"disc={float(metrics['disc_loss']):.4f}")
+            if viz_fwd is not None and step % args.viz_every == 0:
+                import numpy as np
+
+                from hamer_yolo_tpu.utils.viz import render_eval_grid
+
+                n = min(8, int(batch["img"].shape[0]))
+                crops = np.asarray(batch["img"][:n])
+                kp2d = np.asarray(viz_fwd(state.params, batch["img"][:n]))
+                S = crops.shape[1]
+                # pred_keypoints_2d is crop-normalized [-0.5, 0.5]
+                kp_px = (kp2d[:, :, :2] + 0.5) * S
+                grid = render_eval_grid(
+                    np.clip(crops * 0.25 + 0.5, 0, 1), kp_px)
+                logger.log_image(step, "pred_grid", grid)
             if step and step % args.ckpt_every == 0:
                 save_checkpoint(os.path.join(args.out, f"ckpt_{step}"), state)
         save_checkpoint(os.path.join(args.out, "ckpt_final"), state)
