@@ -83,6 +83,19 @@ class TestLogger:
         lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
         assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
 
+    def test_log_image_writes_png(self, tmp_path):
+        import cv2
+
+        log = MetricLogger(str(tmp_path), tensorboard=False)
+        img = np.zeros((32, 48, 3), np.uint8)
+        img[:, :, 2] = 255
+        log.log_image(7, "pred_grid", img)
+        log.close()
+        path = tmp_path / "images" / "pred_grid_7.png"
+        assert path.exists()
+        back = cv2.imread(str(path))
+        np.testing.assert_array_equal(back, img)
+
 
 class TestAutoanchor:
     def test_metric_perfect_anchors(self):
