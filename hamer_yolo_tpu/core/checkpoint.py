@@ -46,13 +46,30 @@ def save_checkpoint(path: str, params: Any) -> None:
 
 
 def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    """Restore an orbax checkpoint.
+
+    With a template, values land on the template's shardings. Without
+    one, a plain restore replays the shardings RECORDED AT SAVE TIME,
+    which fails cross-device (e.g. evaluating a TPU-trained checkpoint
+    on a CPU host) — fall back to restoring raw numpy arrays, which any
+    later device_put/jit re-shards as needed.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
             return ckptr.restore(path, template)
-        return ckptr.restore(path)
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            pass  # saved shardings name devices this host doesn't have
+    ckptr2 = ocp.PyTreeCheckpointer()
+    item = ckptr2.metadata(path).item_metadata
+    tree = item.tree if hasattr(item, "tree") else item
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr2.restore(path, restore_args=restore_args)
 
 
 def latest_checkpoint(run_dir: str) -> Optional[str]:
