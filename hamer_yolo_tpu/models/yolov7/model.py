@@ -186,6 +186,9 @@ def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
         elif op == CAT:
             c2 = sum(c_srcs)
             layers.append(None)
+        elif op == "ADD":  # Shortcut (common.py:84-90): x[0] + x[1]
+            c2 = c1
+            layers.append(None)
         elif op == SPP:
             (c2,) = args
             layers.append(B.sppcspc_init(keys[i], c1, c2, deploy=deploy))
@@ -268,6 +271,8 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
             out = B.mp(inputs[0])
         elif op == CAT:
             out = jnp.concatenate(inputs, axis=-1)
+        elif op == "ADD":
+            out = inputs[0] + inputs[1]
         elif op == SPP:
             out = B.sppcspc(p, inputs[0])
         elif op == UP:
@@ -327,6 +332,8 @@ def yolov7_train_forward(params: nn.Params, x: jax.Array,
             out = B.mp(inputs[0])
         elif op == CAT:
             out = jnp.concatenate(inputs, axis=-1)
+        elif op == "ADD":
+            out = inputs[0] + inputs[1]
         elif op == SPP:
             out, new_layers[i] = B.sppcspc_train(p, inputs[0])
         elif op == UP:

@@ -33,6 +33,7 @@ _ACT_MODULES = {
     "SPPCSPC": SPP,
     "RepConv": REP,
     "Concat": CAT,
+    "Shortcut": "ADD",  # x[0] + x[1] (common.py:84-90, e6e E-ELAN merge)
     "nn.Upsample": UP,
     "Upsample": UP,
     "ReOrg": REORG,
@@ -109,7 +110,7 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
         elif op == SP_:
             k = args[0] if args else 3
             spec.append((frm_t, SP_, (k,)))
-        elif op in (MP_, CAT, UP, REORG):
+        elif op in (MP_, CAT, UP, REORG, "ADD"):
             spec.append((frm_t, op, ()))
         elif op in _VARIANT_OPS:
             c2 = make_divisible(args[0] * gw)

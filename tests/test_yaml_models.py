@@ -85,3 +85,18 @@ class TestReferenceYamls:
             assert a[1] == b[1], (a, b)
             if a[1] == "C":
                 assert a[2][0] == b[2][0], (a, b)
+
+
+    def test_yolov7_tiny(self):
+        out, cfg = self._build("yolov7-tiny.yaml", size=64)
+        assert out.shape == (1, 3 * (64 + 16 + 4), 8)
+
+    def test_yolov7_e6e_shortcut(self):
+        """e6e uses Shortcut (common.py:84-90) E-ELAN merges; the yaml
+        loader must keep them as ADD spec entries (a silently dropped
+        layer shifts every later absolute 'from' index)."""
+        spec, cfg = load_yaml_model_cfg(
+            os.path.join(REF_CFG, "yolov7-e6e.yaml"), nc=3)
+        assert len(spec) == 262  # 1:1 with the yaml layer list
+        assert sum(1 for _, op, _a in spec if op == "ADD") == 11
+        assert cfg.nl == 4
