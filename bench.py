@@ -80,15 +80,22 @@ def main() -> None:
         return (out["boxes"], out["scores"], out["valid"], out["betas"],
                 out["theta"], out["cam_t"], out["vertices"], out["root_depth"])
 
-    @jax.jit
-    def frame_fn(params, image, orig_hw, K):
+    def _checksum(tree):
+        # TIMING RULE (CLAUDE.md): on the axon backend block_until_ready
+        # can return before device completion — every timed program must
+        # reduce to a scalar that the host then fetches (float()).
+        leaves = jax.tree_util.tree_leaves(tree)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    def _frame_raw(params, image, orig_hw, K):
         return _payload(infer_frame(params, mano, image, orig_hw, K, cfg,
                                     attn_impl=attn_impl))
 
+    frame_fn = jax.jit(_frame_raw)
+
     batch = int(os.environ.get("BENCH_BATCH", "64"))
 
-    @jax.jit
-    def batch_fn(params, images, orig_hws, Ks):
+    def _batch_raw(params, images, orig_hws, Ks):
         return jax.vmap(
             lambda i, hw, k: _payload(infer_frame(params, mano, i, hw, k, cfg,
                                                   attn_impl=attn_impl))
@@ -100,12 +107,19 @@ def main() -> None:
     # 640; ours additionally includes the 720p->640 letterbox).
     from hamer_yolo_tpu.pipeline.frame import detect_hands
 
-    @jax.jit
-    def detector_fn(params, images, orig_hws):
+    def _detector_raw(params, images, orig_hws):
         def one(i, hw):
             det = detect_hands(params["yolo"], i, hw, cfg)
             return det["boxes"], det["scores"], det["valid"]
         return jax.vmap(one)(images, orig_hws)
+
+    # Scalar-fetch variants for timing (see _checksum).
+    frame_fn_sum = jax.jit(
+        lambda p, i, hw, k: _checksum(_frame_raw(p, i, hw, k)))
+    batch_fn_sum = jax.jit(
+        lambda p, i, hw, k: _checksum(_batch_raw(p, i, hw, k)))
+    detector_fn_sum = jax.jit(
+        lambda p, i, hw: _checksum(_detector_raw(p, i, hw)))
 
     params = jax.device_put(params)
 
@@ -119,14 +133,14 @@ def main() -> None:
     jax.block_until_ready(out)
     compile_s = time.time() - t_compile
 
-    # Warmup steady-state.
+    # Warmup steady-state (compiles the _sum variant too).
     for _ in range(3):
-        jax.block_until_ready(frame_fn(params, image, orig_hw, K))
+        float(frame_fn_sum(params, image, orig_hw, K))
 
     lat = []
     for _ in range(frames):
         t0 = time.time()
-        jax.block_until_ready(frame_fn(params, image, orig_hw, K))
+        float(frame_fn_sum(params, image, orig_hw, K))
         lat.append(time.time() - t0)
     lat = np.array(lat)
     p50 = float(np.percentile(lat, 50))
@@ -136,11 +150,11 @@ def main() -> None:
     images = jnp.broadcast_to(image, (batch,) + image.shape)
     hws = jnp.broadcast_to(orig_hw, (batch, 2))
     Ks = jnp.broadcast_to(K, (batch, 3, 3))
-    jax.block_until_ready(batch_fn(params, images, hws, Ks))  # compile
+    float(batch_fn_sum(params, images, hws, Ks))  # compile
     tlat = []
     for _ in range(max(frames // 2, 3)):
         t0 = time.time()
-        jax.block_until_ready(batch_fn(params, images, hws, Ks))
+        float(batch_fn_sum(params, images, hws, Ks))
         tlat.append(time.time() - t0)
     batch_p50 = float(np.percentile(np.array(tlat), 50))
     fps = batch / batch_p50
@@ -148,11 +162,11 @@ def main() -> None:
     # Detector-only (the reference's own published benchmark surface).
     det_extra = {}
     if os.environ.get("BENCH_DETECTOR", "1") == "1":
-        jax.block_until_ready(detector_fn(params, images, hws))  # compile
+        float(detector_fn_sum(params, images, hws))  # compile
         dlat = []
         for _ in range(max(frames // 2, 3)):
             t0 = time.time()
-            jax.block_until_ready(detector_fn(params, images, hws))
+            float(detector_fn_sum(params, images, hws))
             dlat.append(time.time() - t0)
         det_p50 = float(np.percentile(np.array(dlat), 50))
         det_ms = det_p50 / batch * 1e3
@@ -188,11 +202,12 @@ def main() -> None:
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
             **det_extra,
-            "fastpaths": {
-                # measured on this chip (720p, 2 hand slots); MPVPE delta
-                # vs exact-bf16 from tools/eval_fastpaths.py (random
-                # production-shape weights; bf16-vs-f32 noise floor
-                # 0.83 mm). BENCH_INT8=1 / BENCH_TOME=4 / BENCH_BATCH=N.
+            "fastpaths_recorded_2026_08_17": {
+                # STATIC reference table, NOT measured by this run — from
+                # dedicated sweeps on this chip (720p, 2 hand slots);
+                # reproduce with BENCH_INT8=1 / BENCH_TOME=4 /
+                # BENCH_BATCH=N, MPVPE deltas via tools/eval_fastpaths.py
+                # (bf16-vs-f32 noise floor 0.83 mm).
                 "int8_vit_fps_b64": 146.3, "int8_vit_mpvpe_mm": 1.44,
                 "tome_r4_fps_b128": 175.5, "tome_r4_mpvpe_mm": 4.58,
                 "tome_r4_fps_b64": 159.0,

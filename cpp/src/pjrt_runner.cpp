@@ -311,6 +311,13 @@ bool PrintDetectionsJSON(const std::string& image,
       fetched[0].size() / 16 != fetched[1].size() / 4) {
     return false;
   }
+  // classes (int32) and valid (uint8) must also cover n slots — without
+  // this a 4-output non-detector engine with coincidental box/score
+  // shapes would be read out of bounds below.
+  if (fetched[2].size() < (fetched[1].size() / 4) * 4 ||
+      fetched[3].size() < fetched[1].size() / 4) {
+    return false;
+  }
   const float* boxes = reinterpret_cast<const float*>(fetched[0].data());
   const float* scores = reinterpret_cast<const float*>(fetched[1].data());
   const int32_t* classes = reinterpret_cast<const int32_t*>(fetched[2].data());

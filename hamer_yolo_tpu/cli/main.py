@@ -173,9 +173,7 @@ def cmd_depth(args) -> int:
 
 def cmd_reconstruct(args) -> int:
     from hamer_yolo_tpu.io.writers import load_hand_npy
-    from hamer_yolo_tpu.pipeline.reconstruct import (
-        combine_hand_meshes, reconstruct_and_save_obj, reconstruct_hand_mesh,
-    )
+    from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_and_save_obj
 
     params, mano, cfg = _load_runtime(args)
     os.makedirs(args.output, exist_ok=True)

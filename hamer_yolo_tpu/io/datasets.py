@@ -409,7 +409,11 @@ def hamer_training_crop(
     color = rng.uniform(c_low, c_up, 3)
 
     c_x, c_y = float(center[0]), float(center[1])
-    if do_extreme and keypoints_2d is not None:
+    # The EFT extreme-crop family indexes the 44-keypoint BODY convention
+    # (extreme_crop.py body/hip/shoulder ids up to 43); a 21-point hand
+    # array must not enter it (reference only applies it from datasets
+    # that carry body keypoints).
+    if do_extreme and keypoints_2d is not None and keypoints_2d.shape[0] >= 44:
         fn = (extreme_cropping_aggressive if aug.extreme_crop_aug_level == 1
               else extreme_cropping)
         cx1, cy1, w1, h1 = fn(c_x, c_y, bbox_size, bbox_size, keypoints_2d,

@@ -92,7 +92,9 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
     if quantized:
         from hamer_yolo_tpu.core.quant import int8_mha_self_attention, int8_mlp_gelu
 
-        attn = attn_impl or int8_mha_self_attention
+        # int8 param dicts hold {"wq": ...} leaves a bf16 attn_impl can't
+        # read — the quantized dispatch always wins over an override.
+        attn = int8_mha_self_attention
         mlp = int8_mlp_gelu
     else:
         attn = attn_impl or nn.mha_self_attention

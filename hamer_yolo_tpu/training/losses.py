@@ -107,11 +107,10 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na,
     g is the neighbor-cell radius: 0.5 for lead heads, 1.0 for aux heads
     (ComputeLossAuxOTA's looser build_targets2, loss.py:1179+).
 
-    head="bin" switches to the IBin layout (ComputeLossBinOTA,
-    loss.py:852-1178): per-anchor channels [x, y, w_bin(bc+1),
-    h_bin(bc+1), obj, cls...]; the COST boxes decode wh via the forward
-    SigmoidBin (argmax bin), the LOSS boxes via the target-indexed bin
-    (SigmoidBin.training_loss semantics).
+    head="bin" only adjusts the channel LAYOUT here (per-anchor
+    [x, y, w_bin(bc+1), h_bin(bc+1), obj, cls...]); all SigmoidBin
+    decode/BCE math lives in _simota_pooled_losses, the only loss path
+    the IBin head can take (yolo_loss raises for bin + non-simota).
     """
     B, H, W, _ = raw.shape
     T = targets.shape[1]
@@ -164,45 +163,16 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na,
     ps_xy = jax.nn.sigmoid(psel[..., 0:2]) * 2.0 - 0.5
     rel_xy = t_xy[:, :, None, None, :] - cells[:, :, :, None, :].astype(raw.dtype)
     rel_xy = jnp.broadcast_to(rel_xy, ps_xy.shape)
-    bin_bce = None
-    if head == "bin":
-        from hamer_yolo_tpu.models.yolov7.heads import (
-            sigmoid_bin_decode, sigmoid_bin_training_loss,
-        )
-
-        Lb = _bin_L(bin_count)
-        w_logits = psel[..., 2:2 + Lb]
-        h_logits = psel[..., 2 + Lb:obj_idx]
-        anc_b = jnp.broadcast_to(anc[None, None, None, :, :], ps_xy.shape[:-1] + (2,))
-        # cost wh: forward (argmax-bin) decode on sigmoided logits
-        wh_cost = jnp.stack([
-            sigmoid_bin_decode(jax.nn.sigmoid(w_logits), bin_count),
-            sigmoid_bin_decode(jax.nn.sigmoid(h_logits), bin_count),
-        ], axis=-1) * anc_b
-        # loss wh + bin BCE: target-indexed bin (training_loss)
-        t_wh_b = jnp.broadcast_to(t_wh[:, :, None, None, :], anc_b.shape)
-        bin_t_w = t_wh_b[..., 0] / anc_b[..., 0]
-        bin_t_h = t_wh_b[..., 1] / anc_b[..., 1]
-        wflat = match_f.reshape(-1)
-        _, pw = sigmoid_bin_training_loss(
-            w_logits.reshape(-1, Lb), bin_t_w.reshape(-1),
-            weight=wflat, bin_count=bin_count)
-        _, ph = sigmoid_bin_training_loss(
-            h_logits.reshape(-1, Lb), bin_t_h.reshape(-1),
-            weight=wflat, bin_count=bin_count)
-        bin_bce = (bin_t_w, bin_t_h)  # BCE recomputed post-OTA
-        ps_wh = jnp.stack([pw.reshape(anc_b.shape[:-1]),
-                           ph.reshape(anc_b.shape[:-1])], axis=-1) * anc_b
-        pbox_cost = jnp.concatenate([ps_xy, wh_cost], axis=-1)
-    else:
-        ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
-        pbox_cost = None
+    # wh decode + CIoU: detect layout only. For head=="bin" these values
+    # are never consumed (the pooled simota path rebuilds boxes from
+    # psel with the SigmoidBin decode), so the detect formula on the
+    # first channels is harmless filler that keeps shapes uniform.
+    ps_wh = (jax.nn.sigmoid(psel[..., 2:4]) * 2.0) ** 2 * anc[None, None, None, :, :]
     pbox = jnp.concatenate([ps_xy, ps_wh], axis=-1)
     tbox = jnp.concatenate([rel_xy, jnp.broadcast_to(t_wh[:, :, None, None, :], ps_wh.shape)], axis=-1)
     ciou = bbox_ciou(pbox, tbox)
     # plain IoU for the OTA cost (the reference uses box_iou, not CIoU)
-    cbox = pbox if pbox_cost is None else pbox_cost
-    iou_cost = _plain_iou_xywh(jax.lax.stop_gradient(cbox), tbox)
+    iou_cost = _plain_iou_xywh(jax.lax.stop_gradient(pbox), tbox)
 
     flat_idx = (bidx * (L * na * 8192)  # unique per (b, lvl, anchor, cell)
                 + lvl * (na * 8192)
@@ -211,8 +181,6 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na,
     return {
         "m": m, "psel": psel, "match_f": match_f, "ciou": ciou,
         "iou_cost": iou_cost, "obj_idx": obj_idx, "anc_grid": anc,
-        "bin_t_w": None if bin_bce is None else bin_bce[0],
-        "bin_t_h": None if bin_bce is None else bin_bce[1],
         "t_cls": t_cls, "H": H, "W": W, "na": na, "lvl": lvl,
         "cells_y": cells_y, "cells_x": cells_x, "bidx": bidx,
         "flat_idx": flat_idx,
@@ -511,12 +479,6 @@ def _accumulate_losses(per_level, nc, balance, B):
         obj_idx = d["obj_idx"]
         n_match = jnp.maximum(match_f.sum(), 1.0)
         total_box += ((1.0 - ciou) * match_f).sum() / n_match
-        if d.get("bin_t_w") is not None:
-            # SigmoidBin w/h BCE terms (ComputeLossBinOTA, loss.py:915-920).
-            # NOTE: the bin BCE inside _level_candidates used the PRE-OTA
-            # match mask; recompute against the final selection by scaling
-            # — exactness comes from recomputing here with match_f.
-            total_box += _recompute_bin_bce(d, match_f)
 
         # objectness target: IoU at matched locations (scatter-free segment max)
         lvl_flat = (d["bidx"] * (na_ * H * W)
@@ -538,20 +500,3 @@ def _accumulate_losses(per_level, nc, balance, B):
             total_cls += (bce_logits(cls_logits, cls_tgt) * match_f[..., None]).sum() / (n_match * nc)
     return total_box, total_obj, total_cls
 
-
-def _recompute_bin_bce(d, match_f):
-    """w/h SigmoidBin BCE over the FINAL (post-OTA) matches."""
-    from hamer_yolo_tpu.models.yolov7.heads import sigmoid_bin_training_loss
-
-    psel = d["psel"]
-    obj_idx = d["obj_idx"]
-    Lb = (obj_idx - 2) // 2
-    bc = Lb - 1
-    w_logits = psel[..., 2:2 + Lb].reshape(-1, Lb)
-    h_logits = psel[..., 2 + Lb:obj_idx].reshape(-1, Lb)
-    tw = d["bin_t_w"].reshape(-1)
-    th = d["bin_t_h"].reshape(-1)
-    wflat = match_f.reshape(-1)
-    w_bce, _ = sigmoid_bin_training_loss(w_logits, tw, weight=wflat, bin_count=bc)
-    h_bce, _ = sigmoid_bin_training_loss(h_logits, th, weight=wflat, bin_count=bc)
-    return w_bce + h_bce

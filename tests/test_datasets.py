@@ -214,3 +214,20 @@ def test_json_box_dataset(tmp_path):
     ds_tr = JsonBoxDataset(str(tmp_path / "boxes.json"), str(tmp_path),
                            right=True, train=True, seed=7)
     assert np.abs(ds_tr[0]["img"] - item["img"]).max() > 1e-3
+
+
+def test_hand_keypoints_do_not_enter_extreme_crop():
+    """(21,3) hand keypoints must not be routed into the 44-keypoint body
+    extreme-crop family (it indexes ids up to 43 -> IndexError). Force the
+    extreme branch probability to 1 and iterate enough draws to hit it."""
+    from hamer_yolo_tpu.io.datasets import HamerAugConfig, hamer_training_crop
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+    kp21 = rng.uniform(100, 400, (21, 3)).astype(np.float32)
+    aug = HamerAugConfig(extreme_crop_aug_rate=1.0, rot_aug_rate=0.0)
+    for _ in range(5):
+        crop, _params = hamer_training_crop(
+            img, np.array([320.0, 240.0]), 200.0, rng, aug, 256,
+            keypoints_2d=kp21)
+        assert crop.shape == (256, 256, 3)
