@@ -208,9 +208,9 @@ def main() -> None:
                 # reproduce with BENCH_INT8=1 / BENCH_TOME=4 /
                 # BENCH_BATCH=N, MPVPE deltas via tools/eval_fastpaths.py
                 # (bf16-vs-f32 noise floor 0.83 mm).
-                "int8_vit_fps_b64": 146.3, "int8_vit_mpvpe_mm": 1.44,
-                "tome_r4_fps_b128": 175.5, "tome_r4_mpvpe_mm": 4.58,
-                "tome_r4_fps_b64": 159.0,
+                "int8_vit_fps_b128": 158.9, "int8_vit_mpvpe_mm": 1.44,
+                "tome_r4_fps_b128": 176.4, "tome_r4_mpvpe_mm": 4.58,
+                "tome_r2_fps_b128": 144.4, "tome_r2_mpvpe_mm": 3.02,
                 "int8_tome_r4_fps_b32": 147.8, "int8_tome_r4_mpvpe_mm": 5.39,
             },
             "baseline_note": "vs_baseline is CROSS-SCOPE and conservative: "
