@@ -1,4 +1,6 @@
 """Training loop tests: YOLO loss/step, EMA, schedules."""
+import os
+
 import numpy as np
 import pytest
 
@@ -214,3 +216,28 @@ class TestKPFusionRGBDTraining:
             if first is None:
                 first = float(metrics["loss"])
         assert float(metrics["loss"]) < first
+
+
+class TestKPFusionRGBDTrainCLI:
+    def test_cli_runs_and_resumes(self, tmp_path):
+        """tools/train_kpfusion_rgbd.py end-to-end: 2 tiny steps, ckpt
+        written, --resume auto continues from it."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cli = os.path.join(root, "tools", "train_kpfusion_rgbd.py")
+        out = str(tmp_path / "run")
+        r1 = subprocess.run(
+            [sys.executable, cli, "--tiny", "--steps", "2", "--batch", "1",
+             "--out", out, "--log-every", "1"],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        assert os.path.isdir(os.path.join(out, "ckpt_final"))
+        r2 = subprocess.run(
+            [sys.executable, cli, "--tiny", "--steps", "3", "--batch", "1",
+             "--out", out, "--resume", "auto", "--log-every", "1"],
+            capture_output=True, text=True, env=env, timeout=900)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "resumed from" in r2.stdout

@@ -78,6 +78,10 @@ def main() -> int:
         print(f"resumed at step {int(state.step)}")
 
     n_dev = args.devices or len(jax.devices())
+    if n_dev > 1 and args.batch % max(n_dev // args.tp, 1):
+        print(f"batch {args.batch} not divisible by the data axis "
+              f"({n_dev // args.tp}); running single-device")
+        n_dev = 1
     mesh = make_mesh(n_data=n_dev // args.tp, n_model=args.tp) if n_dev > 1 else None
     step_fn = jax.jit(make_train_step(mano, cfg, gen_tx, disc_tx))
 

@@ -54,6 +54,10 @@ def main() -> int:
         print(f"resumed from {resume} at step {int(state.step)}")
 
     n_dev = args.devices or len(jax.devices())
+    if n_dev > 1 and args.batch % n_dev:
+        print(f"batch {args.batch} not divisible by {n_dev} devices; "
+              "running single-device")
+        n_dev = 1
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
     step_fn = jax.jit(make_yolo_train_step(cfg, tx))
 
