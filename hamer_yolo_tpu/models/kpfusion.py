@@ -1,4 +1,11 @@
-"""KPFusion: RGB-D hand mesh/pose framework (KeypointFusion branch).
+"""KPFusion (LEGACY sketch): RGB-D hand mesh/pose, capability-level model.
+
+STATUS: superseded by ``models/kpfusion_rgbd/`` — the *layer-exact* rebuild
+of the reference's KeypointFusion (12 parity tests vs the reference torch
+modules, reference-parity train step, the ``rgbd`` CLI). This module is the
+earlier capability-level re-design kept for its tests
+(tests/test_kpfusion.py) and the lighter ``training/train_kpfusion.py``
+demo; prefer ``kpfusion_rgbd`` for anything parity-facing.
 
 TPU-native re-design of reference rootnet/KeypointFusion/model/
 (model.py KPFusion/Block_KPFusion/DESA, fusion_layer.py RGBDFusion,

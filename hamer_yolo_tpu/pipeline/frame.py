@@ -44,7 +44,7 @@ class PipelineConfig:
     # Static NMS candidate pool (reference max_nms=30000, general.py:616).
     # 512 is ample for hands at conf 0.25; raise for dense-object cfgs —
     # overflow behavior (highest-score candidates kept) is pinned by
-    # tests/test_nms.py::TestCandidateOverflow.
+    # tests/test_yolo.py test_candidate_overflow_keeps_highest_scores.
     max_nms_static: int = 512
     right_class: int = 1       # cls==1 -> right (yolo/detector.py:144-148)
     crop_size: int = 256
@@ -261,13 +261,3 @@ def infer_frame_with_boxes(
     if depth is not None:
         out["root_depth"] = depth
     return out
-
-
-def make_infer_fn(params, mano_model, cfg: PipelineConfig, attn_impl=None):
-    """jit-wrapped frame program with params/mano baked as constants closed
-    over donation-free; bucket shape is static via input shapes."""
-    @jax.jit
-    def fn(image_bgr, orig_hw, K):
-        return infer_frame(params, mano_model, image_bgr, orig_hw, K, cfg,
-                           attn_impl=attn_impl)
-    return fn
