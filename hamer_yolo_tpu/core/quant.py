@@ -20,10 +20,15 @@ STATUS (measured on v5e via BENCH_INT8=1): the dot_general path DOES
 engage the int8 MXU mode (microbench 152 TFLOP/s vs 117 bf16 at ViT
 shapes) — e2e 124.7 -> 140.2 fps at batch 32, 128.9 -> 146.3 at batch
 64, MPVPE delta 1.44 mm (tools/eval_fastpaths.py; bf16 noise floor
-0.83 mm). Composition with ToMe is NEGATIVE (159.0 -> 147.8 at r=4):
-once token merging shrinks the GEMMs, the unfused dynamic-quantize
-elementwise passes dominate. Convs are a different story — see
-quantize_yolo_params below.
+0.83 mm). Round 2 found composition with ToMe NEGATIVE (159.0 -> 147.8
+at r=4): once token merging shrinks the GEMMs, the unfused
+dynamic-quantize elementwise passes dominate. Round 3 fixes that with
+the Pallas fused kernel (ops/int8_matmul.py): LayerNorm/GELU + dynamic
+per-row quantize computed in VMEM inside the int8 GEMM, so every
+elementwise pass between the block matmuls disappears from the HBM
+traffic. On TPU the ``vit_forward_int8`` path routes through it
+automatically (``fused`` arg overrides). Convs are a different story —
+see quantize_yolo_params below.
 """
 from __future__ import annotations
 
@@ -159,10 +164,72 @@ def int8_mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
     return int8_linear(p["fc2"]["wq"], h, p["fc2"].get("b"))
 
 
-def vit_forward_int8(params_q: Params, x: jax.Array, cfg) -> jax.Array:
-    """vit_forward with int8 blocks (params from quantize_vit_params)."""
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _attn_math(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """(B, N, 3*D) fused-qkv tensor -> (B, N, D) pre-proj attention out."""
+    B, N, three_d = qkv.shape
+    h = num_heads
+    hd = three_d // 3 // h
+    qkv = qkv.reshape(B, N, 3, h, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = hd ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+
+
+def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
+                          interpret: bool = False) -> jax.Array:
+    """LN(norm1) + qkv + softmax attention + proj, LN/quantize fused into
+    the Pallas int8 GEMMs (ops/int8_matmul.py). Residual NOT added."""
+    from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+
+    p = blk["attn"]
+    qkv = fused_int8_matmul(
+        tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"], p["qkv"].get("b"),
+        blk["norm1"]["scale"], blk["norm1"]["bias"],
+        prologue="ln", interpret=interpret)
+    out = _attn_math(qkv, num_heads)
+    return fused_int8_matmul(
+        out, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"], p["proj"].get("b"),
+        prologue="id", interpret=interpret)
+
+
+def int8_block_mlp_fused(blk: Params, tok: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """LN(norm2) + fc1 + GELU + fc2; LN fused into fc1's GEMM, exact-erf
+    GELU fused into fc2's quantize stage. Residual NOT added."""
+    from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+
+    p = blk["mlp"]
+    h = fused_int8_matmul(
+        tok, p["fc1"]["wq"]["q"], p["fc1"]["wq"]["scale"], p["fc1"].get("b"),
+        blk["norm2"]["scale"], blk["norm2"]["bias"],
+        prologue="ln", interpret=interpret)
+    return fused_int8_matmul(
+        h, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["scale"], p["fc2"].get("b"),
+        prologue="gelu", interpret=interpret)
+
+
+def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
+                     fused: bool | None = None,
+                     interpret: bool = False) -> jax.Array:
+    """vit_forward with int8 blocks (params from quantize_vit_params).
+
+    ``fused=None`` routes through the Pallas fused-quantize GEMM kernel
+    on TPU and the plain dot_general composition elsewhere; pass
+    True/False to force (tests use fused=True, interpret=True on CPU).
+    """
     from hamer_yolo_tpu.core import nn
 
+    if fused is None:
+        fused = _on_tpu()
     B = x.shape[0]
     x = x.astype(jnp.dtype(cfg.compute_dtype))
     tok = nn.conv2d(params_q["patch_embed"], x, stride=cfg.patch_size,
@@ -170,7 +237,13 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg) -> jax.Array:
     pos = params_q["pos_embed"].astype(tok.dtype)
     tok = tok + pos[:, 1:] + pos[:, :1]
     for blk in params_q["blocks"]:
-        tok = tok + int8_mha_self_attention(
-            blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
-        tok = tok + int8_mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+        if fused:
+            tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,
+                                              interpret=interpret)
+            tok = tok + int8_block_mlp_fused(blk, tok, interpret=interpret)
+        else:
+            tok = tok + int8_mha_self_attention(
+                blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+            tok = tok + int8_mlp_gelu(blk["mlp"],
+                                      nn.layer_norm(blk["norm2"], tok))
     return nn.layer_norm(params_q["last_norm"], tok)

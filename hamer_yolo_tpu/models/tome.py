@@ -89,13 +89,18 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
     from hamer_yolo_tpu.core import nn
 
     quantized = "wq" in params["blocks"][0]["attn"]["qkv"]
+    fused = False
     if quantized:
-        from hamer_yolo_tpu.core.quant import int8_mha_self_attention, int8_mlp_gelu
+        from hamer_yolo_tpu.core import quant
 
         # int8 param dicts hold {"wq": ...} leaves a bf16 attn_impl can't
-        # read — the quantized dispatch always wins over an override.
-        attn = int8_mha_self_attention
-        mlp = int8_mlp_gelu
+        # read — the quantized dispatch always wins over an override. On
+        # TPU the Pallas fused-quantize GEMM (ops/int8_matmul.py) makes
+        # int8 and ToMe compose positively: ToMe shrinks the GEMMs while
+        # the per-token quantize cost rides inside the matmul kernel.
+        fused = quant._on_tpu()
+        attn = quant.int8_mha_self_attention
+        mlp = quant.int8_mlp_gelu
     else:
         attn = attn_impl or nn.mha_self_attention
         mlp = nn.mlp_gelu
@@ -107,7 +112,13 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
     tok = tok + pos[:, 1:] + pos[:, :1]
     sizes = jnp.ones(tok.shape[:2], tok.dtype)
     for blk in params["blocks"]:
-        tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
-        tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
-        tok = tok + mlp(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
+        if fused:
+            tok = tok + quant.int8_block_attn_fused(blk, tok, cfg.num_heads)
+            tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
+            tok = tok + quant.int8_block_mlp_fused(blk, tok)
+        else:
+            tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok),
+                             cfg.num_heads)
+            tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
+            tok = tok + mlp(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
     return nn.layer_norm(params["last_norm"], tok)

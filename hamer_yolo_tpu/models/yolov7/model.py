@@ -36,6 +36,11 @@ from hamer_yolo_tpu.models.yolov7 import blocks as B
 C, MP_, CAT, SPP, UP, REP, DET = "C", "MP", "CAT", "SPP", "UP", "REP", "DET"
 # IBin / IKeypoint head variants (models/yolov7/heads.py)
 BIN, KPT = "BIN", "KPT"
+# IAuxDetect training form (models/yolo.py:319): 2*nl inputs — nl lead
+# heads (m) + nl auxiliary heads (m2). Inference uses only the lead maps
+# (the reference deploy-strips m2); training emits both for
+# ComputeLossAuxOTA.
+AUXDET = "AUXDET"
 
 
 def _variants():
@@ -223,6 +228,19 @@ def init_yolov7(key: jax.Array, cfg: YoloConfig = YoloConfig(),
                 heads.append(nn.conv_init(det_keys[j], 1, channels[s], cfg.na * cfg.no, bias=True))
             layers.append({"m": heads})
             c2 = 0
+        elif op == AUXDET:
+            # first half: lead heads (IAuxDetect.m, ia/im fused — exact at
+            # init and for converted fused ckpts); second half: aux heads
+            # (IAuxDetect.m2, plain convs in the reference too).
+            half = len(srcs) // 2
+            det_keys = jax.random.split(keys[i], len(srcs))
+            lead = [nn.conv_init(det_keys[j], 1, channels[s], cfg.na * cfg.no,
+                                 bias=True) for j, s in enumerate(srcs[:half])]
+            aux = [nn.conv_init(det_keys[half + j], 1, channels[s],
+                                cfg.na * cfg.no, bias=True)
+                   for j, s in enumerate(srcs[half:])]
+            layers.append({"m": lead, "m2": aux})
+            c2 = 0
         elif op == BIN:
             from hamer_yolo_tpu.models.yolov7 import heads as H
 
@@ -293,6 +311,12 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
             for head_p, inp in zip(p["m"], inputs):
                 det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
             out = inputs[-1]
+        elif op == AUXDET:
+            # inference: lead heads only (IAuxDetect returns z from
+            # x[:nl], models/yolo.py:356-372)
+            for head_p, inp in zip(p["m"], inputs[:len(p["m"])]):
+                det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            out = inputs[-1]
         elif op == KPT:
             # IKeypoint: concat [fused det conv | kpt conv] channels
             # (models/yolo.py:264) before the (na, no) reshape.
@@ -355,9 +379,28 @@ def yolov7_train_forward(params: nn.Params, x: jax.Array,
             for head_p, inp in zip(p["m"], inputs):
                 det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
             out = inputs[-1]
+        elif op == AUXDET:
+            # training form: lead maps first, then the nl aux maps
+            # (IAuxDetect.forward training branch, models/yolo.py:342-353);
+            # split with split_aux_maps for ComputeLossAuxOTA.
+            half = len(p["m"])
+            for head_p, inp in zip(p["m"], inputs[:half]):
+                det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            for head_p, inp in zip(p["m2"], inputs[half:]):
+                det_maps.append(nn.conv2d(head_p, inp, stride=1, padding=0))
+            out = inputs[-1]
         if i in saved:
             y[i] = out
     return det_maps, {"layers": new_layers}
+
+
+def split_aux_maps(det_maps: Sequence[jax.Array], spec) -> Tuple[list, list]:
+    """(lead_maps, aux_maps) from a training forward over an AUXDET spec;
+    aux_maps is empty for plain DET/BIN/KPT heads."""
+    if spec[-1][1] != AUXDET:
+        return list(det_maps), []
+    nl = len(det_maps) // 2
+    return list(det_maps[:nl]), list(det_maps[nl:])
 
 
 def decode_detections(det_maps: Sequence[jax.Array],

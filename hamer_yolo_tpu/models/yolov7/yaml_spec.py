@@ -20,7 +20,7 @@ import math
 from typing import Any, Dict, List, Sequence, Tuple
 
 from hamer_yolo_tpu.models.yolov7.model import (
-    BIN, C, CAT, DET, KPT, MP_, REP, SPP, UP, YoloConfig,
+    AUXDET, BIN, C, CAT, DET, KPT, MP_, REP, SPP, UP, YoloConfig,
 )
 
 # extra ops introduced by larger/smaller family members
@@ -72,9 +72,18 @@ def make_divisible(x: float, divisor: int = 8) -> int:
     return max(divisor, int(math.ceil(x / divisor) * divisor))
 
 
-def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
+def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None,
+                   training_form: bool = False,
                    ) -> Tuple[List[Tuple[Any, str, tuple]], YoloConfig]:
-    """Reference model yaml dict -> (spec list, YoloConfig)."""
+    """Reference model yaml dict -> (spec list, YoloConfig).
+
+    ``training_form=True`` keeps IAuxDetect's auxiliary heads (the
+    reference's cfg/training/*.yaml run through train_aux.py,
+    models/yolo.py:319): the spec ends in an AUXDET op over all 2*nl
+    inputs and the training forward emits lead + aux maps for
+    ComputeLossAuxOTA. Default (deploy) strips the aux heads exactly as
+    the reference does for inference.
+    """
     gd = float(cfg_dict.get("depth_multiple", 1.0))
     gw = float(cfg_dict.get("width_multiple", 1.0))
     anchors = cfg_dict["anchors"]
@@ -124,16 +133,19 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
         elif op in (DET, BIN, KPT):
             det_from = frm_t
             if module == "IAuxDetect":
-                # deploy strips the aux heads: keep the first half of inputs
-                half = len(det_from) // 2
-                det_from = tuple(det_from[:half])
+                if training_form:
+                    op = AUXDET
+                else:
+                    # deploy strips the aux heads: keep the first half
+                    half = len(det_from) // 2
+                    det_from = tuple(det_from[:half])
             head_args = ()
             if op == KPT and len(args) > 2:  # [nc, anchors, nkpt]
                 head_args = (int(args[2]),)
             spec.append((det_from, op, head_args))
 
     head_op = spec[-1][1]
-    nl = len(det_from)
+    nl = len(det_from) // 2 if head_op == AUXDET else len(det_from)
     # stride pyramid: ReOrg models start at P3=8 despite the extra reorg
     # (w6/e6 use 4 levels 8..64); plain models use 8/16/32.
     strides = tuple(8 * (2 ** i) for i in range(nl))
@@ -145,9 +157,10 @@ def spec_from_yaml(cfg_dict: Dict[str, Any], nc: int | None = None
     return spec, cfg
 
 
-def load_yaml_model_cfg(path: str, nc: int | None = None):
+def load_yaml_model_cfg(path: str, nc: int | None = None,
+                        training_form: bool = False):
     import yaml
 
     with open(path) as f:
         d = yaml.safe_load(f)
-    return spec_from_yaml(d, nc)
+    return spec_from_yaml(d, nc, training_form=training_form)

@@ -1,0 +1,228 @@
+"""Pallas fused W8A8 matmul: prologue + dynamic quantize + int8 MXU GEMM.
+
+Why this kernel exists (round-2 findings, CLAUDE.md / core/quant.py):
+W8A8 via plain ``dot_general`` does engage the v5e int8 MXU mode
+(microbench 152 vs 117 bf16 TFLOP/s at ViT shapes), but the *dynamic
+per-token quantization* runs as unfused XLA elementwise passes — a full
+HBM read+write of every activation tensor before each of the 4 matmuls
+per transformer block. At large batch that overhead is ~15 ms per b128
+dispatch, and once ToMe shrinks the GEMMs it dominates outright (int8 +
+ToMe r4 measured 147.8 fps vs 159.0 for ToMe alone).
+
+This kernel makes the quantize (and the adjacent LayerNorm / GELU
+elementwise pass) free by computing them in VMEM inside the GEMM:
+
+  grid (M/TM, N/TN), x tile (TM, K) resident across the j sweep:
+    j == 0:  x -> f32 -> [LayerNorm | GELU | id] -> row absmax
+             -> int8 scratch (TM, K) + row scales (TM, 1)
+    every j: int8 dot (TM, K) x (K, TN) -> int32 acc on the MXU
+             -> * sx * sw + bias -> bf16 out tile
+
+The activation tensor is read from HBM exactly once per GEMM (Pallas
+skips the re-fetch while the block index is unchanged), the int8
+quantization never round-trips to HBM, and the LN/GELU pass that
+preceded the matmul in the unfused graph disappears entirely.
+
+Quantization semantics match core/quant.quantize_act_int8 (symmetric
+per-row absmax, scale = max(absmax/127, 1e-8), round-half-even, clip to
+[-127, 127]) except that the prologue + quantize run in f32 rather than
+bf16 — strictly tighter numerics, qualified end-to-end by
+tools/eval_fastpaths.py.
+
+Replaces (TPU-natively) the reference's dynamic-quantization story: the
+reference ships TensorRT int8 with an entropy calibrator
+(yolo/yolov7/TensorRT-For-YOLO-Series-cuda-python/export.py:17-92); here
+per-token dynamic scales are computed in-kernel at zero marginal cost, so
+no calibration pass is needed at all.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def _erf_f32(x: jax.Array) -> jax.Array:
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7; Mosaic has no
+    erf lowering, so the exact-GELU prologue uses this rational form)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _prologue_f32(x: jax.Array, prologue: str, g, b) -> jax.Array:
+    """x: (TM, K) f32 -> (TM, K) f32 after the fused elementwise stage."""
+    if prologue == "ln":
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = x * g + b
+    elif prologue == "gelu":
+        # Exact-form (erf) GELU, matching jax.nn.gelu(approximate=False)
+        # to ~1e-7 via the rational erf above.
+        x = 0.5 * x * (1.0 + _erf_f32(x / _SQRT2))
+    elif prologue != "id":
+        raise ValueError(f"unknown prologue {prologue!r}")
+    return x
+
+
+def _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
+            xq_ref, sx_ref, *, prologue: str):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize():
+        x = x_ref[:].astype(jnp.float32)
+        x = _prologue_f32(x, prologue,
+                          g_ref[:].astype(jnp.float32),
+                          bt_ref[:].astype(jnp.float32))
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        scale = jnp.maximum(absmax / 127.0, 1e-8)
+        xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        sx_ref[:] = scale
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+    y = y + b_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _pick_tile(n: int, pref: int) -> int:
+    for t in (pref, 512, 384, 256, 128):
+        if t <= pref and n % t == 0:
+            return t
+    return n  # small / odd dims: single tile
+
+
+def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
+                   out_dtype, interpret):
+    """x2: (M, K) -> (M, N). Scale/bias/LN args pre-shaped (1, dim) f32."""
+    M, K = x2.shape
+    N = wq.shape[1]
+    tm_ = tm  # M is padded up, so any tile works
+    Mp = -(-M // tm_) * tm_
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    tn_ = _pick_tile(N, tn)
+
+    grid = (Mp // tm_, N // tn_)
+    out = pl.pallas_call(
+        functools.partial(_kernel, prologue=prologue),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm_, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, tn_), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
+            pl.BlockSpec((1, K), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, K), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm_, tn_), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tm_, K), jnp.int8),
+            pltpu.VMEM((tm_, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Mp * K * 2 + K * N * (Mp // tm_) + Mp * N * 2,
+            transcendentals=Mp * K if prologue == "gelu" else 0,
+        ),
+        interpret=interpret,
+    )(x2, wq, wscale2, bias2, g2, bt2)
+    if Mp != M:
+        out = out[:M]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
+    """custom_vmap'd (M, K) matmul: vmapping collapses the mapped axis
+    into M instead of replicating the kernel per batch element.
+
+    Without this, a vmapped caller (the frame pipeline vmaps infer_frame
+    over the serving batch) would batch the pallas_call itself — every
+    vmap instance re-fetching the full int8 weight matrix from HBM and
+    padding its tiny per-frame M up to a tile. Collapsing restores one
+    big GEMM (measured: 110 -> ~160+ fps e2e at b128)."""
+
+    @jax.custom_batching.custom_vmap
+    def flat(x2, wq, wscale2, bias2, g2, bt2):
+        return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2,
+                              prologue=prologue, tm=tm, tn=tn,
+                              out_dtype=out_dtype, interpret=interpret)
+
+    @flat.def_vmap
+    def _rule(axis_size, in_batched, x2, wq, wscale2, bias2, g2, bt2):
+        if any(in_batched[1:]):
+            raise NotImplementedError(
+                "fused_int8_matmul: batched weights/scales unsupported")
+        Bv, M, K = x2.shape
+        out = flat(x2.reshape(Bv * M, K), wq, wscale2, bias2, g2, bt2)
+        return out.reshape(Bv, M, -1), True
+
+    return flat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("prologue", "tm", "tn", "out_dtype", "interpret"))
+def fused_int8_matmul(
+    x: jax.Array,
+    wq: jax.Array,
+    wscale: jax.Array,
+    bias: Optional[jax.Array] = None,
+    ln_scale: Optional[jax.Array] = None,
+    ln_bias: Optional[jax.Array] = None,
+    *,
+    prologue: str = "id",
+    tm: int = 256,
+    tn: int = 256,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """[LN|GELU|id](x) @ dequant-int8 wq + bias, quantizing x per row.
+
+    x: (..., K) bf16/f32; wq: (K, N) int8; wscale: (N,) f32;
+    bias: (N,) or None; ln_scale/ln_bias: (K,) when prologue == "ln".
+    Returns (..., N) in out_dtype (default: x.dtype).
+    """
+    K = x.shape[-1]
+    N = wq.shape[1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    out_dtype = jnp.dtype(out_dtype or x.dtype)
+
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+    if ln_scale is None:
+        ln_scale = jnp.ones((K,), jnp.float32)
+    if ln_bias is None:
+        ln_bias = jnp.zeros((K,), jnp.float32)
+
+    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret)
+    out = flat(
+        x2,
+        wq,
+        wscale.reshape(1, N).astype(jnp.float32),
+        bias.reshape(1, N).astype(jnp.float32),
+        ln_scale.reshape(1, K).astype(jnp.float32),
+        ln_bias.reshape(1, K).astype(jnp.float32),
+    )
+    return out.reshape(*lead, N)

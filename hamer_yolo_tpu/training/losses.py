@@ -234,7 +234,9 @@ def yolo_loss(
     T = targets.shape[1]
     na = anchors.shape[1]
     L = len(raw_maps)
-    balance = (4.0, 1.0, 0.4, 0.1)[:L] if L <= 4 else (1.0,) * L
+    # reference per-level obj balance (loss.py:1200): [4.0, 1.0, 0.4] for
+    # 3 levels, else the P3-P7 table [4.0, 1.0, 0.25, 0.06, 0.02]
+    balance = (4.0, 1.0, 0.4) if L == 3 else (4.0, 1.0, 0.25, 0.06, 0.02)[:L]
     if head == "bin" and assigner != "simota":
         raise ValueError("the IBin head only has an OTA loss "
                          "(ComputeLossBinOTA, loss.py:852)")
@@ -253,12 +255,25 @@ def yolo_loss(
             per_level, targets, strides, nc, head, bin_count, balance,
             ota_topk, B, T, na)
         if aux_maps is not None:
-            aux_level = [
+            # ComputeLossAuxOTA (loss.py:1179): aux candidates come from
+            # find_5_positive (g=1.0) with the OTA cost computed on the
+            # LEAD predictions (build_targets2(p[:nl], ...)); the losses
+            # are then evaluated on the AUX maps at the selected cells,
+            # 0.25-weighted. The reference uses top_k=20 for AuxOTA —
+            # pass ota_topk=20 from the train CLI for exact parity.
+            aux_cost = [
+                _level_candidates(raw, targets, anchors[lvl], strides[lvl],
+                                  nc, anchor_t, 1.0, lvl, L, na)
+                for lvl, raw in enumerate(raw_maps)
+            ]
+            aux_loss = [
                 _level_candidates(raw, targets, anchors[lvl], strides[lvl],
                                   nc, anchor_t, 1.0, lvl, L, na)
                 for lvl, raw in enumerate(aux_maps)
             ]
-            a_box, a_obj, a_cls = _accumulate_losses(aux_level, nc, balance, B)
+            a_box, a_obj, a_cls = _simota_pooled_losses(
+                aux_cost, targets, strides, nc, head, bin_count, balance,
+                ota_topk, B, T, na, loss_level=aux_loss)
             total_box += 0.25 * a_box
             total_obj += 0.25 * a_obj
             total_cls += 0.25 * a_cls
@@ -292,7 +307,7 @@ def yolo_loss(
 
 
 def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
-                          balance, ota_topk, B, T, na):
+                          balance, ota_topk, B, T, na, loss_level=None):
     """EXACT dense formulation of ComputeLoss(Bin)OTA's build_targets
     (loss.py:559-851 / :852-1178).
 
@@ -304,6 +319,15 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
     cost gt). This function reproduces that with fixed shapes: the pool
     is the padded (T * 5 offsets * na) candidate grid per level, masked
     by candidate existence.
+
+    ``loss_level``: when given, the OTA *assignment* (cost matrix,
+    dynamic-k) is computed from ``per_level``'s predictions while the
+    box/obj/cls losses are evaluated on ``loss_level``'s predictions at
+    the same candidate cells. This is exactly ComputeLossAuxOTA's aux
+    branch (loss.py:1209-1211): ``build_targets2(p[:self.nl], ...)``
+    builds find_5_positive candidates and costs from the LEAD maps, then
+    the loss indexes the AUX maps ``p[i+self.nl]`` at the selected
+    cells (the 0.25 aux weight is applied by the caller).
     """
     from hamer_yolo_tpu.models.yolov7.heads import (
         sigmoid_bin_centers, sigmoid_bin_decode,
@@ -320,44 +344,51 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
     gt_box_px = jnp.concatenate([gt_xy_px, gt_wh_px], axis=-1)  # (B, T, 4)
 
     # ---- flatten candidates per level --------------------------------------
-    lvl_data = []
-    for d in per_level:
-        obj_idx = d["obj_idx"]
-        stride = strides[d["lvl"]]
-        no = d["psel"].shape[-1]
-        C = d["psel"].shape[1] * d["psel"].shape[2] * d["psel"].shape[3]
-        ps = d["psel"].reshape(B, C, no)
-        exist = d["match_f"].reshape(B, C) > 0
-        cellx = jnp.broadcast_to(d["cells_x"][..., None],
-                                 d["match_f"].shape).reshape(B, C)
-        celly = jnp.broadcast_to(d["cells_y"][..., None],
-                                 d["match_f"].shape).reshape(B, C)
-        anc = d["anc_grid"]  # (na, 2) grid units
-        anc_c = jnp.broadcast_to(
-            anc[None, None, None, :, :], d["match_f"].shape + (2,)
-        ).reshape(B, C, 2)
+    def _flatten_levels(levels):
+        out = []
+        for d in levels:
+            obj_idx = d["obj_idx"]
+            stride = strides[d["lvl"]]
+            no = d["psel"].shape[-1]
+            C = d["psel"].shape[1] * d["psel"].shape[2] * d["psel"].shape[3]
+            ps = d["psel"].reshape(B, C, no)
+            exist = d["match_f"].reshape(B, C) > 0
+            cellx = jnp.broadcast_to(d["cells_x"][..., None],
+                                     d["match_f"].shape).reshape(B, C)
+            celly = jnp.broadcast_to(d["cells_y"][..., None],
+                                     d["match_f"].shape).reshape(B, C)
+            anc = d["anc_grid"]  # (na, 2) grid units
+            anc_c = jnp.broadcast_to(
+                anc[None, None, None, :, :], d["match_f"].shape + (2,)
+            ).reshape(B, C, 2)
 
-        sxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
-        cell = jnp.stack([cellx, celly], axis=-1).astype(jnp.float32)
-        xy_grid = sxy + cell
-        if head == "bin":
-            w_logits = ps[..., 2:2 + Lb]
-            h_logits = ps[..., 2 + Lb:obj_idx]
-            wh_cost = jnp.stack([
-                sigmoid_bin_decode(jax.nn.sigmoid(w_logits), bin_count),
-                sigmoid_bin_decode(jax.nn.sigmoid(h_logits), bin_count),
-            ], axis=-1) * anc_c
-        else:
-            w_logits = h_logits = None
-            wh_cost = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anc_c
-        box_px = jnp.concatenate([xy_grid * stride, wh_cost * stride], axis=-1)
-        lvl_data.append(dict(
-            ps=ps, exist=exist, cell=cell, anc=anc_c, obj_idx=obj_idx,
-            box_px=box_px, stride=stride, C=C,
-            w_logits=w_logits, h_logits=h_logits,
-            obj_logit=ps[..., obj_idx], cls_logits=ps[..., obj_idx + 1:],
-            d=d,
-        ))
+            sxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
+            cell = jnp.stack([cellx, celly], axis=-1).astype(jnp.float32)
+            xy_grid = sxy + cell
+            if head == "bin":
+                w_logits = ps[..., 2:2 + Lb]
+                h_logits = ps[..., 2 + Lb:obj_idx]
+                wh_cost = jnp.stack([
+                    sigmoid_bin_decode(jax.nn.sigmoid(w_logits), bin_count),
+                    sigmoid_bin_decode(jax.nn.sigmoid(h_logits), bin_count),
+                ], axis=-1) * anc_c
+            else:
+                w_logits = h_logits = None
+                wh_cost = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anc_c
+            box_px = jnp.concatenate([xy_grid * stride, wh_cost * stride],
+                                     axis=-1)
+            out.append(dict(
+                ps=ps, exist=exist, cell=cell, anc=anc_c, obj_idx=obj_idx,
+                box_px=box_px, stride=stride, C=C,
+                w_logits=w_logits, h_logits=h_logits,
+                obj_logit=ps[..., obj_idx], cls_logits=ps[..., obj_idx + 1:],
+                d=d,
+            ))
+        return out
+
+    lvl_data = _flatten_levels(per_level)
+    # aux mode: selection from lead predictions, losses on aux predictions
+    lvl_loss = _flatten_levels(loss_level) if loss_level is not None else lvl_data
 
     cand_box = jnp.concatenate([l["box_px"] for l in lvl_data], axis=1)
     cand_exist = jnp.concatenate([l["exist"] for l in lvl_data], axis=1)
@@ -395,7 +426,7 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
     total_cls = 0.0
     centers = sigmoid_bin_centers(bin_count)
     off = 0
-    for l in lvl_data:
+    for l in lvl_loss:
         C = l["C"]
         d = l["d"]
         stride = l["stride"]

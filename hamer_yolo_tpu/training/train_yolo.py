@@ -33,9 +33,9 @@ class YoloTrainState(NamedTuple):
 
 
 def init_yolo_train_state(
-    key: jax.Array, cfg: YoloConfig, total_steps: int = 10000
+    key: jax.Array, cfg: YoloConfig, total_steps: int = 10000, spec=None
 ) -> Tuple[YoloTrainState, optax.GradientTransformation]:
-    params = init_yolov7(key, cfg, deploy=False)
+    params = init_yolov7(key, cfg, deploy=False, spec=spec)
     tx = yolo_optimizer(params, total_steps=total_steps)
     return YoloTrainState(
         params=params, opt_state=tx.init(params), ema=ema_init(params),
@@ -43,16 +43,37 @@ def init_yolo_train_state(
     ), tx
 
 
-def make_yolo_train_step(cfg: YoloConfig, tx: optax.GradientTransformation):
-    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32).reshape(3, 3, 2))
+def make_yolo_train_step(cfg: YoloConfig, tx: optax.GradientTransformation,
+                         spec=None, assigner: str = "neighbor",
+                         ota_topk: int = 10):
+    """spec: optional model spec (yaml_spec). If it ends in AUXDET (a
+    cfg/training/*.yaml IAuxDetect model), the step trains train_aux.py
+    style: lead + aux maps split and fed to the ComputeLossAuxOTA
+    equivalent (assigner="simota", ota_topk=20 for exact parity)."""
+    from hamer_yolo_tpu.models.yolov7.model import AUXDET, split_aux_maps
+
+    anchors = jnp.asarray(
+        np.asarray(cfg.anchors, np.float32).reshape(cfg.nl, cfg.na, 2))
+    is_aux = spec is not None and spec[-1][1] == AUXDET
 
     def loss_fn(params, batch):
         # batch-stat BN forward; updated running stats ride in aux
-        maps, params_with_stats = yolov7_train_forward(params, batch["img"], cfg)
-        out = yolo_loss(
-            [m.astype(jnp.float32) for m in maps],
-            batch["targets"], anchors, cfg.strides, cfg.nc,
-        )
+        maps, params_with_stats = yolov7_train_forward(params, batch["img"],
+                                                       cfg, spec=spec)
+        if is_aux:
+            lead, aux = split_aux_maps(maps, spec)
+            out = yolo_loss(
+                [m.astype(jnp.float32) for m in lead],
+                batch["targets"], anchors, cfg.strides, cfg.nc,
+                assigner=assigner, ota_topk=ota_topk,
+                aux_maps=[m.astype(jnp.float32) for m in aux],
+            )
+        else:
+            out = yolo_loss(
+                [m.astype(jnp.float32) for m in maps],
+                batch["targets"], anchors, cfg.strides, cfg.nc,
+                assigner=assigner, ota_topk=ota_topk,
+            )
         return out["loss"], (out, params_with_stats)
 
     def _bn_keys(path_str):

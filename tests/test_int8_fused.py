@@ -1,0 +1,133 @@
+"""Pallas fused-quantize int8 GEMM (ops/int8_matmul.py) correctness.
+
+Run in interpret mode on the CPU test mesh; the reference composition is
+the unfused core/quant path (LN / GELU in f32 + quantize_act_int8 +
+int8 dot_general + dequant), which the kernel must reproduce.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamer_yolo_tpu.core import nn, quant
+from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+
+
+def _ref_unfused(x, wq, prologue="id", ln=None):
+    """f32 prologue + per-row dynamic quantize + int8 dot + dequant."""
+    xf = x.astype(jnp.float32)
+    if prologue == "ln":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xf = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        xf = xf * ln["scale"] + ln["bias"]
+    elif prologue == "gelu":
+        xf = jax.nn.gelu(xf, approximate=False)
+    q, s = quant.quantize_act_int8(xf)
+    acc = jax.lax.dot_general(
+        q, wq["q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s * wq["scale"]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("prologue", ["id", "ln", "gelu"])
+    def test_matches_unfused(self, rng, prologue):
+        M, K, N = 96, 256, 384  # M deliberately not a tile multiple
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        ln = {"scale": jnp.asarray(1.0 + 0.1 * rng.normal(size=(K,)).astype(np.float32)),
+              "bias": jnp.asarray(0.1 * rng.normal(size=(K,)).astype(np.float32))}
+
+        got = fused_int8_matmul(
+            x, wq["q"], wq["scale"], None,
+            ln["scale"] if prologue == "ln" else None,
+            ln["bias"] if prologue == "ln" else None,
+            prologue=prologue, tm=64, tn=128, interpret=True,
+            out_dtype=jnp.float32)
+        want = _ref_unfused(x, wq, prologue, ln)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bias_and_bf16_io(self, rng):
+        M, K, N = 64, 128, 128
+        x = jnp.asarray(rng.normal(size=(2, M // 2, K)).astype(np.float32)).astype(jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        wq = quant.quantize_weight_int8(w)
+        got = fused_int8_matmul(x, wq["q"], wq["scale"], b,
+                                prologue="id", tm=32, tn=128, interpret=True)
+        assert got.shape == (2, M // 2, N)
+        assert got.dtype == jnp.bfloat16
+        want = _ref_unfused(x.reshape(M, K), wq) + b
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32).reshape(M, N), np.asarray(want),
+            rtol=0.02, atol=0.05)
+
+
+class TestVmapCollapse:
+    def test_vmap_matches_loop(self, rng):
+        """vmapping the kernel must equal per-instance application (the
+        custom_vmap rule collapses the batch into M)."""
+        Bv, M, K, N = 3, 40, 128, 128
+        x = jnp.asarray(rng.normal(size=(Bv, M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+
+        def one(xi):
+            return fused_int8_matmul(xi, wq["q"], wq["scale"],
+                                     prologue="id", tm=32, tn=128,
+                                     interpret=True, out_dtype=jnp.float32)
+
+        got = jax.vmap(one)(x)
+        want = jnp.stack([one(x[i]) for i in range(Bv)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestFusedVitPath:
+    def test_vit_forward_int8_fused_matches_unfused(self, rng):
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=2, num_heads=4,
+                        compute_dtype="float32")
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        pq = quant.quantize_vit_params(params)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        ref = quant.vit_forward_int8(pq, x, cfg, fused=False)
+        got = quant.vit_forward_int8(pq, x, cfg, fused=True, interpret=True)
+        assert got.shape == ref.shape
+        # fused path runs LN/quantize in f32 (vs bf16-policy casts in the
+        # unfused composition) — allow small numeric drift.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.05, atol=0.05)
+
+    def test_fused_blocks_match_unfused_composition(self, rng):
+        """int8_block_{attn,mlp}_fused == LN -> int8 attention/MLP."""
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=1, num_heads=4,
+                        compute_dtype="float32")
+        blk = quant.quantize_vit_params(
+            init_vit(jax.random.PRNGKey(1), cfg))["blocks"][0]
+        tok = jnp.asarray(rng.normal(size=(2, 8, 128)).astype(np.float32))
+
+        got_a = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        ref_a = quant.int8_mha_self_attention(
+            blk["attn"], nn.layer_norm(blk["norm1"], tok), 4)
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                                   rtol=0.05, atol=0.05)
+
+        got_m = quant.int8_block_mlp_fused(blk, tok, interpret=True)
+        ref_m = quant.int8_mlp_gelu(blk["mlp"],
+                                    nn.layer_norm(blk["norm2"], tok))
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                                   rtol=0.05, atol=0.05)

@@ -31,6 +31,17 @@ def main() -> int:
     p.add_argument("--resume", default=None)
     p.add_argument("--ckpt-every", type=int, default=200)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--cfg", default=None,
+                   help="reference model yaml (cfg/deploy or cfg/training); "
+                        "default = built-in yolov7 spec")
+    p.add_argument("--aux", action="store_true",
+                   help="train_aux.py mode: keep IAuxDetect aux heads "
+                        "(requires a cfg/training/*.yaml via --cfg) and use "
+                        "the ComputeLossAuxOTA-equivalent loss (simota, "
+                        "topk 20)")
+    p.add_argument("--assigner", default=None,
+                   choices=["neighbor", "simota"],
+                   help="label assigner (default: neighbor; simota for OTA)")
     args = p.parse_args()
 
     import jax
@@ -46,8 +57,25 @@ def main() -> int:
         init_yolo_train_state, make_yolo_train_step,
     )
 
-    cfg = YoloConfig(nc=args.nc, img_size=args.img_size)
-    state, tx = init_yolo_train_state(jax.random.PRNGKey(0), cfg, args.steps)
+    spec = None
+    if args.cfg:
+        import dataclasses
+
+        from hamer_yolo_tpu.models.yolov7.yaml_spec import load_yaml_model_cfg
+
+        spec, cfg = load_yaml_model_cfg(args.cfg, nc=args.nc,
+                                        training_form=args.aux)
+        cfg = dataclasses.replace(cfg, img_size=args.img_size)
+    else:
+        if args.aux:
+            print("--aux requires --cfg pointing at a cfg/training yaml "
+                  "with an IAuxDetect head")
+            return 2
+        cfg = YoloConfig(nc=args.nc, img_size=args.img_size)
+    assigner = args.assigner or ("simota" if args.aux else "neighbor")
+    ota_topk = 20 if args.aux else 10
+    state, tx = init_yolo_train_state(jax.random.PRNGKey(0), cfg, args.steps,
+                                      spec=spec)
     resume = latest_checkpoint(args.out) if args.resume == "auto" else args.resume
     if resume and os.path.exists(resume):
         state = load_checkpoint(resume, state)
@@ -59,7 +87,9 @@ def main() -> int:
               "running single-device")
         n_dev = 1
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
-    step_fn = jax.jit(make_yolo_train_step(cfg, tx))
+    step_fn = jax.jit(make_yolo_train_step(cfg, tx, spec=spec,
+                                           assigner=assigner,
+                                           ota_topk=ota_topk))
 
     data_cfg = YoloDataConfig(img_size=args.img_size)
     data = yolo_batch_iterator(args.data, args.batch, data_cfg,
