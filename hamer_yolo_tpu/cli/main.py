@@ -128,6 +128,29 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_serve_http(args) -> int:
+    """HTTP front end over the batched pipeline (see pipeline/http_server)."""
+    from hamer_yolo_tpu.io.writers import load_intrinsics
+    from hamer_yolo_tpu.pipeline.http_server import make_http_server
+    from hamer_yolo_tpu.pipeline.serving import BatchedPipeline
+
+    params, mano, cfg = _load_runtime(args)
+    K = load_intrinsics(args.intrinsics) if args.intrinsics else None
+    pipe = BatchedPipeline(params, mano, cfg, batch_size=args.batch)
+    srv = make_http_server(pipe, args.host, args.port, K_default=K,
+                           max_wait_ms=args.max_wait_ms)
+    print(f"serving on http://{args.host}:{srv.server_address[1]} "
+          f"(batch {args.batch}, window {args.max_wait_ms} ms); "
+          "POST /infer, GET /healthz /stats", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.batcher.close()
+    return 0
+
+
 def cmd_detect(args) -> int:
     import cv2
     import jax.numpy as jnp
@@ -335,6 +358,19 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--max-frames", type=int, default=None)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("serve-http", help="HTTP endpoint: POST /infer an "
+                       "image, get hands JSON (Triton-deploy equivalent "
+                       "with dynamic micro-batching)")
+    common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8100)
+    p.add_argument("--batch", type=int, default=8,
+                   help="max micro-batch per device dispatch")
+    p.add_argument("--max-wait-ms", type=float, default=15.0,
+                   help="micro-batch collection window")
+    p.add_argument("--intrinsics", default=None)
+    p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("detect", help="hand detection only")
     common(p)

@@ -134,3 +134,36 @@ class BatchedPipeline:
             yield _drain_one()
         stats.total_s = time.time() - t0
         self.last_stats = stats
+
+    def stream_multi(self, sources, K: np.ndarray,
+                     max_batches: Optional[int] = None,
+                     timeout: float = 1.0,
+                     buffer: int = 4) -> Iterator[Dict[str, Any]]:
+        """Drive N live sources as one batched program per tick (the
+        reference's LoadStreams N-webcam loop, datasets.py:226+, made
+        TPU-native: one dispatch covers all sources).
+
+        Yields {"outputs": stacked pytree (n_live leading dim),
+        "source_idx": list} per tick; sources with no new frame in a tick
+        are skipped (their slot simply isn't dispatched).
+        """
+        from hamer_yolo_tpu.io.video import MultiStreamReader
+
+        reader = MultiStreamReader(sources, buffer=buffer)
+        stats = ServingStats()
+        t0 = time.time()
+        try:
+            for batch in reader.batches(max_batches=max_batches,
+                                        timeout=timeout):
+                live = [(i, f) for i, f in enumerate(batch) if f is not None]
+                if not live:
+                    continue
+                frames = [f for _, f in live]
+                out = self.process_batch(frames, K)
+                stats.frames += len(frames)
+                stats.batches += 1
+                yield {"outputs": out, "source_idx": [i for i, _ in live]}
+        finally:
+            reader.close()
+            stats.total_s = time.time() - t0
+            self.last_stats = stats

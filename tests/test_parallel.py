@@ -135,3 +135,21 @@ class TestTrainStep:
         lead_dp = jax.tree_util.tree_leaves(s_dp.params)
         for a, b in zip(lead[:10], lead_dp[:10]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestFullsizeDryrun:
+    @pytest.mark.skipif("RUN_FULLSIZE" not in __import__("os").environ,
+                        reason="~40 min CPU compile; set RUN_FULLSIZE=1 "
+                               "(artifact: assets/multichip_fullsize_r03.log)")
+    def test_dryrun_multichip_fullsize(self):
+        """Production-shape (ViT-H depth 32 dim 1280) TP+DP train step on
+        the 8-device virtual mesh — the driver artifact's anti-rot test."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                        "__graft_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip_fullsize(len(jax.devices()))
