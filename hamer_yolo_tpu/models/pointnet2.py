@@ -250,3 +250,151 @@ def pointnet2_seg_forward(p: Params, xyz: jax.Array,
     u1 = feature_propagation(p["fp2"], x1, x2, f1, f2)
     u0 = feature_propagation(p["fp1"], xyz, x1, xyz, u1)
     return nn.linear(p["head"], u0)
+
+
+# --- Multi-scale grouping (MSG) + part/semantic segmentation ---------------
+# Reference: rootnet/KeypointFusion/pointNet/point2_msg_sem.py
+# (PointnetSAModuleMSG stacks) and pointnet2_part_seg_ssg.py (PointNet2
+# part-seg with a global SA level + 3 FP layers).
+
+@dataclass(frozen=True)
+class MSGConfig:
+    """One multi-scale SA level: shared FPS centroids, per-scale ball
+    query radii/sample counts/MLPs, channel-concatenated outputs."""
+    npoint: int
+    radii: Tuple[float, ...]
+    nsamples: Tuple[int, ...]
+    mlps: Tuple[Tuple[int, ...], ...]
+
+    @property
+    def out_dim(self) -> int:
+        return sum(m[-1] for m in self.mlps)
+
+
+def sa_msg_init(key, in_dim: int, cfg: MSGConfig) -> Params:
+    keys = jax.random.split(key, len(cfg.mlps))
+    return {"scales": [
+        _mlp_stack_init(k, [in_dim + 3] + list(mlp))
+        for k, mlp in zip(keys, cfg.mlps)
+    ]}
+
+
+def set_abstraction_msg(p: Params, xyz: jax.Array, feats: jax.Array,
+                        cfg: MSGConfig) -> Tuple[jax.Array, jax.Array]:
+    """(B, N, 3), (B, N, C) -> (B, npoint, 3), (B, npoint, out_dim).
+
+    One FPS pass picks the centroids; each scale ball-queries its own
+    radius/nsample neighborhood around them, runs its MLP and max-pools;
+    scales concatenate on channels (PointnetSAModuleMSG semantics)."""
+    idx = pn.furthest_point_sampling(xyz, cfg.npoint)
+    new_xyz = pn.gather_points(xyz, idx)
+    outs = []
+    for sp, radius, nsample in zip(p["scales"], cfg.radii, cfg.nsamples):
+        grouped = pn.query_and_group(xyz, new_xyz, feats, radius, nsample)
+        outs.append(jnp.max(_mlp_stack(sp, grouped), axis=2))
+    return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+def global_feature_propagation(p: Params, feats_dense: jax.Array,
+                               global_feat: jax.Array) -> jax.Array:
+    """FP from a group-all level: the single global vector broadcasts to
+    every dense point (PointNetFeaturePropagation's S==1 repeat branch,
+    pointnet2_utils.py)."""
+    N = feats_dense.shape[1]
+    tiled = jnp.broadcast_to(global_feat[:, None, :],
+                             (feats_dense.shape[0], N, global_feat.shape[-1]))
+    return _mlp_stack(p, jnp.concatenate([feats_dense, tiled], axis=-1))
+
+
+PART_SA1 = SAConfig(npoint=512, radius=0.2, nsample=32, mlp=(64, 64, 128))
+PART_SA2 = SAConfig(npoint=128, radius=0.4, nsample=64, mlp=(128, 128, 256))
+
+
+def init_pointnet2_part_seg(key, num_classes: int, in_dim: int = 3,
+                            sa1: SAConfig = PART_SA1,
+                            sa2: SAConfig = PART_SA2) -> Params:
+    """Part segmentation SSG (reference pointnet2_part_seg_ssg.PointNet2):
+    sa1 -> sa2 -> group-all sa3 -> fp3 -> fp2 -> fp1 -> per-point head.
+    ``in_dim`` counts the extra per-point features beyond xyz (the hand
+    variant feeds joint2pcloffset features)."""
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+    return {
+        "sa1": sa_init(k1, 3 + in_dim, sa1),
+        "sa2": sa_init(k2, sa1.mlp[-1], sa2),
+        "sa3": _mlp_stack_init(k3, [sa2.mlp[-1] + 3, 256, 512, 1024]),
+        "fp3": fp_init(k4, sa2.mlp[-1] + 1024, (256, 256)),
+        "fp2": fp_init(k5, sa1.mlp[-1] + 256, (256, 128)),
+        "fp1": fp_init(k6, 3 + 3 + in_dim + 128, (128, 128, 128)),
+        "fc": nn.linear_init(k7, 128, 128),
+        "head": nn.linear_init(k8, 128, num_classes),
+    }
+
+
+def pointnet2_part_seg_forward(p: Params, xyz: jax.Array,
+                               feats: Optional[jax.Array] = None,
+                               sa1: SAConfig = PART_SA1,
+                               sa2: SAConfig = PART_SA2) -> jax.Array:
+    """(B, N, 3) [+ (B, N, in_dim) feats] -> (B, N, num_classes)."""
+    f0 = xyz if feats is None else jnp.concatenate([xyz, feats], axis=-1)
+    x1, f1 = set_abstraction(p["sa1"], xyz, f0, sa1)
+    x2, f2 = set_abstraction(p["sa2"], x1, f1, sa2)
+    g = global_sa(p["sa3"], x2, f2)
+    u2 = global_feature_propagation(p["fp3"], f2, g)
+    u1 = feature_propagation(p["fp2"], x1, x2, f1, u2)
+    u0 = feature_propagation(p["fp1"], xyz, x1,
+                             jnp.concatenate([xyz, f0], axis=-1), u1)
+    h = jax.nn.relu(nn.linear(p["fc"], u0))
+    return nn.linear(p["head"], h)
+
+
+# The KPFusion point-stream MSG semantic net (point2_msg_sem.py
+# PointNet2SemSegMSG): 4 MSG SA levels + 4 FP levels + fc + multi-head
+# per-point outputs (default [21*3 offsets, 21 closeness, 21 weights]).
+MSG_SEM_LEVELS = (
+    MSGConfig(1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64))),
+    MSGConfig(256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128))),
+    MSGConfig(64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256))),
+    MSGConfig(16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512))),
+)
+
+
+def init_pointnet2_msg_sem(key, in_dim: int = 0,
+                           head_dims: Tuple[int, ...] = (63, 21, 21),
+                           levels: Tuple[MSGConfig, ...] = MSG_SEM_LEVELS
+                           ) -> Params:
+    n = len(levels)
+    keys = jax.random.split(key, 2 * n + 1 + len(head_dims))
+    sas, dims = [], [in_dim]
+    for i, lv in enumerate(levels):
+        sas.append(sa_msg_init(keys[i], dims[-1], lv))
+        dims.append(lv.out_dim)
+    # FP mlps per the reference: top-down [c_prev + c_skip, ...]
+    fp_mlps = [(256, 128, 128), (256, 256), (512, 512), (512, 512)]
+    fps = []
+    for i in range(n):  # fp[i] upsamples level i+1 -> level i
+        c_up = fp_mlps[i + 1][-1] if i + 1 < n else dims[n]
+        fps.append(fp_init(keys[n + i], dims[i] + c_up, fp_mlps[i]))
+    fc = _mlp_stack_init(keys[2 * n], [fp_mlps[0][-1], 128])
+    heads = [nn.linear_init(keys[2 * n + 1 + j], 128, d)
+             for j, d in enumerate(head_dims)]
+    return {"sa": sas, "fp": fps, "fc": fc, "heads": heads}
+
+
+def pointnet2_msg_sem_forward(p: Params, xyz: jax.Array,
+                              feats: Optional[jax.Array] = None,
+                              levels: Tuple[MSGConfig, ...] = MSG_SEM_LEVELS
+                              ) -> List[jax.Array]:
+    """(B, N, 3) [+ feats (B, N, in_dim)] -> [per-point head outputs]."""
+    n = len(levels)
+    xs = [xyz]
+    fs = [feats if feats is not None
+          else jnp.zeros(xyz.shape[:2] + (0,), xyz.dtype)]
+    for i, lv in enumerate(levels):
+        x, f = set_abstraction_msg(p["sa"][i], xs[-1], fs[-1], lv)
+        xs.append(x)
+        fs.append(f)
+    up = fs[n]
+    for i in range(n - 1, -1, -1):
+        up = feature_propagation(p["fp"][i], xs[i], xs[i + 1], fs[i], up)
+    h = _mlp_stack(p["fc"], up)
+    return [nn.linear(head, h) for head in p["heads"]]

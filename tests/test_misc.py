@@ -196,3 +196,32 @@ class TestLatestCheckpoint:
         assert latest_checkpoint(str(run)).endswith("ckpt_1000")
         (run / "ckpt_final").mkdir()
         assert latest_checkpoint(str(run)).endswith("ckpt_final")
+
+
+class TestPlots:
+    def test_plot_results_from_jsonl(self, tmp_path):
+        from hamer_yolo_tpu.utils.logging import MetricLogger
+        from hamer_yolo_tpu.utils.plots import plot_results
+
+        log = MetricLogger(str(tmp_path), tensorboard=False)
+        for step in range(20):
+            log.log(step, {"loss": 1.0 / (step + 1), "box": 0.5 - step * 0.01,
+                           "lr": 0.01, "note": "text-ignored"})
+        log.close()
+        out = plot_results(str(tmp_path))
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+    def test_plot_3d_pose_and_pcl(self, tmp_path):
+        import numpy as np
+
+        from hamer_yolo_tpu.utils.plots import plot_3d_pose, plot_point_cloud
+
+        rng = np.random.default_rng(0)
+        joints = rng.normal(size=(21, 3)).astype(np.float32)
+        pcl = rng.normal(size=(256, 3)).astype(np.float32)
+        p1 = plot_3d_pose(joints, str(tmp_path / "pose.png"), pcl=pcl)
+        p2 = plot_point_cloud(pcl, str(tmp_path / "pcl.png"),
+                              color_by=pcl[:, 2])
+        import os
+        assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000

@@ -66,7 +66,12 @@ def main() -> int:
                    help="MPVPE pass gate in mm (BASELINE.md: 1.0)")
     args = p.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu (not setdefault): sitecustomize pins JAX_PLATFORMS=axon,
+    # and hamer_yolo_tpu/__init__ re-applies the env var on first import —
+    # a setdefault would let the tool's pipeline silently flip onto the
+    # remote TPU mid-run (where random-weight detector conv noise breaks
+    # the dry-run parity).
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
     import cv2
     import jax
