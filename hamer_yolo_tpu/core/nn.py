@@ -106,20 +106,46 @@ def conv2d(
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     if isinstance(p["w"], dict):
-        sx = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)
-        qx = jnp.clip(jnp.round(x / sx.astype(x.dtype)), -127, 127).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            qx,
-            p["w"]["q"],
-            window_strides=strides,
-            padding=padding,
-            rhs_dilation=(dilation, dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups,
-            preferred_element_type=jnp.int32,
-        )
-        y = (acc.astype(jnp.float32)
-             * (sx * p["w"]["scale"]).astype(jnp.float32)).astype(x.dtype)
+        kh, kw = p["w"]["q"].shape[:2]
+        no_pad = padding in (0, "VALID", ((0, 0), (0, 0))) or (
+            padding == "SAME" and kh == kw == 1)
+        if kh == kw == 1 and groups == 1 and no_pad:
+            # 1x1 conv IS a matmul: route through dot_general so the MXU
+            # int8 mode engages (XLA's int8 *conv* lowering widens and
+            # is a measured loss; dot_general is a measured win — see
+            # quantize_yolo_params). Stride = spatial subsample.
+            xs = x[:, :: strides[0], :: strides[1], :]
+            B, Ho, Wo, C = xs.shape
+            x2 = xs.reshape(B * Ho * Wo, C)
+            # per-pixel (per-row) dynamic scales — tighter than the
+            # per-tensor scale the conv path uses
+            sx = jnp.maximum(
+                jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0, 1e-8)
+            qx = jnp.clip(jnp.round(x2 / sx.astype(x2.dtype)),
+                          -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qx, p["w"]["q"].reshape(C, -1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32) * sx.astype(jnp.float32)
+                 * p["w"]["scale"]).astype(x.dtype)
+            y = y.reshape(B, Ho, Wo, -1)
+        else:
+            sx = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)
+            qx = jnp.clip(jnp.round(x / sx.astype(x.dtype)), -127, 127).astype(jnp.int8)
+            acc = jax.lax.conv_general_dilated(
+                qx,
+                p["w"]["q"],
+                window_strides=strides,
+                padding=padding,
+                rhs_dilation=(dilation, dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.int32,
+            )
+            y = (acc.astype(jnp.float32)
+                 * (sx * p["w"]["scale"]).astype(jnp.float32)).astype(x.dtype)
     else:
         y = jax.lax.conv_general_dilated(
             x,

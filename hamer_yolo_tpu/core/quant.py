@@ -111,36 +111,47 @@ def quantize_conv_weight(w: jax.Array) -> Dict[str, jax.Array]:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def quantize_conv_tree(tree: Params) -> Params:
-    """Recursively W8A8-quantize every conv {"w": 4d, ...} in a param tree.
+def quantize_conv_tree(tree: Params, only_1x1: bool = False) -> Params:
+    """Recursively W8A8-quantize convs {"w": 4d, ...} in a param tree.
 
-    nn.conv2d routes dict-valued "w" through the int8 MXU path; linears
-    (2-d "w") and norms are left untouched.
+    nn.conv2d routes dict-valued "w" through the int8 path; linears
+    (2-d "w") and norms are left untouched. ``only_1x1`` quantizes just
+    the pointwise convs (which lower to MXU int8 dot_general — a win)
+    and leaves spatial convs in bf16 (XLA's int8 conv lowering widens —
+    a measured loss).
     """
     if isinstance(tree, dict):
         if "w" in tree and getattr(tree["w"], "ndim", 0) == 4:
+            kh, kw = tree["w"].shape[:2]
+            if only_1x1 and not (kh == 1 and kw == 1):
+                return tree
             out = dict(tree)
             out["w"] = quantize_conv_weight(tree["w"])
             return out
-        return {k: quantize_conv_tree(v) for k, v in tree.items()}
+        return {k: quantize_conv_tree(v, only_1x1) for k, v in tree.items()}
     if isinstance(tree, (list, tuple)):
-        return type(tree)(quantize_conv_tree(v) for v in tree)
+        return type(tree)(quantize_conv_tree(v, only_1x1) for v in tree)
     return tree
 
 
-def quantize_yolo_params(params: Params, quant_detect: bool = False) -> Params:
+def quantize_yolo_params(params: Params, quant_detect: bool = False,
+                         only_1x1: bool = True) -> Params:
     """W8A8 the YOLOv7 deploy graph's convs.
 
-    NOTE: on v5e this is a measured LOSS (e2e 124.7 -> 102.5 fps at
-    batch 32) — XLA has no MXU int8 conv lowering; see nn.conv2d. Opt-in
-    via BENCH_INT8_YOLO=1 for backends where int8 convs are native.
+    Default quantizes ONLY the 1x1 (pointwise) convs: nn.conv2d lowers
+    those to int8 dot_general with per-pixel scales, which engages the
+    v5e MXU int8 mode. Round-2 measured full-conv quantization as a LOSS
+    (e2e 124.7 -> 102.5 fps at batch 32 — XLA has no MXU int8 *conv*
+    lowering, it widens); pass only_1x1=False to reproduce that mode on
+    backends with native int8 convs.
 
     The final detect/bin/keypoint head layer keeps f32 weights by default
     (box regression is precision-sensitive and the head is cheap).
     """
     layers = params["layers"]
-    qlayers = [quantize_conv_tree(l) for l in layers[:-1]]
-    qlayers.append(quantize_conv_tree(layers[-1]) if quant_detect else layers[-1])
+    qlayers = [quantize_conv_tree(l, only_1x1) for l in layers[:-1]]
+    qlayers.append(quantize_conv_tree(layers[-1], only_1x1)
+                   if quant_detect else layers[-1])
     return {**params, "layers": qlayers}
 
 

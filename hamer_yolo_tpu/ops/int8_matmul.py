@@ -153,17 +153,33 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
 
 @functools.lru_cache(maxsize=None)
 def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
-    """custom_vmap'd (M, K) matmul: vmapping collapses the mapped axis
-    into M instead of replicating the kernel per batch element.
+    """custom_vmap'd (M, K) matmul with an M-dependent implementation.
 
-    Without this, a vmapped caller (the frame pipeline vmaps infer_frame
-    over the serving batch) would batch the pallas_call itself — every
-    vmap instance re-fetching the full int8 weight matrix from HBM and
-    padding its tiny per-frame M up to a tile. Collapsing restores one
-    big GEMM (measured: 110 -> ~160+ fps e2e at b128)."""
+    vmapping collapses the mapped axis into M instead of replicating the
+    kernel per batch element — without this, a vmapped caller (the frame
+    pipeline vmaps infer_frame over the serving batch) would batch the
+    pallas_call itself, every instance re-fetching the full int8 weight
+    matrix from HBM (measured: 110 fps e2e at b128 vs ~160 collapsed).
+
+    The collapsed M then picks the implementation (tile sweep,
+    tools/sweep_int8_tiles.py):
+    - M <= FUSED_GEMM_MAX_M: fully-fused Pallas GEMM (prologue +
+      quantize + int8 dot in one kernel) — 7x faster than the XLA chain
+      at 2-crop serving shapes;
+    - M > FUSED_GEMM_MAX_M: Pallas fused quantize (one memory-bound
+      pass) + XLA int8 dot_general, which runs at the MXU int8 roofline
+      where our hand GEMM measured behind it."""
 
     @jax.custom_batching.custom_vmap
     def flat(x2, wq, wscale2, bias2, g2, bt2):
+        if x2.shape[0] > FUSED_GEMM_MAX_M:
+            xq, sx = _flat_quantize(prologue, tm, interpret)(x2, g2, bt2)
+            acc = jax.lax.dot_general(
+                xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * sx * wscale2 + bias2
+            return y.astype(out_dtype)
         return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2,
                               prologue=prologue, tm=tm, tn=tn,
                               out_dtype=out_dtype, interpret=interpret)
@@ -178,6 +194,78 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
         return out.reshape(Bv, M, -1), True
 
     return flat
+
+
+def _quantize_kernel(x_ref, g_ref, bt_ref, xq_ref, sx_ref, *, prologue: str):
+    x = x_ref[:].astype(jnp.float32)
+    x = _prologue_f32(x, prologue,
+                      g_ref[:].astype(jnp.float32),
+                      bt_ref[:].astype(jnp.float32))
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    sx_ref[:] = scale
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_quantize(prologue: str, tm: int, interpret: bool):
+    """custom_vmap'd fused [LN|GELU|id] + per-row int8 quantize.
+
+    One memory-bound pass: read bf16, write int8 + (M, 1) scales. At
+    large M this feeds XLA's int8 dot_general (which runs at the MXU
+    int8 roofline — the tile sweep measured our Pallas GEMM behind it
+    there), replacing the unfused LN/GELU + absmax + cast elementwise
+    chain that costs 0.5-2.9 ms per GEMM at b128 shapes."""
+
+    @jax.custom_batching.custom_vmap
+    def flat(x2, g2, bt2):
+        M, K = x2.shape
+        Mp = -(-M // tm) * tm
+        if Mp != M:
+            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+        xq, sx = pl.pallas_call(
+            functools.partial(_quantize_kernel, prologue=prologue),
+            grid=(Mp // tm,),
+            in_specs=[
+                pl.BlockSpec((tm, K), lambda i: (i, 0)),
+                pl.BlockSpec((1, K), lambda i: (0, 0)),
+                pl.BlockSpec((1, K), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tm, K), lambda i: (i, 0)),
+                pl.BlockSpec((tm, 1), lambda i: (i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Mp, K), jnp.int8),
+                jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=8 * Mp * K,
+                bytes_accessed=Mp * K * 3 + Mp * 4,
+                transcendentals=Mp * K if prologue == "gelu" else 0,
+            ),
+            interpret=interpret,
+        )(x2, g2, bt2)
+        if Mp != M:
+            xq, sx = xq[:M], sx[:M]
+        return xq, sx
+
+    @flat.def_vmap
+    def _rule(axis_size, in_batched, x2, g2, bt2):
+        if any(in_batched[1:]):
+            raise NotImplementedError("batched LN params unsupported")
+        Bv, M, K = x2.shape
+        xq, sx = flat(x2.reshape(Bv * M, K), g2, bt2)
+        return (xq.reshape(Bv, M, K), sx.reshape(Bv, M, 1)), (True, True)
+
+    return flat
+
+
+# Below this row count the fully-fused Pallas GEMM wins (weight traffic
+# amortizes poorly for XLA at tiny M; measured 28 vs 194 ms for the
+# 2-crop ViT). Above it, XLA's int8 dot_general is at the MXU roofline
+# and we only fuse the quantize prologue.
+FUSED_GEMM_MAX_M = 8192
 
 
 @functools.partial(

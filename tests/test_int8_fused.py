@@ -73,6 +73,35 @@ class TestFusedKernel:
             rtol=0.02, atol=0.05)
 
 
+class TestLargeMPath:
+    @pytest.mark.parametrize("prologue", ["id", "ln", "gelu"])
+    def test_quantize_kernel_plus_xla_dot_matches(self, rng, prologue,
+                                                  monkeypatch):
+        """M above FUSED_GEMM_MAX_M routes through the Pallas fused
+        quantize + XLA int8 dot_general; numerics must match the
+        reference composition exactly like the fully-fused path."""
+        from hamer_yolo_tpu.ops import int8_matmul as im
+
+        monkeypatch.setattr(im, "FUSED_GEMM_MAX_M", 8)
+        M, K, N = 72, 384, 256  # M > 8 -> large-M path (fresh shapes)
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        ln = {"scale": jnp.asarray(
+                  1.0 + 0.1 * rng.normal(size=(K,)).astype(np.float32)),
+              "bias": jnp.asarray(
+                  0.1 * rng.normal(size=(K,)).astype(np.float32))}
+        got = im.fused_int8_matmul(
+            x, wq["q"], wq["scale"], None,
+            ln["scale"] if prologue == "ln" else None,
+            ln["bias"] if prologue == "ln" else None,
+            prologue=prologue, tm=16, tn=128, interpret=True,
+            out_dtype=jnp.float32)
+        want = _ref_unfused(x, wq, prologue, ln)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestVmapCollapse:
     def test_vmap_matches_loop(self, rng):
         """vmapping the kernel must equal per-instance application (the

@@ -27,8 +27,13 @@ class TestQuantYolo:
 
         # detect head stays f32 (box regression precision)
         assert not isinstance(qparams["layers"][-1]["m"][0]["w"], dict)
-        # trunk convs are int8
-        assert qparams["layers"][0]["conv"]["w"]["q"].dtype == jnp.int8
+        # default = pointwise-only: 3x3 stem conv stays f32, 1x1 ELAN
+        # convs are int8 (layer 4 is the first 1x1, models/yolov7 spec)
+        assert not isinstance(qparams["layers"][0]["conv"]["w"], dict)
+        assert qparams["layers"][4]["conv"]["w"]["q"].dtype == jnp.int8
+        # full-conv mode (only_1x1=False) quantizes the stem too
+        qfull = quantize_yolo_params(params, only_1x1=False)
+        assert qfull["layers"][0]["conv"]["w"]["q"].dtype == jnp.int8
 
         x = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 3)).astype(np.float32))
         ref = np.asarray(yolov7_forward(params, x, cfg))
@@ -58,3 +63,34 @@ class TestQuantYolo:
             # top boxes agree to within a few pixels
             np.testing.assert_allclose(np.asarray(a.boxes[0, 0]),
                                        np.asarray(b.boxes[0, 0]), atol=4.0)
+
+
+class TestPointwiseInt8Conv:
+    def test_1x1_dot_path_matches_conv_path(self, rng):
+        """The 1x1 int8 conv routes through dot_general (per-pixel
+        scales); it must stay close to the f32 conv and support stride."""
+        from hamer_yolo_tpu.core import nn
+        from hamer_yolo_tpu.core.quant import quantize_conv_weight
+
+        for stride in (1, 2):
+            w = jnp.asarray(rng.normal(size=(1, 1, 16, 32)).astype(np.float32) * 0.2)
+            b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+            x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+            ref = nn.conv2d({"w": w, "b": b}, x, stride=stride)
+            got = nn.conv2d({"w": quantize_conv_weight(w), "b": b}, x,
+                            stride=stride)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=0.05, rtol=0.05)
+
+    def test_grouped_1x1_falls_back_to_conv(self, rng):
+        from hamer_yolo_tpu.core import nn
+        from hamer_yolo_tpu.core.quant import quantize_conv_weight
+
+        w = jnp.asarray(rng.normal(size=(1, 1, 8, 32)).astype(np.float32) * 0.2)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 16)).astype(np.float32))
+        ref = nn.conv2d({"w": w}, x, groups=2)
+        got = nn.conv2d({"w": quantize_conv_weight(w)}, x, groups=2)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=0.2, rtol=0.2)
