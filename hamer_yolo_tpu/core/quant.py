@@ -182,13 +182,26 @@ def _on_tpu() -> bool:
         return False
 
 
-def _attn_math(qkv: jax.Array, num_heads: int) -> jax.Array:
-    """(B, N, 3*D) fused-qkv tensor -> (B, N, D) pre-proj attention out."""
+def _attn_math(qkv: jax.Array, num_heads: int,
+               attn_pallas: bool = False) -> jax.Array:
+    """(B, N, 3*D) fused-qkv tensor -> (B, N, D) pre-proj attention out.
+
+    ``attn_pallas`` routes QK^T/softmax/PV through the single-block
+    Pallas fused-softmax kernel (ops/attention_pallas.py), keeping the
+    (N, N) logits out of HBM — at large serving batches the XLA softmax
+    path's logit tensor round-trips dominate the attention cost."""
     B, N, three_d = qkv.shape
     h = num_heads
     hd = three_d // 3 // h
     qkv = qkv.reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if attn_pallas:
+        from hamer_yolo_tpu.ops.attention_pallas import fused_short_attention
+
+        out = fused_short_attention(
+            jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+            jnp.transpose(v, (0, 2, 1, 3)))
+        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, h * hd)
     scale = hd ** -0.5
     logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
     attn = jax.nn.softmax(logits, axis=-1)
@@ -196,7 +209,8 @@ def _attn_math(qkv: jax.Array, num_heads: int) -> jax.Array:
 
 
 def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          attn_pallas: bool = False) -> jax.Array:
     """LN(norm1) + qkv + softmax attention + proj, LN/quantize fused into
     the Pallas int8 GEMMs (ops/int8_matmul.py). Residual NOT added."""
     from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
@@ -206,7 +220,7 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
         tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"], p["qkv"].get("b"),
         blk["norm1"]["scale"], blk["norm1"]["bias"],
         prologue="ln", interpret=interpret)
-    out = _attn_math(qkv, num_heads)
+    out = _attn_math(qkv, num_heads, attn_pallas=attn_pallas)
     return fused_int8_matmul(
         out, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"], p["proj"].get("b"),
         prologue="id", interpret=interpret)
@@ -230,12 +244,14 @@ def int8_block_mlp_fused(blk: Params, tok: jax.Array,
 
 def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
                      fused: bool | None = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     attn_pallas: bool = False) -> jax.Array:
     """vit_forward with int8 blocks (params from quantize_vit_params).
 
     ``fused=None`` routes through the Pallas fused-quantize GEMM kernel
     on TPU and the plain dot_general composition elsewhere; pass
     True/False to force (tests use fused=True, interpret=True on CPU).
+    ``attn_pallas`` uses the fused-softmax attention kernel.
     """
     from hamer_yolo_tpu.core import nn
 
@@ -250,7 +266,8 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
     for blk in params_q["blocks"]:
         if fused:
             tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,
-                                              interpret=interpret)
+                                              interpret=interpret,
+                                              attn_pallas=attn_pallas)
             tok = tok + int8_block_mlp_fused(blk, tok, interpret=interpret)
         else:
             tok = tok + int8_mha_self_attention(

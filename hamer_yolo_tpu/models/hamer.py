@@ -85,7 +85,10 @@ def hamer_forward(
     elif cfg.int8_backbone:
         from hamer_yolo_tpu.core.quant import vit_forward_int8
 
-        context = vit_forward_int8(params["backbone"], x, cfg.vit)
+        # attn_impl (the Pallas flash-attention knob) maps onto the int8
+        # path's fused-softmax attention option.
+        context = vit_forward_int8(params["backbone"], x, cfg.vit,
+                                   attn_pallas=attn_impl is not None)
     else:
         context = vit_forward(params["backbone"], x, cfg.vit, attn_impl=attn_impl)
     pred_mano, pred_cam = mano_head_forward(params["mano_head"], context, cfg.head)

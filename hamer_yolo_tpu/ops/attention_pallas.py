@@ -16,38 +16,48 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (N, hd)
-    k = k_ref[0]
-    v = v_ref[0]
-    logits = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, N)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0, :, :] = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
+    for g in range(group):  # static unroll: `group` heads per grid step
+        q = q_ref[g]  # (N, hd)
+        k = k_ref[g]
+        v = v_ref[g]
+        logits = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, N)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[g, :, :] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def fused_short_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False,
+    group: int = 16,
 ) -> jax.Array:
-    """q/k/v: (B, h, N, hd) -> (B, h, N, hd); softmax attention, no mask."""
+    """q/k/v: (B, h, N, hd) -> (B, h, N, hd); softmax attention, no mask.
+
+    ``group`` (b, h) pairs are processed per grid step: one step's DMA
+    then carries group*3*N*hd elements and the compute loop amortizes
+    the per-step pipeline overhead (a group of 1 at ViT-H shapes is
+    DMA-latency-bound: 4096 tiny steps)."""
     B, h, N, hd = q.shape
     scale = hd ** -0.5
+    G = group
+    while (B * h) % G:
+        G //= 2
     qf = q.reshape(B * h, N, hd)
     kf = k.reshape(B * h, N, hd)
     vf = v.reshape(B * h, N, hd)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=(B * h,),
-        in_specs=[pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0)) for _ in range(3)],
-        out_specs=pl.BlockSpec((1, N, hd), lambda i: (i, 0, 0)),
+        functools.partial(_attn_kernel, scale=scale, group=G),
+        grid=(B * h // G,),
+        in_specs=[pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0)) for _ in range(3)],
+        out_specs=pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B * h, N, hd), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)

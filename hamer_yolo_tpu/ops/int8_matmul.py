@@ -173,7 +173,20 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
     @jax.custom_batching.custom_vmap
     def flat(x2, wq, wscale2, bias2, g2, bt2):
         if x2.shape[0] > FUSED_GEMM_MAX_M:
-            xq, sx = _flat_quantize(prologue, tm, interpret)(x2, g2, bt2)
+            # Large M: plain XLA in the COMPUTE dtype (bf16). Measured
+            # (tools/profile_int8_vit.py, 256 crops): XLA auto-fuses the
+            # prologue + quantize chain better than a separate Pallas
+            # quantize kernel (611 vs 625 ms full ViT), its int8
+            # dot_general runs at the MXU roofline where our hand GEMM
+            # measured behind (688 ms), and doing the elementwise chain
+            # in f32 instead of bf16 costs +349 ms of HBM traffic.
+            x = x2
+            x = _prologue_f32(x, prologue,
+                              g2.astype(x.dtype), bt2.astype(x.dtype))
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            sx = jnp.maximum((absmax / 127.0).astype(jnp.float32), 1e-8)
+            xq = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
+                          -127, 127).astype(jnp.int8)
             acc = jax.lax.dot_general(
                 xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,

@@ -50,7 +50,42 @@ def main() -> None:
             "int8_fused": jax.jit(lambda p, x: jnp.sum(
                 quant.vit_forward_int8(p, x, cfg, fused=True)
                 .astype(jnp.float32))),
+            "int8_f_pattn": jax.jit(lambda p, x: jnp.sum(
+                quant.vit_forward_int8(p, x, cfg, fused=True,
+                                       attn_pallas=True)
+                .astype(jnp.float32))),
         }
+
+        # attention-ablated int8 (attention replaced by identity):
+        # isolates the attention-math share of the block cost.
+        def _no_attn(p, x):
+            import jax.numpy as jnp
+
+            from hamer_yolo_tpu.core import nn as NN
+            from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+
+            B = x.shape[0]
+            xx = x.astype(jnp.dtype(cfg.compute_dtype))
+            tok = NN.conv2d(p["patch_embed"], xx, stride=cfg.patch_size,
+                            padding=cfg.patch_padding).reshape(
+                                B, -1, cfg.embed_dim)
+            pos = p["pos_embed"].astype(tok.dtype)
+            tok = tok + pos[:, 1:] + pos[:, :1]
+            for blk in p["blocks"]:
+                pa = blk["attn"]
+                qkv = fused_int8_matmul(
+                    tok, pa["qkv"]["wq"]["q"], pa["qkv"]["wq"]["scale"],
+                    pa["qkv"].get("b"), blk["norm1"]["scale"],
+                    blk["norm1"]["bias"], prologue="ln")
+                out = qkv[..., : cfg.embed_dim]  # attention ablated
+                tok = tok + fused_int8_matmul(
+                    out, pa["proj"]["wq"]["q"], pa["proj"]["wq"]["scale"],
+                    pa["proj"].get("b"), prologue="id")
+                tok = tok + quant.int8_block_mlp_fused(blk, tok)
+            return jnp.sum(NN.layer_norm(p["last_norm"], tok)
+                           .astype(jnp.float32))
+
+        fns["int8_no_attn"] = jax.jit(_no_attn)
         for name, fn in fns.items():
             p = params if name == "bf16" else params_q
             try:
