@@ -152,7 +152,8 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
 
 
 @functools.lru_cache(maxsize=None)
-def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
+def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
+                 force=None):
     """custom_vmap'd (M, K) matmul with an M-dependent implementation.
 
     vmapping collapses the mapped axis into M instead of replicating the
@@ -172,7 +173,9 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def flat(x2, wq, wscale2, bias2, g2, bt2):
-        if x2.shape[0] > FUSED_GEMM_MAX_M:
+        use_xla = (force == "xla" or
+                   (force is None and x2.shape[0] > FUSED_GEMM_MAX_M))
+        if use_xla:
             # Large M: plain XLA in the COMPUTE dtype (bf16). Measured
             # (tools/profile_int8_vit.py, 256 crops): XLA auto-fuses the
             # prologue + quantize chain better than a separate Pallas
@@ -283,7 +286,8 @@ FUSED_GEMM_MAX_M = 8192
 
 @functools.partial(
     jax.jit,
-    static_argnames=("prologue", "tm", "tn", "out_dtype", "interpret"))
+    static_argnames=("prologue", "tm", "tn", "out_dtype", "interpret",
+                     "force"))
 def fused_int8_matmul(
     x: jax.Array,
     wq: jax.Array,
@@ -297,12 +301,15 @@ def fused_int8_matmul(
     tn: int = 256,
     out_dtype=None,
     interpret: bool = False,
+    force=None,
 ) -> jax.Array:
     """[LN|GELU|id](x) @ dequant-int8 wq + bias, quantizing x per row.
 
     x: (..., K) bf16/f32; wq: (K, N) int8; wscale: (N,) f32;
     bias: (N,) or None; ln_scale/ln_bias: (K,) when prologue == "ln".
     Returns (..., N) in out_dtype (default: x.dtype).
+    ``force``: None = pick by collapsed M (FUSED_GEMM_MAX_M); "pallas" /
+    "xla" pin the implementation (benchmarking).
     """
     K = x.shape[-1]
     N = wq.shape[1]
@@ -317,7 +324,7 @@ def fused_int8_matmul(
     if ln_bias is None:
         ln_bias = jnp.zeros((K,), jnp.float32)
 
-    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret)
+    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret, force)
     out = flat(
         x2,
         wq,

@@ -25,6 +25,7 @@ def main() -> None:
     from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
 
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 24576
+    L = int(sys.argv[2]) if len(sys.argv) > 2 else 1  # chain repeats
     D, H = 1280, 5120
     rng = np.random.default_rng(0)
 
@@ -43,36 +44,65 @@ def main() -> None:
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + 1e-6) * s.astype(x.dtype) + bi.astype(x.dtype)
 
-    @jax.jit
-    def chain_fused(x):
-        a = fused_int8_matmul(x, qkv_q["q"], qkv_q["scale"], None, g, b, prologue="ln")
-        a = fused_int8_matmul(a[:, :D], proj_q["q"], proj_q["scale"], None, prologue="id")
-        h = fused_int8_matmul(x + a, fc1_q["q"], fc1_q["scale"], None, g, b, prologue="ln")
-        o = fused_int8_matmul(h, fc2_q["q"], fc2_q["scale"], None, prologue="gelu")
-        return jnp.sum(o.astype(jnp.float32))
+    def block_fused(x, force=None, tm=256, tn=256):
+        a = fused_int8_matmul(x, qkv_q["q"], qkv_q["scale"], None, g, b,
+                              prologue="ln", force=force, tm=tm, tn=tn)
+        a = fused_int8_matmul(a[:, :D], proj_q["q"], proj_q["scale"], None,
+                              prologue="id", force=force, tm=tm, tn=tn)
+        h = fused_int8_matmul(x + a, fc1_q["q"], fc1_q["scale"], None, g, b,
+                              prologue="ln", force=force, tm=tm, tn=tn)
+        o = fused_int8_matmul(h, fc2_q["q"], fc2_q["scale"], None,
+                              prologue="gelu", force=force, tm=tm, tn=tn)
+        return (x + o * 0.001).astype(x.dtype)
 
     @jax.jit
-    def chain_unfused(x):
-        a = quant.int8_linear(qkv_q | {}, 0, 0) if False else None  # noqa
+    def chain_fused(x):
+        for _ in range(L):
+            x = block_fused(x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    def make_forced(force, tm, tn):
+        @jax.jit
+        def run(x):
+            for _ in range(L):
+                x = block_fused(x, force=force, tm=tm, tn=tn)
+            return jnp.sum(x.astype(jnp.float32))
+        return run
+
+    chain_pallas_256 = make_forced("pallas", 256, 256)
+
+    def block_unfused(x):
         y = quant.int8_linear({"q": qkv_q["q"], "scale": qkv_q["scale"]}, ln(x, g, b))
         y = quant.int8_linear({"q": proj_q["q"], "scale": proj_q["scale"]}, y[:, :D])
         h = quant.int8_linear({"q": fc1_q["q"], "scale": fc1_q["scale"]}, ln(x + y, g, b))
         h = jax.nn.gelu(h, approximate=False)
         o = quant.int8_linear({"q": fc2_q["q"], "scale": fc2_q["scale"]}, h)
-        return jnp.sum(o.astype(jnp.float32))
+        return (x + o * 0.001).astype(x.dtype)
 
     @jax.jit
-    def chain_bf16(x):
+    def chain_unfused(x):
+        for _ in range(L):
+            x = block_unfused(x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    def block_bf16(x):
         y = ln(x, g, b) @ qkv_w.astype(jnp.bfloat16)
         y = y[:, :D] @ proj_w.astype(jnp.bfloat16)
         h = ln(x + y, g, b) @ fc1_w.astype(jnp.bfloat16)
         h = jax.nn.gelu(h, approximate=False)
         o = h @ fc2_w.astype(jnp.bfloat16)
-        return jnp.sum(o.astype(jnp.float32))
+        return (x + o * 0.001).astype(x.dtype)
 
-    flops = 2 * M * (D * 3 * D + D * D + D * H + H * D)
+    @jax.jit
+    def chain_bf16(x):
+        for _ in range(L):
+            x = block_bf16(x)
+        return jnp.sum(x.astype(jnp.float32))
+
+    flops = 2 * M * (D * 3 * D + D * D + D * H + H * D) * L
     for name, fn in [("fused", chain_fused), ("unfused_int8", chain_unfused),
-                     ("bf16", chain_bf16)]:
+                     ("bf16", chain_bf16),
+                     ("pallas256", chain_pallas_256)]:
         try:
             float(fn(x))  # compile
             ts = []
