@@ -256,7 +256,11 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
     from hamer_yolo_tpu.core import nn
 
     if fused is None:
-        fused = _on_tpu()
+        import os
+
+        # HYT_INT8_FUSED=0 pins the plain unfused composition (A/B
+        # benchmarking across chip/tunnel conditions).
+        fused = _on_tpu() and os.environ.get("HYT_INT8_FUSED", "1") != "0"
     B = x.shape[0]
     x = x.astype(jnp.dtype(cfg.compute_dtype))
     tok = nn.conv2d(params_q["patch_embed"], x, stride=cfg.patch_size,
