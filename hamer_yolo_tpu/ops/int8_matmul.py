@@ -151,51 +151,57 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
     return out
 
 
+# Below this row count the fully-fused Pallas GEMM wins (weight traffic
+# amortizes poorly at tiny M; measured ViT 194 -> 28 ms at 2 crops).
+# Above it, XLA's int8 dot_general + auto-fused elementwise chain is at
+# the MXU roofline and strictly faster (chained bench at M=49152).
+FUSED_GEMM_MAX_M = 8192
+
+
+def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype):
+    """Plain inline XLA int8 chain in the COMPUTE dtype, rank-polymorphic.
+
+    Measured (tools/profile_int8_vit.py + bench_int8_kernel.py at
+    256-crop shapes): XLA auto-fuses this prologue + quantize chain well,
+    its int8 dot_general runs at the MXU int8 roofline where our hand
+    Pallas GEMM measured behind, keeping the elementwise chain in bf16
+    instead of f32 saves +349 ms of HBM traffic per b128 ViT, and
+    emitting it INLINE (no custom_vmap / nested-jit boundary) lets XLA
+    fuse it with the surrounding residual/attention graph."""
+    x = _prologue_f32(x, prologue, g2.astype(x.dtype), bt2.astype(x.dtype))
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    sx = jnp.maximum((absmax / 127.0).astype(jnp.float32), 1e-8)
+    xq = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
+                  -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * wscale2 + bias2
+    return y.astype(out_dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
                  force=None):
-    """custom_vmap'd (M, K) matmul with an M-dependent implementation.
+    """custom_vmap'd (M, K) matmul for the SMALL-M regime.
 
     vmapping collapses the mapped axis into M instead of replicating the
     kernel per batch element — without this, a vmapped caller (the frame
     pipeline vmaps infer_frame over the serving batch) would batch the
     pallas_call itself, every instance re-fetching the full int8 weight
     matrix from HBM (measured: 110 fps e2e at b128 vs ~160 collapsed).
-
-    The collapsed M then picks the implementation (tile sweep,
-    tools/sweep_int8_tiles.py):
-    - M <= FUSED_GEMM_MAX_M: fully-fused Pallas GEMM (prologue +
-      quantize + int8 dot in one kernel) — 7x faster than the XLA chain
-      at 2-crop serving shapes;
-    - M > FUSED_GEMM_MAX_M: Pallas fused quantize (one memory-bound
-      pass) + XLA int8 dot_general, which runs at the MXU int8 roofline
-      where our hand GEMM measured behind it."""
+    If the COLLAPSED M lands above FUSED_GEMM_MAX_M, the rule emits the
+    inline XLA chain on the batched tensor instead (dot_general batches
+    leading dims natively; no collapse reshapes, no fusion boundary)."""
 
     @jax.custom_batching.custom_vmap
     def flat(x2, wq, wscale2, bias2, g2, bt2):
         use_xla = (force == "xla" or
                    (force is None and x2.shape[0] > FUSED_GEMM_MAX_M))
         if use_xla:
-            # Large M: plain XLA in the COMPUTE dtype (bf16). Measured
-            # (tools/profile_int8_vit.py, 256 crops): XLA auto-fuses the
-            # prologue + quantize chain better than a separate Pallas
-            # quantize kernel (611 vs 625 ms full ViT), its int8
-            # dot_general runs at the MXU roofline where our hand GEMM
-            # measured behind (688 ms), and doing the elementwise chain
-            # in f32 instead of bf16 costs +349 ms of HBM traffic.
-            x = x2
-            x = _prologue_f32(x, prologue,
-                              g2.astype(x.dtype), bt2.astype(x.dtype))
-            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-            sx = jnp.maximum((absmax / 127.0).astype(jnp.float32), 1e-8)
-            xq = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
-                          -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = acc.astype(jnp.float32) * sx * wscale2 + bias2
-            return y.astype(out_dtype)
+            return _xla_chain(x2, wq, wscale2, bias2, g2, bt2,
+                              prologue, out_dtype)
         return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2,
                               prologue=prologue, tm=tm, tn=tn,
                               out_dtype=out_dtype, interpret=interpret)
@@ -206,88 +212,16 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
             raise NotImplementedError(
                 "fused_int8_matmul: batched weights/scales unsupported")
         Bv, M, K = x2.shape
+        if force != "pallas" and (force == "xla"
+                                  or Bv * M > FUSED_GEMM_MAX_M):
+            return _xla_chain(x2, wq, wscale2, bias2, g2, bt2,
+                              prologue, out_dtype), True
         out = flat(x2.reshape(Bv * M, K), wq, wscale2, bias2, g2, bt2)
         return out.reshape(Bv, M, -1), True
 
     return flat
 
 
-def _quantize_kernel(x_ref, g_ref, bt_ref, xq_ref, sx_ref, *, prologue: str):
-    x = x_ref[:].astype(jnp.float32)
-    x = _prologue_f32(x, prologue,
-                      g_ref[:].astype(jnp.float32),
-                      bt_ref[:].astype(jnp.float32))
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
-    xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-    sx_ref[:] = scale
-
-
-@functools.lru_cache(maxsize=None)
-def _flat_quantize(prologue: str, tm: int, interpret: bool):
-    """custom_vmap'd fused [LN|GELU|id] + per-row int8 quantize.
-
-    One memory-bound pass: read bf16, write int8 + (M, 1) scales. At
-    large M this feeds XLA's int8 dot_general (which runs at the MXU
-    int8 roofline — the tile sweep measured our Pallas GEMM behind it
-    there), replacing the unfused LN/GELU + absmax + cast elementwise
-    chain that costs 0.5-2.9 ms per GEMM at b128 shapes."""
-
-    @jax.custom_batching.custom_vmap
-    def flat(x2, g2, bt2):
-        M, K = x2.shape
-        Mp = -(-M // tm) * tm
-        if Mp != M:
-            x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        xq, sx = pl.pallas_call(
-            functools.partial(_quantize_kernel, prologue=prologue),
-            grid=(Mp // tm,),
-            in_specs=[
-                pl.BlockSpec((tm, K), lambda i: (i, 0)),
-                pl.BlockSpec((1, K), lambda i: (0, 0)),
-                pl.BlockSpec((1, K), lambda i: (0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((tm, K), lambda i: (i, 0)),
-                pl.BlockSpec((tm, 1), lambda i: (i, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((Mp, K), jnp.int8),
-                jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=8 * Mp * K,
-                bytes_accessed=Mp * K * 3 + Mp * 4,
-                transcendentals=Mp * K if prologue == "gelu" else 0,
-            ),
-            interpret=interpret,
-        )(x2, g2, bt2)
-        if Mp != M:
-            xq, sx = xq[:M], sx[:M]
-        return xq, sx
-
-    @flat.def_vmap
-    def _rule(axis_size, in_batched, x2, g2, bt2):
-        if any(in_batched[1:]):
-            raise NotImplementedError("batched LN params unsupported")
-        Bv, M, K = x2.shape
-        xq, sx = flat(x2.reshape(Bv * M, K), g2, bt2)
-        return (xq.reshape(Bv, M, K), sx.reshape(Bv, M, 1)), (True, True)
-
-    return flat
-
-
-# Below this row count the fully-fused Pallas GEMM wins (weight traffic
-# amortizes poorly for XLA at tiny M; measured 28 vs 194 ms for the
-# 2-crop ViT). Above it, XLA's int8 dot_general is at the MXU roofline
-# and we only fuse the quantize prologue.
-FUSED_GEMM_MAX_M = 8192
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("prologue", "tm", "tn", "out_dtype", "interpret",
-                     "force"))
 def fused_int8_matmul(
     x: jax.Array,
     wq: jax.Array,
@@ -324,13 +258,21 @@ def fused_int8_matmul(
     if ln_bias is None:
         ln_bias = jnp.zeros((K,), jnp.float32)
 
-    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret, force)
-    out = flat(
-        x2,
+    args = (
         wq,
         wscale.reshape(1, N).astype(jnp.float32),
         bias.reshape(1, N).astype(jnp.float32),
         ln_scale.reshape(1, K).astype(jnp.float32),
         ln_bias.reshape(1, K).astype(jnp.float32),
     )
+    if force != "pallas" and (force == "xla"
+                              or x2.shape[0] > FUSED_GEMM_MAX_M):
+        # Large per-call M: emit the XLA chain INLINE — no custom_vmap /
+        # jit boundary, so XLA fuses it with the caller's graph. (Under
+        # vmap the per-instance M is small; the custom_vmap rule below
+        # handles the collapsed-M decision.)
+        return _xla_chain(x, *args, prologue, out_dtype)
+
+    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret, force)
+    out = flat(x2, *args)
     return out.reshape(*lead, N)
