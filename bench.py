@@ -202,16 +202,21 @@ def main() -> None:
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
             **det_extra,
-            "fastpaths_recorded_2026_08_17": {
+            "fastpaths_recorded_2026_08_17_r3": {
                 # STATIC reference table, NOT measured by this run — from
                 # dedicated sweeps on this chip (720p, 2 hand slots);
                 # reproduce with BENCH_INT8=1 / BENCH_TOME=4 /
                 # BENCH_BATCH=N, MPVPE deltas via tools/eval_fastpaths.py
-                # (bf16-vs-f32 noise floor 0.83 mm).
-                "int8_vit_fps_b128": 158.9, "int8_vit_mpvpe_mm": 1.44,
+                # (bf16-vs-f32 noise floor 0.83 mm). Round-3 int8 = the
+                # M-dispatched hybrid (ops/int8_matmul.py): inline XLA
+                # int8 chain at large M, fully-fused Pallas GEMM at
+                # serving-size M.
+                "int8_vit_fps_b128": 170.2, "int8_vit_mpvpe_mm": 1.26,
+                "int8_tome_r4_fps_b128": 195.7,
+                "int8_tome_r4_mpvpe_mm": 4.97,
                 "tome_r4_fps_b128": 176.4, "tome_r4_mpvpe_mm": 4.58,
                 "tome_r2_fps_b128": 144.4, "tome_r2_mpvpe_mm": 3.02,
-                "int8_tome_r4_fps_b32": 147.8, "int8_tome_r4_mpvpe_mm": 5.39,
+                "int8_unfused_fps_b128_same_day": 158.6,
             },
             "baseline_note": "vs_baseline is CROSS-SCOPE and conservative: "
                              "our value is the FULL pipeline (detect + ViT-H "

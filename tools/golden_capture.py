@@ -168,6 +168,18 @@ def main() -> int:
         template=np.asarray(mano.v_template))
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
+    # Dry-run: pin the reference detector's boxes into our pipeline (the
+    # composed-parity-test trick). A RANDOM-weight detector's float noise
+    # flips .round() at x.5 boundaries, legitimately changing crops on
+    # any image other than the conf-calibration one; pinning the handoff
+    # keeps the crop->ViT->head->flip->lift->save comparison exact while
+    # still exercising the full composition. Real checkpoints use our
+    # own detections end-to-end.
+    ref_detector = None
+    if dry_run:
+        env = R.install_reference_environment()
+        ref_detector = env["detector_mod"].Detector(env["yolo_opt"])
+
     base = PipelineConfig(max_hands=4)
     cfg = replace(
         base, conf_thres=conf_thres,
@@ -178,12 +190,37 @@ def main() -> int:
     )
     prog = FrameProgram(params, mano, cfg)
 
+    from hamer_yolo_tpu.pipeline.frame import infer_frame_with_boxes
+
+    pinned_fn = jax.jit(
+        lambda p, im, b, ir, v, hw, Km: infer_frame_with_boxes(
+            p, mano, im, b, ir, v, hw, Km, cfg))
+
     ours = {}
     for n in sorted(os.listdir(input_dir)):
         stem = os.path.splitext(n)[0]
         img = cv2.imread(os.path.join(input_dir, n))
-        out_frame = jax.tree_util.tree_map(
-            np.asarray, prog(img.astype(np.float32), K))
+        if ref_detector is not None:
+            _, dets_list = ref_detector.detect(img)
+            dets = dets_list[0]
+            S = cfg.max_hands
+            boxes = np.zeros((S, 4), np.float32)
+            is_right = np.zeros((S,), np.float32)
+            valid = np.zeros((S,), bool)
+            for i, (label, coords) in enumerate(dets[:S]):
+                boxes[i] = coords
+                is_right[i] = float(label == "right")
+                valid[i] = True
+            h, w = img.shape[:2]
+            out_frame = pinned_fn(
+                params, jnp.asarray(img.astype(np.float32)),
+                jnp.asarray(boxes), jnp.asarray(is_right),
+                jnp.asarray(valid), jnp.asarray([h, w], jnp.float32),
+                jnp.asarray(K))
+            out_frame = jax.tree_util.tree_map(np.asarray, out_frame)
+        else:
+            out_frame = jax.tree_util.tree_map(
+                np.asarray, prog(img.astype(np.float32), K))
         hands = frame_outputs_to_hand_dicts(out_frame, keep="last")
         np.save(os.path.join(ours_dir, stem + ".npy"), hands,
                 allow_pickle=True)
