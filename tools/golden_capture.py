@@ -17,9 +17,14 @@ Dry-run mode (no checkpoint args): generates RANDOM weights in each
 model's NATIVE checkpoint format (the exact generator used by
 tests/test_pipeline_parity.py) and closes the same loop on them —
 verifying the tool end-to-end without the real weights. In dry-run the
-images are pre-sized to 640x448 so the letterbox is an identity resize
-(random detectors amplify 1-LSB resize noise chaotically; see
-test_pipeline_parity.py oracle docstring).
+images are pre-sized to 640x448 so the letterbox is an identity resize,
+the reference detector's boxes are pinned into our pipeline, and the
+gate runs on ONE image (the BN-calibration image): a random-weight
+detector is only numerically stable there — its confidence peaks sit at
+the calibrated threshold, so on other images +-1e-6 float noise flips
+detections/crops chaotically (65 mm MPVPE swings measured). Real
+checkpoints are well-conditioned and use our detections end-to-end over
+--max-images images.
 
 Runs on CPU f32 (JAX_PLATFORMS=cpu) for bit-stable comparison.
 """
@@ -98,6 +103,9 @@ def main() -> int:
     # ---- stage input images -------------------------------------------------
     names = sorted(f for f in os.listdir(args.images)
                    if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    if dry_run:
+        # dry-run gates on the calibration image only (see docstring)
+        names = names[:1]
     names = names[: args.max_images]
     if not names:
         print(f"FATAL: no images in {args.images}")
