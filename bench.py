@@ -12,8 +12,16 @@ throughput figure: YOLOv7 batch-1 @640 = 161 fps on V100
 value is the FULL pipeline (detector + ViT-H mesh recovery + depth), so
 vs_baseline is a conservative lower bound on relative speed.
 
-Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (4),
-BENCH_HW ("720x1280").
+DEFAULT CONFIGURATION: the qualified int8 hybrid ViT path at batch 128
+(BENCH_INT8=1, BENCH_BATCH=128) — the accuracy/speed point prescribed by
+the round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm,
+no ToMe"). Its accuracy delta is 1.26 mm MPVPE vs f32 (near the 0.83 mm
+bf16-vs-f32 noise floor; qualified by tools/eval_fastpaths.py). Exact
+bf16 math: BENCH_INT8=0 (123.9 fps b32 / 128.9 b64 same-chip).
+
+Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (2),
+BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1), BENCH_TOME (0),
+BENCH_INT8_YOLO (0), BENCH_ATTN, BENCH_FUSED_MANO, BENCH_DETECTOR (1).
 """
 from __future__ import annotations
 
@@ -53,7 +61,7 @@ def main() -> None:
     tome_r = int(os.environ.get("BENCH_TOME", "0"))
     if tome_r:
         hamer_cfg = dataclasses.replace(hamer_cfg, tome_r=tome_r)
-    use_int8 = os.environ.get("BENCH_INT8") == "1"
+    use_int8 = os.environ.get("BENCH_INT8", "1") == "1"
     if use_int8:
         hamer_cfg = dataclasses.replace(hamer_cfg, int8_backbone=True)
     cfg = dataclasses.replace(cfg, hamer=hamer_cfg)
@@ -70,6 +78,21 @@ def main() -> None:
 
         params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
             params["hamer"]["backbone"])
+        if os.environ.get("BENCH_INT8_STATIC") == "1":
+            # Static calibrated activation scales: the dynamic per-row
+            # absmax pass disappears from every int8 GEMM (quantize
+            # becomes a pure map fused into the prologue). Calibrate on
+            # noise crops — scale VALUES don't affect throughput.
+            from hamer_yolo_tpu.core.quant import (
+                attach_static_act_scales, collect_vit_act_stats)
+
+            crng = np.random.default_rng(1)
+            calib = jnp.asarray(crng.standard_normal((8, 256, 256, 3)),
+                                jnp.float32)
+            stats = jax.jit(lambda p, x: collect_vit_act_stats(
+                p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
+            params["hamer"]["backbone"] = attach_static_act_scales(
+                params["hamer"]["backbone"], stats)
     if os.environ.get("BENCH_INT8_YOLO") == "1":
         from hamer_yolo_tpu.core.quant import quantize_yolo_params
 
@@ -93,7 +116,7 @@ def main() -> None:
 
     frame_fn = jax.jit(_frame_raw)
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
 
     def _batch_raw(params, images, orig_hws, Ks):
         return jax.vmap(
@@ -201,6 +224,10 @@ def main() -> None:
             "frame_hw": [H, W],
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
+            "math": ("int8-hybrid (qualified: 1.26 mm MPVPE vs f32, "
+                     "noise floor 0.83 mm)" if use_int8
+                     else "exact bf16/f32"),
+            "tome_r": tome_r,
             **det_extra,
             "fastpaths_recorded_2026_08_17_r3": {
                 # STATIC reference table, NOT measured by this run — from
@@ -223,7 +250,10 @@ def main() -> None:
                              "mesh x2 hands + depth) while the 161 fps V100 "
                              "baseline is detector-only batch-1 — see "
                              "reference_own_benchmark for the like-for-like "
-                             "comparison. Exact math; the reference's own "
+                             "comparison. See 'math' for the numeric mode "
+                             "(default: int8 hybrid at near-noise accuracy, "
+                             "the round-2-review-prescribed config; exact "
+                             "bf16 via BENCH_INT8=0). The reference's own "
                              "optional ToMe adapter "
                              "(selective_vit_adapter.py, r=(8,-1)) maps to "
                              "BENCH_TOME=4 (qualified in fastpaths).",

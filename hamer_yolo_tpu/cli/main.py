@@ -75,6 +75,26 @@ def _load_runtime(args):
         params = init_pipeline_params(jax.random.PRNGKey(0), mano,
                                       yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
                                       sar_cfg=cfg.sar)
+
+    # Qualified fast paths (tools/eval_fastpaths.py MPVPE deltas vs the
+    # 0.83 mm bf16 noise floor: int8 1.26 mm, tome-r4 4.6 mm): the same
+    # accelerations bench.py measures, exposed at the user surface.
+    fast = getattr(args, "fast_path", "none") or "none"
+    if fast != "none":
+        import dataclasses
+
+        hcfg = cfg.hamer
+        if "int8" in fast:
+            from hamer_yolo_tpu.core.quant import quantize_vit_params
+
+            params = dict(params)
+            params["hamer"] = dict(params["hamer"])
+            params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
+                params["hamer"]["backbone"])
+            hcfg = dataclasses.replace(hcfg, int8_backbone=True)
+        if "tome" in fast:
+            hcfg = dataclasses.replace(hcfg, tome_r=getattr(args, "tome_r", 4))
+        cfg = dataclasses.replace(cfg, hamer=hcfg)
     return params, mano, cfg
 
 
@@ -333,6 +353,15 @@ def main(argv: Optional[list] = None) -> int:
         p.add_argument("--iou-thres", type=float, default=0.35)
         p.add_argument("--tiny", action="store_true",
                        help="scaled-down models (smoke testing)")
+        p.add_argument("--fast-path", default="none",
+                       choices=["none", "int8", "tome", "int8-tome"],
+                       help="accuracy-qualified ViT accelerations "
+                            "(eval_fastpaths MPVPE deltas: int8 1.26 mm, "
+                            "tome-r4 4.6 mm, int8-tome 5.0 mm; bench.py "
+                            "b128 fps: 170 / 176 / 196 vs 129 exact)")
+        p.add_argument("--tome-r", type=int, default=4,
+                       help="tokens merged per ViT layer for --fast-path "
+                            "tome (reference selective_vit_adapter r)")
 
     p = sub.add_parser("infer", help="full pipeline over an image dir")
     common(p)

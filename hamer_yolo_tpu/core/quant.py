@@ -57,9 +57,18 @@ def quantize_act_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def int8_linear(wq: Dict[str, jax.Array], x: jax.Array,
-                bias: jax.Array | None = None) -> jax.Array:
-    """y = dequant(quant(x) @ wq) + b; int32 MXU accumulation."""
-    qx, sx = quantize_act_int8(x)
+                bias: jax.Array | None = None,
+                sx_static: jax.Array | None = None) -> jax.Array:
+    """y = dequant(quant(x) @ wq) + b; int32 MXU accumulation.
+
+    ``sx_static``: scalar calibrated activation scale (per-tensor static
+    quantization — skips the dynamic per-row absmax reduction)."""
+    if sx_static is None:
+        qx, sx = quantize_act_int8(x)
+    else:
+        sx = sx_static.astype(jnp.float32)
+        qx = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
+                      -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         qx, wq["q"],
         dimension_numbers=(((qx.ndim - 1,), (0,)), ((), ())),
@@ -101,6 +110,89 @@ def quantize_vit_params(vit_params: Params) -> Params:
         "blocks": qblocks,
         "last_norm": vit_params["last_norm"],
     }
+
+
+def collect_vit_act_stats(params_q: Params, x: jax.Array, cfg) -> Params:
+    """Calibration pass: absmax of every quantized matmul input.
+
+    Runs the UNFUSED int8 ViT forward on one batch of crops and records
+    the post-prologue absmax seen by each of the 4 GEMMs per block (the
+    exact tensors the fused kernels quantize: post-LN for qkv/fc1, the
+    attention output for proj, post-GELU for fc2). Calibrating THROUGH
+    the int8 forward (not the bf16 one) makes the stats reflect the
+    activations the static-scale runtime will actually see.
+
+    Returns {"blocks": [{"qkv","proj","fc1","fc2"}: () f32]}; reduce over
+    calibration batches with jax.tree.map(jnp.maximum, a, b), then call
+    attach_static_act_scales. Jittable.
+
+    TPU-native replacement for the reference's TensorRT entropy
+    calibrator (yolo/yolov7/TensorRT-For-YOLO-Series-cuda-python/
+    export.py:17-92): absmax over calibration batches instead of an
+    entropy histogram, computed on-device in one jitted pass.
+    """
+    from hamer_yolo_tpu.core import nn
+
+    B = x.shape[0]
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
+    tok = nn.conv2d(params_q["patch_embed"], x, stride=cfg.patch_size,
+                    padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
+    pos = params_q["pos_embed"].astype(tok.dtype)
+    tok = tok + pos[:, 1:] + pos[:, :1]
+
+    def amax(t):
+        return jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+    stats = []
+    for blk in params_q["blocks"]:
+        s = {}
+        h = nn.layer_norm(blk["norm1"], tok)
+        s["qkv"] = amax(h)
+        p = blk["attn"]
+        qkv = int8_linear(p["qkv"]["wq"], h, p["qkv"].get("b"))
+        ao = _attn_math(qkv, cfg.num_heads)
+        s["proj"] = amax(ao)
+        tok = tok + int8_linear(p["proj"]["wq"], ao, p["proj"].get("b"))
+        h2 = nn.layer_norm(blk["norm2"], tok)
+        s["fc1"] = amax(h2)
+        m = blk["mlp"]
+        g = jax.nn.gelu(int8_linear(m["fc1"]["wq"], h2, m["fc1"].get("b")),
+                        approximate=False)
+        s["fc2"] = amax(g)
+        tok = tok + int8_linear(m["fc2"]["wq"], g, m["fc2"].get("b"))
+        stats.append(s)
+    return {"blocks": stats}
+
+
+def attach_static_act_scales(params_q: Params, stats: Params,
+                             margin: float = 1.0) -> Params:
+    """Attach calibrated per-tensor activation scales ("sx") to quantized
+    ViT params. Every int8 path (fused Pallas GEMM, inline XLA chain,
+    unfused int8_linear) detects "sx" and skips the dynamic per-row
+    absmax quantize. ``margin`` scales the calibrated absmax (>1 guards
+    against unseen outliers at the cost of resolution; saturating values
+    clip to +-127 either way).
+
+    Caveat (same as every per-tensor static scheme): one scale covers all
+    tokens, so activation-outlier tokens cost resolution for the rest —
+    qualify on real checkpoints via tools/eval_fastpaths.py before
+    trusting it beyond random-weight measurements.
+    """
+    def scale(a):
+        return jnp.maximum(a * margin / 127.0, 1e-8).astype(jnp.float32)
+
+    qblocks = []
+    for blk, s in zip(params_q["blocks"], stats["blocks"]):
+        attn = {
+            "qkv": {**blk["attn"]["qkv"], "sx": scale(s["qkv"])},
+            "proj": {**blk["attn"]["proj"], "sx": scale(s["proj"])},
+        }
+        mlp = {
+            "fc1": {**blk["mlp"]["fc1"], "sx": scale(s["fc1"])},
+            "fc2": {**blk["mlp"]["fc2"], "sx": scale(s["fc2"])},
+        }
+        qblocks.append({**blk, "attn": attn, "mlp": mlp})
+    return {**params_q, "blocks": qblocks}
 
 
 def quantize_conv_weight(w: jax.Array) -> Dict[str, jax.Array]:
@@ -160,19 +252,23 @@ def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Arra
     B, N, _ = x.shape
     h = num_heads
     hd = p["qkv"]["wq"]["q"].shape[1] // 3 // h
-    qkv = int8_linear(p["qkv"]["wq"], x, p["qkv"].get("b")).reshape(B, N, 3, h, hd)
+    qkv = int8_linear(p["qkv"]["wq"], x, p["qkv"].get("b"),
+                      p["qkv"].get("sx")).reshape(B, N, 3, h, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     scale = hd ** -0.5
     logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
-    return int8_linear(p["proj"]["wq"], out, p["proj"].get("b"))
+    return int8_linear(p["proj"]["wq"], out, p["proj"].get("b"),
+                       p["proj"].get("sx"))
 
 
 def int8_mlp_gelu(p: Params, x: jax.Array) -> jax.Array:
-    h = jax.nn.gelu(int8_linear(p["fc1"]["wq"], x, p["fc1"].get("b")),
+    h = jax.nn.gelu(int8_linear(p["fc1"]["wq"], x, p["fc1"].get("b"),
+                                p["fc1"].get("sx")),
                     approximate=False)
-    return int8_linear(p["fc2"]["wq"], h, p["fc2"].get("b"))
+    return int8_linear(p["fc2"]["wq"], h, p["fc2"].get("b"),
+                       p["fc2"].get("sx"))
 
 
 def _on_tpu() -> bool:
@@ -219,11 +315,13 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
     qkv = fused_int8_matmul(
         tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"], p["qkv"].get("b"),
         blk["norm1"]["scale"], blk["norm1"]["bias"],
-        prologue="ln", interpret=interpret)
+        prologue="ln", interpret=interpret,
+        static_scale=p["qkv"].get("sx"))
     out = _attn_math(qkv, num_heads, attn_pallas=attn_pallas)
     return fused_int8_matmul(
         out, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"], p["proj"].get("b"),
-        prologue="id", interpret=interpret)
+        prologue="id", interpret=interpret,
+        static_scale=p["proj"].get("sx"))
 
 
 def int8_block_mlp_fused(blk: Params, tok: jax.Array,
@@ -236,10 +334,12 @@ def int8_block_mlp_fused(blk: Params, tok: jax.Array,
     h = fused_int8_matmul(
         tok, p["fc1"]["wq"]["q"], p["fc1"]["wq"]["scale"], p["fc1"].get("b"),
         blk["norm2"]["scale"], blk["norm2"]["bias"],
-        prologue="ln", interpret=interpret)
+        prologue="ln", interpret=interpret,
+        static_scale=p["fc1"].get("sx"))
     return fused_int8_matmul(
         h, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["scale"], p["fc2"].get("b"),
-        prologue="gelu", interpret=interpret)
+        prologue="gelu", interpret=interpret,
+        static_scale=p["fc2"].get("sx"))
 
 
 def vit_forward_int8(params_q: Params, x: jax.Array, cfg,

@@ -79,7 +79,7 @@ def _prologue_f32(x: jax.Array, prologue: str, g, b) -> jax.Array:
 
 
 def _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
-            xq_ref, sx_ref, *, prologue: str):
+            xq_ref, sx_ref, *, prologue: str, sxs_ref=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -88,8 +88,12 @@ def _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
         x = _prologue_f32(x, prologue,
                           g_ref[:].astype(jnp.float32),
                           bt_ref[:].astype(jnp.float32))
-        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-        scale = jnp.maximum(absmax / 127.0, 1e-8)
+        if sxs_ref is None:
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            scale = jnp.maximum(absmax / 127.0, 1e-8)
+        else:
+            # Static calibrated per-tensor scale: no absmax reduction.
+            scale = jnp.broadcast_to(sxs_ref[:], sx_ref.shape)
         xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
         sx_ref[:] = scale
 
@@ -103,6 +107,12 @@ def _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _kernel_static(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, sxs_ref,
+                   o_ref, xq_ref, sx_ref, *, prologue: str):
+    _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
+            xq_ref, sx_ref, prologue=prologue, sxs_ref=sxs_ref)
+
+
 def _pick_tile(n: int, pref: int) -> int:
     for t in (pref, 512, 384, 256, 128):
         if t <= pref and n % t == 0:
@@ -110,9 +120,10 @@ def _pick_tile(n: int, pref: int) -> int:
     return n  # small / odd dims: single tile
 
 
-def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
+def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, sxs2, *, prologue, tm, tn,
                    out_dtype, interpret):
-    """x2: (M, K) -> (M, N). Scale/bias/LN args pre-shaped (1, dim) f32."""
+    """x2: (M, K) -> (M, N). Scale/bias/LN args pre-shaped (1, dim) f32.
+    sxs2: None (dynamic per-row quantize) or (1, 1) f32 static scale."""
     M, K = x2.shape
     N = wq.shape[1]
     tm_ = tm  # M is padded up, so any tile works
@@ -121,18 +132,26 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     tn_ = _pick_tile(N, tn)
 
+    in_specs = [
+        pl.BlockSpec((tm_, K), lambda i, j: (i, 0)),
+        pl.BlockSpec((K, tn_), lambda i, j: (0, j)),
+        pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
+        pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
+        pl.BlockSpec((1, K), lambda i, j: (0, 0)),
+        pl.BlockSpec((1, K), lambda i, j: (0, 0)),
+    ]
+    args = (x2, wq, wscale2, bias2, g2, bt2)
+    kern = functools.partial(_kernel, prologue=prologue)
+    if sxs2 is not None:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
+        args = args + (sxs2,)
+        kern = functools.partial(_kernel_static, prologue=prologue)
+
     grid = (Mp // tm_, N // tn_)
     out = pl.pallas_call(
-        functools.partial(_kernel, prologue=prologue),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm_, K), lambda i, j: (i, 0)),
-            pl.BlockSpec((K, tn_), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
-            pl.BlockSpec((1, tn_), lambda i, j: (0, j)),
-            pl.BlockSpec((1, K), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, K), lambda i, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm_, tn_), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[
@@ -145,7 +164,7 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
             transcendentals=Mp * K if prologue == "gelu" else 0,
         ),
         interpret=interpret,
-    )(x2, wq, wscale2, bias2, g2, bt2)
+    )(*args)
     if Mp != M:
         out = out[:M]
     return out
@@ -158,7 +177,8 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, *, prologue, tm, tn,
 FUSED_GEMM_MAX_M = 8192
 
 
-def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype):
+def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype,
+               sxs2=None):
     """Plain inline XLA int8 chain in the COMPUTE dtype, rank-polymorphic.
 
     Measured (tools/profile_int8_vit.py + bench_int8_kernel.py at
@@ -167,10 +187,19 @@ def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype):
     Pallas GEMM measured behind, keeping the elementwise chain in bf16
     instead of f32 saves +349 ms of HBM traffic per b128 ViT, and
     emitting it INLINE (no custom_vmap / nested-jit boundary) lets XLA
-    fuse it with the surrounding residual/attention graph."""
+    fuse it with the surrounding residual/attention graph.
+
+    With a static calibrated scale (sxs2, (1, 1) f32) the per-row absmax
+    reduction disappears: the quantize becomes a pure elementwise map
+    that XLA fuses into the prologue (one HBM pass over x instead of
+    two), and the activation scale folds into the per-channel weight
+    scale at zero marginal cost."""
     x = _prologue_f32(x, prologue, g2.astype(x.dtype), bt2.astype(x.dtype))
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    sx = jnp.maximum((absmax / 127.0).astype(jnp.float32), 1e-8)
+    if sxs2 is None:
+        absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sx = jnp.maximum((absmax / 127.0).astype(jnp.float32), 1e-8)
+    else:
+        sx = sxs2.reshape((1,) * x.ndim)
     xq = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
                   -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -183,7 +212,7 @@ def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype):
 
 @functools.lru_cache(maxsize=None)
 def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
-                 force=None):
+                 force=None, static: bool = False):
     """custom_vmap'd (M, K) matmul for the SMALL-M regime.
 
     vmapping collapses the mapped axis into M instead of replicating the
@@ -193,21 +222,25 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
     matrix from HBM (measured: 110 fps e2e at b128 vs ~160 collapsed).
     If the COLLAPSED M lands above FUSED_GEMM_MAX_M, the rule emits the
     inline XLA chain on the batched tensor instead (dot_general batches
-    leading dims natively; no collapse reshapes, no fusion boundary)."""
+    leading dims natively; no collapse reshapes, no fusion boundary).
+
+    ``static``: the trailing operand is a (1, 1) calibrated activation
+    scale (per-tensor static quantization) instead of dynamic absmax."""
 
     @jax.custom_batching.custom_vmap
-    def flat(x2, wq, wscale2, bias2, g2, bt2):
+    def flat(x2, wq, wscale2, bias2, g2, bt2, *sxs):
+        sxs2 = sxs[0] if static else None
         use_xla = (force == "xla" or
                    (force is None and x2.shape[0] > FUSED_GEMM_MAX_M))
         if use_xla:
             return _xla_chain(x2, wq, wscale2, bias2, g2, bt2,
-                              prologue, out_dtype)
-        return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2,
+                              prologue, out_dtype, sxs2)
+        return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, sxs2,
                               prologue=prologue, tm=tm, tn=tn,
                               out_dtype=out_dtype, interpret=interpret)
 
     @flat.def_vmap
-    def _rule(axis_size, in_batched, x2, wq, wscale2, bias2, g2, bt2):
+    def _rule(axis_size, in_batched, x2, wq, wscale2, bias2, g2, bt2, *sxs):
         if any(in_batched[1:]):
             raise NotImplementedError(
                 "fused_int8_matmul: batched weights/scales unsupported")
@@ -215,8 +248,9 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
         if force != "pallas" and (force == "xla"
                                   or Bv * M > FUSED_GEMM_MAX_M):
             return _xla_chain(x2, wq, wscale2, bias2, g2, bt2,
-                              prologue, out_dtype), True
-        out = flat(x2.reshape(Bv * M, K), wq, wscale2, bias2, g2, bt2)
+                              prologue, out_dtype,
+                              sxs[0] if static else None), True
+        out = flat(x2.reshape(Bv * M, K), wq, wscale2, bias2, g2, bt2, *sxs)
         return out.reshape(Bv, M, -1), True
 
     return flat
@@ -236,6 +270,7 @@ def fused_int8_matmul(
     out_dtype=None,
     interpret: bool = False,
     force=None,
+    static_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[LN|GELU|id](x) @ dequant-int8 wq + bias, quantizing x per row.
 
@@ -244,6 +279,9 @@ def fused_int8_matmul(
     Returns (..., N) in out_dtype (default: x.dtype).
     ``force``: None = pick by collapsed M (FUSED_GEMM_MAX_M); "pallas" /
     "xla" pin the implementation (benchmarking).
+    ``static_scale``: scalar f32 calibrated activation scale — replaces
+    the dynamic per-row absmax quantize with a pure elementwise map (one
+    HBM pass over x instead of two; see core.quant.attach_static_act_scales).
     """
     K = x.shape[-1]
     N = wq.shape[1]
@@ -265,14 +303,19 @@ def fused_int8_matmul(
         ln_scale.reshape(1, K).astype(jnp.float32),
         ln_bias.reshape(1, K).astype(jnp.float32),
     )
+    static = static_scale is not None
+    sxs = ((static_scale.reshape(1, 1).astype(jnp.float32),) if static
+           else ())
     if force != "pallas" and (force == "xla"
                               or x2.shape[0] > FUSED_GEMM_MAX_M):
         # Large per-call M: emit the XLA chain INLINE — no custom_vmap /
         # jit boundary, so XLA fuses it with the caller's graph. (Under
         # vmap the per-instance M is small; the custom_vmap rule below
         # handles the collapsed-M decision.)
-        return _xla_chain(x, *args, prologue, out_dtype)
+        return _xla_chain(x, *args, prologue, out_dtype,
+                          sxs[0] if static else None)
 
-    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret, force)
-    out = flat(x2, *args)
+    flat = _flat_matmul(prologue, tm, tn, out_dtype, interpret, force,
+                        static)
+    out = flat(x2, *args, *sxs)
     return out.reshape(*lead, N)

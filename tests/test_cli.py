@@ -47,6 +47,21 @@ class TestCliInfer:
         assert results["right"]["theta"].shape == (48,)
 
 
+class TestCliFastPath:
+    @pytest.mark.parametrize("fast", ["int8", "int8-tome"])
+    def test_infer_fast_path(self, image_dir, tmp_path, fast):
+        """--fast-path quantizes the ViT params and re-routes the
+        backbone; the pipeline must still produce the full npy schema."""
+        out = str(tmp_path / f"out_{fast}")
+        rc = main(["infer", "--tiny", "--input", image_dir, "--output", out,
+                   "--fast-path", fast, "--tome-r", "1", "--no-obj"])
+        assert rc == 0
+        npys = [f for f in os.listdir(out) if f.endswith(".npy")]
+        assert len(npys) == 2
+        results = load_hand_npy(os.path.join(out, npys[0]))
+        assert set(results) == {"left", "right"}
+
+
 class TestCliDetect:
     def test_detect_prints_json(self, image_dir, capsys):
         rc = main(["detect", "--tiny", "--input", image_dir])

@@ -122,6 +122,112 @@ class TestVmapCollapse:
                                    rtol=1e-5, atol=1e-5)
 
 
+def _ref_static(x, wq, sx, prologue="id", ln=None):
+    """f32 prologue + STATIC per-tensor quantize + int8 dot + dequant."""
+    xf = x.astype(jnp.float32)
+    if prologue == "ln":
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        xf = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        xf = xf * ln["scale"] + ln["bias"]
+    elif prologue == "gelu":
+        xf = jax.nn.gelu(xf, approximate=False)
+    q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq["q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sx * wq["scale"]
+
+
+class TestStaticScale:
+    @pytest.mark.parametrize("prologue", ["id", "ln"])
+    def test_pallas_static_matches_reference(self, rng, prologue):
+        M, K, N = 96, 256, 384
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        ln = {"scale": jnp.asarray(
+                  1.0 + 0.1 * rng.normal(size=(K,)).astype(np.float32)),
+              "bias": jnp.asarray(
+                  0.1 * rng.normal(size=(K,)).astype(np.float32))}
+        sx = jnp.asarray(0.031, jnp.float32)
+        got = fused_int8_matmul(
+            x, wq["q"], wq["scale"], None,
+            ln["scale"] if prologue == "ln" else None,
+            ln["bias"] if prologue == "ln" else None,
+            prologue=prologue, tm=64, tn=128, interpret=True,
+            out_dtype=jnp.float32, static_scale=sx)
+        want = _ref_static(x, wq, sx, prologue, ln)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_large_m_static_matches_reference(self, rng, monkeypatch):
+        from hamer_yolo_tpu.ops import int8_matmul as im
+
+        monkeypatch.setattr(im, "FUSED_GEMM_MAX_M", 8)
+        M, K, N = 72, 384, 256
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        sx = jnp.asarray(0.027, jnp.float32)
+        got = im.fused_int8_matmul(
+            x, wq["q"], wq["scale"], None, prologue="id", tm=16, tn=128,
+            interpret=True, out_dtype=jnp.float32, static_scale=sx)
+        want = _ref_static(x, wq, sx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_vmap_static(self, rng):
+        Bv, M, K, N = 3, 40, 128, 128
+        x = jnp.asarray(rng.normal(size=(Bv, M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        sx = jnp.asarray(0.04, jnp.float32)
+
+        def one(xi):
+            return fused_int8_matmul(xi, wq["q"], wq["scale"],
+                                     prologue="id", tm=32, tn=128,
+                                     interpret=True, out_dtype=jnp.float32,
+                                     static_scale=sx)
+
+        got = jax.vmap(one)(x)
+        want = jnp.stack([one(x[i]) for i in range(Bv)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_calibrate_attach_vit_close_to_dynamic(self, rng):
+        """calibrate -> attach -> static forward stays close to the
+        dynamic-quantize forward on the calibration distribution (same
+        int8 grid, scales from the observed absmax)."""
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=2, num_heads=4,
+                        compute_dtype="float32")
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        pq = quant.quantize_vit_params(params)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+
+        stats = jax.jit(
+            lambda p, xi: quant.collect_vit_act_stats(p, xi, cfg))(pq, x)
+        assert len(stats["blocks"]) == 2
+        ps = quant.attach_static_act_scales(pq, stats)
+        assert ps["blocks"][0]["attn"]["qkv"]["sx"].shape == ()
+
+        dyn = quant.vit_forward_int8(pq, x, cfg, fused=False)
+        sta = quant.vit_forward_int8(ps, x, cfg, fused=False)
+        # Per-tensor static is coarser than per-row dynamic; bound the
+        # drift rather than demand equality.
+        err = float(jnp.max(jnp.abs(sta - dyn)))
+        ref = float(jnp.max(jnp.abs(dyn))) + 1e-6
+        assert err / ref < 0.15, (err, ref)
+
+        # Fused (interpret) static path agrees with the unfused static.
+        fus = quant.vit_forward_int8(ps, x, cfg, fused=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(fus), np.asarray(sta),
+                                   rtol=0.05, atol=0.05)
+
+
 class TestFusedVitPath:
     def test_vit_forward_int8_fused_matches_unfused(self, rng):
         from hamer_yolo_tpu.models.vit import ViTConfig, init_vit

@@ -84,6 +84,26 @@ def main():
         "int8+tome_r4",
         run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4), qparams))
 
+    # Static calibrated per-tensor activation scales (core/quant.py):
+    # calibrate on a HELD-OUT batch of the same distribution, then eval
+    # on the standard crops — measures the per-tensor resolution loss
+    # plus any clip on unseen activations.
+    from hamer_yolo_tpu.core.quant import (attach_static_act_scales,
+                                           collect_vit_act_stats)
+
+    crng = np.random.default_rng(1)
+    calib = jnp.asarray(crng.standard_normal((8, 256, 256, 3)), jnp.float32)
+    stats = jax.jit(lambda p, x: collect_vit_act_stats(p, x, cfg.vit))(
+        qparams["backbone"], calib)
+    sparams = dict(qparams)
+    sparams["backbone"] = attach_static_act_scales(qparams["backbone"], stats)
+    results["int8_static"] = delta(
+        "int8_static",
+        run(dataclasses.replace(cfg, int8_backbone=True), sparams))
+    results["int8_static_tome_r4"] = delta(
+        "int8_sta+tome4",
+        run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4), sparams))
+
     print(json.dumps(results))
 
 
