@@ -87,7 +87,8 @@ def main() -> None:
                 attach_static_act_scales, collect_vit_act_stats)
 
             crng = np.random.default_rng(1)
-            calib = jnp.asarray(crng.standard_normal((8, 256, 256, 3)),
+            # ViT input = the 256x192 center crop (hamer crop_margin 32).
+            calib = jnp.asarray(crng.standard_normal((8, 256, 192, 3)),
                                 jnp.float32)
             stats = jax.jit(lambda p, x: collect_vit_act_stats(
                 p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)

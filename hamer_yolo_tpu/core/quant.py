@@ -115,7 +115,9 @@ def quantize_vit_params(vit_params: Params) -> Params:
 def collect_vit_act_stats(params_q: Params, x: jax.Array, cfg) -> Params:
     """Calibration pass: absmax of every quantized matmul input.
 
-    Runs the UNFUSED int8 ViT forward on one batch of crops and records
+    ``x`` is the BACKBONE input (for HaMeR: the 256x192 center crop the
+    forward applies before the ViT, hamer.py crop_margin — not the raw
+    256x256 crop). Runs the UNFUSED int8 ViT forward and records
     the post-prologue absmax seen by each of the 4 GEMMs per block (the
     exact tensors the fused kernels quantize: post-LN for qkv/fc1, the
     attention output for proj, post-GELU for fc2). Calibrating THROUGH
@@ -236,6 +238,14 @@ def quantize_yolo_params(params: Params, quant_detect: bool = False,
     (e2e 124.7 -> 102.5 fps at batch 32 — XLA has no MXU int8 *conv*
     lowering, it widens); pass only_1x1=False to reproduce that mode on
     backends with native int8 convs.
+
+    STATUS (round 3, measured): even the 1x1-only mode is an e2e LOSS on
+    v5e — BENCH_INT8_YOLO=1 on top of the int8 ViT measured 169.5 ->
+    159.7 fps at b128 (detector 1.547 -> 1.863 ms/img): the YOLO trunk's
+    pointwise GEMMs are small enough that the per-pixel quantize passes
+    cost more than the int8 MXU saves. Keep this OFF for deployment; it
+    exists as the measured-and-documented answer to "why not quantize
+    the detector too".
 
     The final detect/bin/keypoint head layer keeps f32 weights by default
     (box regression is precision-sensitive and the head is cheap).

@@ -229,12 +229,19 @@ def _flat_matmul(prologue: str, tm: int, tn: int, out_dtype, interpret: bool,
 
     @jax.custom_batching.custom_vmap
     def flat(x2, wq, wscale2, bias2, g2, bt2, *sxs):
-        sxs2 = sxs[0] if static else None
         use_xla = (force == "xla" or
                    (force is None and x2.shape[0] > FUSED_GEMM_MAX_M))
         if use_xla:
             return _xla_chain(x2, wq, wscale2, bias2, g2, bt2,
-                              prologue, out_dtype, sxs2)
+                              prologue, out_dtype,
+                              sxs[0] if static else None)
+        # Small-M Pallas path: the in-VMEM dynamic absmax is free here
+        # (no HBM pass to save) and strictly tighter than a per-tensor
+        # static scale — AND the static kernel variant measured a scoped-
+        # VMEM blowup at K=5120 tiles on v5e. Use dynamic quantize; the
+        # static operand only changes behavior in the large-M XLA chain.
+        sxs2 = sxs[0] if (static and (interpret or force == "pallas")) \
+            else None
         return _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, sxs2,
                               prologue=prologue, tm=tm, tn=tn,
                               out_dtype=out_dtype, interpret=interpret)
@@ -282,6 +289,9 @@ def fused_int8_matmul(
     ``static_scale``: scalar f32 calibrated activation scale — replaces
     the dynamic per-row absmax quantize with a pure elementwise map (one
     HBM pass over x instead of two; see core.quant.attach_static_act_scales).
+    Only takes effect on the LARGE-M XLA-chain path: the small-M Pallas
+    kernel always quantizes dynamically in VMEM (free there, tighter, and
+    immune to the K=5120 scoped-VMEM blowup of the static kernel variant).
     """
     K = x.shape[-1]
     N = wq.shape[1]

@@ -92,7 +92,8 @@ def main():
                                            collect_vit_act_stats)
 
     crng = np.random.default_rng(1)
-    calib = jnp.asarray(crng.standard_normal((8, 256, 256, 3)), jnp.float32)
+    # ViT input shape = the 256x192 center crop (hamer crop_margin 32).
+    calib = jnp.asarray(crng.standard_normal((8, 256, 192, 3)), jnp.float32)
     stats = jax.jit(lambda p, x: collect_vit_act_stats(p, x, cfg.vit))(
         qparams["backbone"], calib)
     sparams = dict(qparams)
