@@ -12,16 +12,20 @@ throughput figure: YOLOv7 batch-1 @640 = 161 fps on V100
 value is the FULL pipeline (detector + ViT-H mesh recovery + depth), so
 vs_baseline is a conservative lower bound on relative speed.
 
-DEFAULT CONFIGURATION: the qualified int8 hybrid ViT path at batch 128
-(BENCH_INT8=1, BENCH_BATCH=128) — the accuracy/speed point prescribed by
-the round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm,
-no ToMe"). Its accuracy delta is 1.26 mm MPVPE vs f32 (near the 0.83 mm
-bf16-vs-f32 noise floor; qualified by tools/eval_fastpaths.py). Exact
-bf16 math: BENCH_INT8=0 (123.9 fps b32 / 128.9 b64 same-chip).
+DEFAULT CONFIGURATION: the qualified int8 hybrid ViT path with STATIC
+calibrated activation scales at batch 128 (BENCH_INT8=1,
+BENCH_INT8_STATIC=1, BENCH_BATCH=128) — beyond the accuracy/speed point
+prescribed by the round-2 review ("bench.py >=161 fps at b128, MPVPE
+delta <=1.5 mm, no ToMe"). Accuracy delta: 1.22 mm MPVPE vs f32 (static
+scales measure BETTER than the 1.26 mm dynamic quantize; the bf16-vs-f32
+noise floor is 0.83 mm; tools/eval_fastpaths.py). Measured 183.0 fps
+b128 same-chip (dynamic int8 169.5; exact bf16 via BENCH_INT8=0:
+123.9 fps b32 / 128.9 b64).
 
 Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (2),
-BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1), BENCH_TOME (0),
-BENCH_INT8_YOLO (0), BENCH_ATTN, BENCH_FUSED_MANO, BENCH_DETECTOR (1).
+BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1),
+BENCH_INT8_STATIC (1), BENCH_TOME (0), BENCH_INT8_YOLO (0, measured
+loss), BENCH_ATTN, BENCH_FUSED_MANO, BENCH_DETECTOR (1).
 """
 from __future__ import annotations
 
@@ -78,7 +82,7 @@ def main() -> None:
 
         params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
             params["hamer"]["backbone"])
-        if os.environ.get("BENCH_INT8_STATIC") == "1":
+        if os.environ.get("BENCH_INT8_STATIC", "1") == "1":
             # Static calibrated activation scales: the dynamic per-row
             # absmax pass disappears from every int8 GEMM (quantize
             # becomes a pure map fused into the prologue). Calibrate on
@@ -225,26 +229,37 @@ def main() -> None:
             "frame_hw": [H, W],
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
-            "math": ("int8-hybrid (qualified: 1.26 mm MPVPE vs f32, "
-                     "noise floor 0.83 mm)" if use_int8
+            "math": (("int8-hybrid + static act scales (qualified: "
+                      "1.22 mm MPVPE vs f32, noise floor 0.83 mm)"
+                      if os.environ.get("BENCH_INT8_STATIC", "1") == "1"
+                      else "int8-hybrid dynamic (qualified: 1.26 mm MPVPE "
+                           "vs f32, noise floor 0.83 mm)") if use_int8
                      else "exact bf16/f32"),
             "tome_r": tome_r,
             **det_extra,
             "fastpaths_recorded_2026_08_17_r3": {
                 # STATIC reference table, NOT measured by this run — from
                 # dedicated sweeps on this chip (720p, 2 hand slots);
-                # reproduce with BENCH_INT8=1 / BENCH_TOME=4 /
-                # BENCH_BATCH=N, MPVPE deltas via tools/eval_fastpaths.py
-                # (bf16-vs-f32 noise floor 0.83 mm). Round-3 int8 = the
-                # M-dispatched hybrid (ops/int8_matmul.py): inline XLA
-                # int8 chain at large M, fully-fused Pallas GEMM at
+                # reproduce with BENCH_INT8=1 / BENCH_INT8_STATIC=1 /
+                # BENCH_TOME=4 / BENCH_BATCH=N, MPVPE deltas via
+                # tools/eval_fastpaths.py (bf16-vs-f32 noise floor
+                # 0.83 mm). int8 = the M-dispatched hybrid
+                # (ops/int8_matmul.py): inline XLA int8 chain at large M
+                # (+calibrated static act scales killing the dynamic-
+                # quantize HBM pass), fully-fused Pallas GEMM at
                 # serving-size M.
-                "int8_vit_fps_b128": 170.2, "int8_vit_mpvpe_mm": 1.26,
-                "int8_tome_r4_fps_b128": 195.7,
-                "int8_tome_r4_mpvpe_mm": 4.97,
+                "int8_static_fps_b128": 183.0,
+                "int8_static_mpvpe_mm": 1.22,
+                "int8_static_tome_r4_fps_b128": 208.0,
+                "int8_static_tome_r4_mpvpe_mm": 5.40,
+                "int8_dynamic_fps_b128": 170.2,
+                "int8_dynamic_mpvpe_mm": 1.26,
+                "int8_dyn_tome_r4_fps_b128": 195.7,
+                "int8_dyn_tome_r4_mpvpe_mm": 4.97,
                 "tome_r4_fps_b128": 176.4, "tome_r4_mpvpe_mm": 4.58,
                 "tome_r2_fps_b128": 144.4, "tome_r2_mpvpe_mm": 3.02,
                 "int8_unfused_fps_b128_same_day": 158.6,
+                "int8_yolo_1x1_fps_b128": 159.7,  # measured LOSS
             },
             "baseline_note": "vs_baseline is CROSS-SCOPE and conservative: "
                              "our value is the FULL pipeline (detect + ViT-H "

@@ -91,6 +91,16 @@ def _load_runtime(args):
             params["hamer"] = dict(params["hamer"])
             params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
                 params["hamer"]["backbone"])
+            calib = getattr(args, "calib_scales", None)
+            if calib:
+                # Static per-tensor activation scales from
+                # tools/calibrate_int8.py: +8% e2e at b128 (the dynamic
+                # per-row absmax pass disappears from the large-M GEMMs).
+                from hamer_yolo_tpu.core.quant import (
+                    attach_static_act_scales, load_act_stats)
+
+                params["hamer"]["backbone"] = attach_static_act_scales(
+                    params["hamer"]["backbone"], load_act_stats(calib))
             hcfg = dataclasses.replace(hcfg, int8_backbone=True)
         if "tome" in fast:
             hcfg = dataclasses.replace(hcfg, tome_r=getattr(args, "tome_r", 4))
@@ -362,6 +372,10 @@ def main(argv: Optional[list] = None) -> int:
         p.add_argument("--tome-r", type=int, default=4,
                        help="tokens merged per ViT layer for --fast-path "
                             "tome (reference selective_vit_adapter r)")
+        p.add_argument("--calib-scales", default=None, metavar="NPZ",
+                       help="static int8 activation scales from "
+                            "tools/calibrate_int8.py (with --fast-path "
+                            "int8*: per-tensor static quantize, +8% e2e)")
 
     p = sub.add_parser("infer", help="full pipeline over an image dir")
     common(p)

@@ -197,6 +197,30 @@ def attach_static_act_scales(params_q: Params, stats: Params,
     return {**params_q, "blocks": qblocks}
 
 
+def save_act_stats(path: str, stats: Params) -> None:
+    """Persist collect_vit_act_stats output as a flat .npz."""
+    import numpy as np
+
+    flat = {}
+    for i, s in enumerate(stats["blocks"]):
+        for k, v in s.items():
+            flat[f"blk{i:02d}_{k}"] = np.asarray(v, np.float32)
+    np.savez(path, **flat)
+
+
+def load_act_stats(path: str) -> Params:
+    """Inverse of save_act_stats."""
+    import numpy as np
+
+    z = np.load(path)
+    n = max(int(k[3:5]) for k in z.files) + 1
+    blocks = []
+    for i in range(n):
+        blocks.append({k.split("_", 1)[1]: jnp.asarray(z[k])
+                       for k in z.files if k.startswith(f"blk{i:02d}_")})
+    return {"blocks": blocks}
+
+
 def quantize_conv_weight(w: jax.Array) -> Dict[str, jax.Array]:
     """(kh, kw, cin, cout) f32 -> {q int8, scale (cout,)} per-out-channel."""
     absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))

@@ -98,7 +98,12 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
         # TPU the Pallas fused-quantize GEMM (ops/int8_matmul.py) makes
         # int8 and ToMe compose positively: ToMe shrinks the GEMMs while
         # the per-token quantize cost rides inside the matmul kernel.
-        fused = quant._on_tpu()
+        import os
+
+        # Same A/B pin as vit_forward_int8: HYT_INT8_FUSED=0 forces the
+        # unfused composition (also how eval_fastpaths pins static-scale
+        # semantics at small eval batches).
+        fused = quant._on_tpu() and os.environ.get("HYT_INT8_FUSED", "1") != "0"
         attn = quant.int8_mha_self_attention
         mlp = quant.int8_mlp_gelu
     else:

@@ -62,6 +62,42 @@ class TestCliFastPath:
         assert set(results) == {"left", "right"}
 
 
+class TestCliCalibrateInt8:
+    def test_calibrate_then_infer_static(self, image_dir, tmp_path):
+        """tools/calibrate_int8.py over real crops -> scales npz ->
+        infer --fast-path int8 --calib-scales (static quantize path)."""
+        import runpy
+        import sys
+
+        scales = str(tmp_path / "scales.npz")
+        argv = sys.argv
+        sys.argv = ["calibrate_int8.py", "--input", image_dir,
+                    "--out", scales, "--tiny", "--batch", "4",
+                    "--max-images", "2"]
+        try:
+            with pytest.raises(SystemExit) as e:
+                runpy.run_path(
+                    os.path.join(os.path.dirname(__file__), "..", "tools",
+                                 "calibrate_int8.py"), run_name="__main__")
+            assert e.value.code == 0
+        finally:
+            sys.argv = argv
+        assert os.path.exists(scales)
+
+        from hamer_yolo_tpu.core.quant import load_act_stats
+
+        stats = load_act_stats(scales)
+        assert len(stats["blocks"]) == 2  # tiny ViT depth
+        assert set(stats["blocks"][0]) == {"qkv", "proj", "fc1", "fc2"}
+
+        out = str(tmp_path / "out_static")
+        rc = main(["infer", "--tiny", "--input", image_dir, "--output", out,
+                   "--fast-path", "int8", "--calib-scales", scales,
+                   "--no-obj"])
+        assert rc == 0
+        assert len([f for f in os.listdir(out) if f.endswith(".npy")]) == 2
+
+
 class TestCliDetect:
     def test_detect_prints_json(self, image_dir, capsys):
         rc = main(["detect", "--tiny", "--input", image_dir])

@@ -98,12 +98,22 @@ def main():
         qparams["backbone"], calib)
     sparams = dict(qparams)
     sparams["backbone"] = attach_static_act_scales(qparams["backbone"], stats)
-    results["int8_static"] = delta(
-        "int8_static",
-        run(dataclasses.replace(cfg, int8_backbone=True), sparams))
-    results["int8_static_tome_r4"] = delta(
-        "int8_sta+tome4",
-        run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4), sparams))
+    # Pin the UNFUSED composition: at this small eval batch the fused
+    # TPU dispatch lands in the Pallas small-M kernel, which (by design)
+    # quantizes dynamically and would not exercise static semantics; the
+    # unfused int8_linear applies the same per-tensor static quantize the
+    # large-M XLA chain uses at b128.
+    os.environ["HYT_INT8_FUSED"] = "0"
+    try:
+        results["int8_static"] = delta(
+            "int8_static",
+            run(dataclasses.replace(cfg, int8_backbone=True), sparams))
+        results["int8_static_tome_r4"] = delta(
+            "int8_sta+tome4",
+            run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4),
+                sparams))
+    finally:
+        del os.environ["HYT_INT8_FUSED"]
 
     print(json.dumps(results))
 

@@ -86,8 +86,19 @@ def main() -> None:
                            .astype(jnp.float32))
 
         fns["int8_no_attn"] = jax.jit(_no_attn)
+
+        # Static calibrated activation scales (params carry "sx"): the
+        # same jit fns route through the static XLA chain at large M.
+        stats = jax.jit(lambda p, xi: quant.collect_vit_act_stats(
+            p, xi, cfg))(params_q, x[: min(n, 8)])
+        params_s = quant.attach_static_act_scales(params_q, stats)
+        fns["int8_static"] = fns["int8_fused"]
+        fns["int8_sta_noat"] = fns["int8_no_attn"]
+
         for name, fn in fns.items():
-            p = params if name == "bf16" else params_q
+            p = (params if name == "bf16"
+                 else params_s if name.startswith("int8_sta")
+                 else params_q)
             try:
                 float(fn(p, x))  # compile
                 ts = []
