@@ -287,12 +287,8 @@ def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Arra
     h = num_heads
     hd = p["qkv"]["wq"]["q"].shape[1] // 3 // h
     qkv = int8_linear(p["qkv"]["wq"], x, p["qkv"].get("b"),
-                      p["qkv"].get("sx")).reshape(B, N, 3, h, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    scale = hd ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+                      p["qkv"].get("sx"))
+    out = _attn_math(qkv, h)
     return int8_linear(p["proj"]["wq"], out, p["proj"].get("b"),
                        p["proj"].get("sx"))
 
@@ -316,26 +312,15 @@ def _attn_math(qkv: jax.Array, num_heads: int,
                attn_pallas: bool = False) -> jax.Array:
     """(B, N, 3*D) fused-qkv tensor -> (B, N, D) pre-proj attention out.
 
-    ``attn_pallas`` routes QK^T/softmax/PV through the single-block
-    Pallas fused-softmax kernel (ops/attention_pallas.py), keeping the
-    (N, N) logits out of HBM — at large serving batches the XLA softmax
-    path's logit tensor round-trips dominate the attention cost."""
-    B, N, three_d = qkv.shape
-    h = num_heads
-    hd = three_d // 3 // h
-    qkv = qkv.reshape(B, N, 3, h, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    if attn_pallas:
-        from hamer_yolo_tpu.ops.attention_pallas import fused_short_attention
+    Routes through ops/attention_pallas.softmax_attention_qkv: inline
+    XLA einsum softmax by default (the e2e-qualified path — the Pallas
+    kernel won the isolated microbench from 64 crops up but measured a
+    ~2.5% e2e LOSS at b128; see MIN_PALLAS_CROPS note there).
+    ``attn_pallas`` pins the kernel; env HYT_ATTN=pallas|auto opts in."""
+    from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
 
-        out = fused_short_attention(
-            jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
-            jnp.transpose(v, (0, 2, 1, 3)))
-        return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, h * hd)
-    scale = hd ** -0.5
-    logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-    attn = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+    return softmax_attention_qkv(qkv, num_heads,
+                                 force="pallas" if attn_pallas else None)
 
 
 def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,

@@ -11,6 +11,7 @@ flash attention does, minus the (unneeded) streaming machinery.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,3 +63,106 @@ def fused_short_attention(
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, h, N, hd)
+
+
+# Crossover measured by tools/bench_attention2.py on one v5e chip
+# (ms/layer at ViT-H shapes, XLA einsum vs this kernel incl. the
+# layout transposes): 32 crops 0.53/0.66, 64 0.51/0.46, 128 1.76/1.22,
+# 256 3.09/2.05.  The kernel wins from ~64 crops up in the ISOLATED
+# chained microbench — but the win does NOT transfer e2e: same-session
+# bench.py A/B at b128 (int8 default config) measured 168.8 fps with
+# the kernel engaged vs 173.2 fps XLA-forced.  Inside the full int8
+# block, XLA fuses the attention elementwise with its neighbours and
+# schedules the logits better than the isolated comparison suggests
+# (consistent with the round-3 finding that the einsum path beats every
+# tested Pallas variant at 256 crops).  Default is therefore "xla";
+# the kernel stays opt-in (HYT_ATTN=pallas|auto) for future re-tests.
+MIN_PALLAS_CROPS = 64
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _qkv_attention(num_heads: int, interpret: bool, force):
+    def impl(qkv):
+        B, N, td = qkv.shape
+        h = num_heads
+        hd = td // 3 // h
+        x = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, N, h, hd)
+        use_pallas = force == "pallas" or (
+            force == "auto" and B >= MIN_PALLAS_CROPS
+            and (_on_tpu() or interpret))
+        if use_pallas:
+            out = fused_short_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)), interpret=interpret)
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, h * hd)
+        scale = hd ** -0.5
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+
+    @jax.custom_batching.custom_vmap
+    def attn(qkv):
+        return impl(qkv)
+
+    @attn.def_vmap
+    def _rule(axis_size, in_batched, qkv):
+        # Collapse the vmap axis into the crop batch: the frame pipeline
+        # vmaps over frames with 2 crop slots each, so without this the
+        # dispatch would see B=2 and never engage the kernel (and a
+        # batched pallas_call would re-grid per frame). Same pattern as
+        # ops/int8_matmul._flat_matmul.
+        Bv, B, N, td = qkv.shape
+        return attn(qkv.reshape(Bv * B, N, td)).reshape(Bv, B, N, -1), True
+
+    return attn
+
+
+def softmax_attention_qkv(qkv: jax.Array, num_heads: int, *,
+                          interpret: bool = False, force=None) -> jax.Array:
+    """(B, N, 3D) fused-qkv -> (B, N, D) softmax attention.
+
+    ``force`` (or env HYT_ATTN when unset):
+      "xla" (DEFAULT) — plain inline einsum softmax, zero wrapper: the
+        e2e-qualified path (see MIN_PALLAS_CROPS note).
+      "pallas" — the fused single-block Pallas kernel.
+      "auto" — kernel at >= MIN_PALLAS_CROPS collapsed crops, einsum
+        below, behind a custom_vmap rule that folds vmap axes into the
+        crop batch first (the frame pipeline vmaps 2-crop instances).
+
+    "pallas"/"auto" are INFERENCE-ONLY: custom_vmap does not compose
+    with reverse-mode autodiff — training code must use
+    nn.mha_self_attention. Matches the reference's vanilla softmax
+    attention (/root/reference/hamer/hamer/models/backbones/vit.py:110-126).
+    """
+    if force is None:
+        env = os.environ.get("HYT_ATTN")
+        force = env if env in ("xla", "pallas", "auto") else "xla"
+    if force == "xla":
+        B, N, td = qkv.shape
+        h = num_heads
+        hd = td // 3 // h
+        x = qkv.reshape(B, N, 3, h, hd)
+        q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+    return _qkv_attention(num_heads, interpret, force)(qkv)
+
+
+def fast_mha_self_attention(p, x: jax.Array, num_heads: int) -> jax.Array:
+    """Inference drop-in for nn.mha_self_attention (same contract) that
+    routes the softmax attention through softmax_attention_qkv."""
+    from hamer_yolo_tpu.core import nn
+
+    qkv = nn.linear(p["qkv"], x)
+    out = softmax_attention_qkv(qkv, num_heads)
+    return nn.linear(p["proj"], out)

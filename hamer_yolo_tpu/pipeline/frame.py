@@ -112,6 +112,17 @@ def recover_hands(
         lambda c, s, f: hamer_crop(image_bgr, c, s, f, cfg.crop_size)
     )(center, size, do_flip)
 
+    if attn_impl is None and not cfg.hamer.int8_backbone:
+        # Inference default: env-switchable softmax attention. With
+        # HYT_ATTN unset this is byte-identical to nn.mha_self_attention
+        # (inline einsum, no wrapper); HYT_ATTN=pallas|auto engages the
+        # fused Pallas kernel (custom_vmap-based, NOT differentiable —
+        # training uses hamer_forward with nn.mha_self_attention). The
+        # int8 path dispatches internally (core/quant._attn_math).
+        from hamer_yolo_tpu.ops.attention_pallas import fast_mha_self_attention
+
+        attn_impl = fast_mha_self_attention
+
     out = hamer_forward(hamer_params, mano_model, crops, cfg.hamer, attn_impl=attn_impl)
 
     # Reference-compatible kp3d flip handling (infer.py:391) is a known bug;

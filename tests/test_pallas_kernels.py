@@ -49,6 +49,59 @@ class TestAttentionKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+class TestAttentionDispatch:
+    """softmax_attention_qkv: auto-routed fused-qkv attention."""
+
+    def _qkv(self, rng, B=4, N=24, h=2, hd=16):
+        return jnp.asarray(rng.normal(size=(B, N, 3 * h * hd))
+                           .astype(np.float32)), h
+
+    def test_pallas_matches_xla(self, rng):
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng)
+        ref = softmax_attention_qkv(qkv, h, force="xla")
+        out = softmax_attention_qkv(qkv, h, force="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_vmap_collapses_to_crop_batch(self, rng):
+        """vmapping over frames must equal the flat collapsed call (the
+        frame pipeline vmaps 2-crop instances over the serving batch).
+        force="auto" exercises the custom_vmap collapse rule (on CPU the
+        inner dispatch then takes the einsum branch)."""
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng, B=6)
+        batched = qkv.reshape(3, 2, *qkv.shape[1:])
+        out_v = jax.vmap(
+            lambda q: softmax_attention_qkv(q, h, force="auto"))(batched)
+        flat = softmax_attention_qkv(qkv, h, force="xla")
+        np.testing.assert_allclose(np.asarray(out_v).reshape(flat.shape),
+                                   np.asarray(flat), atol=1e-5)
+
+    def test_auto_engages_kernel_at_crossover(self, rng):
+        """force="auto" above MIN_PALLAS_CROPS takes the kernel branch
+        (interpret=True stands in for being on TPU) and matches XLA."""
+        from hamer_yolo_tpu.ops import attention_pallas as ap
+
+        qkv, h = self._qkv(rng, B=ap.MIN_PALLAS_CROPS)
+        out = ap.softmax_attention_qkv(qkv, h, force="auto", interpret=True)
+        ref = ap.softmax_attention_qkv(qkv, h, force="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_fast_mha_matches_nn(self, rng):
+        from hamer_yolo_tpu.core import nn
+        from hamer_yolo_tpu.ops.attention_pallas import fast_mha_self_attention
+
+        p = nn.mha_qkv_init(jax.random.PRNGKey(0), 32, num_heads=2)
+        x = jnp.asarray(rng.normal(size=(4, 24, 32)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(fast_mha_self_attention(p, x, 2)),
+            np.asarray(nn.mha_self_attention(p, x, 2)), atol=1e-5)
+
+
 class TestManoKernel:
     def test_matches_xla_lbs(self, rng):
         m = _mano()
