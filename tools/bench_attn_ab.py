@@ -1,0 +1,112 @@
+"""Interleaved e2e A/B: einsum vs Pallas attention in the int8 pipeline.
+
+The device-attributed profile (tools/profile_int8_vit.py) says the fused
+single-block attention kernel saves ~32 ms per 256 crops on the static
+int8 path, but back-to-back bench.py runs 20 min apart said the
+opposite. Dispatch overhead on the axon tunnel drifts on wall-clock
+timescales, so this tool compiles BOTH full-batch pipeline programs in
+one process and times them interleaved (A B A B ...) — drift hits both
+arms equally.
+
+  python tools/bench_attn_ab.py [batch] [iters]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.checkpoint import init_pipeline_params
+    from hamer_yolo_tpu.core.mano_assets import (load_mano_model,
+                                                 synthetic_mano_model)
+    from hamer_yolo_tpu.core.quant import (attach_static_act_scales,
+                                           collect_vit_act_stats,
+                                           quantize_vit_params)
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig, infer_frame
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    H, W = 720, 1280
+
+    import dataclasses
+
+    cfg = PipelineConfig(max_hands=2)
+    cfg = dataclasses.replace(
+        cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=True))
+    try:
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+    except Exception:
+        mano = ManoModel.from_arrays(synthetic_mano_model())
+
+    params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                  yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                  sar_cfg=cfg.sar)
+    params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
+        params["hamer"]["backbone"])
+    crng = np.random.default_rng(1)
+    calib = jnp.asarray(crng.standard_normal((8, 256, 192, 3)), jnp.float32)
+    stats = jax.jit(lambda p, x: collect_vit_act_stats(
+        p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
+    params["hamer"]["backbone"] = attach_static_act_scales(
+        params["hamer"]["backbone"], stats)
+    params = jax.device_put(params)
+
+    def checksum(out):
+        keys = ("boxes", "scores", "valid", "betas", "theta", "cam_t",
+                "vertices", "root_depth")
+        return sum(jnp.sum(out[k].astype(jnp.float32)) for k in keys)
+
+    def make(attn_impl):
+        @jax.jit
+        def run(p, images, hws, Ks):
+            return sum(jax.vmap(
+                lambda i, hw, k: checksum(infer_frame(
+                    p, mano, i, hw, k, cfg, attn_impl=attn_impl))
+            )(images, hws, Ks))
+        return run
+
+    # int8 path only truth-tests attn_impl (models/hamer.py:91) -> any
+    # non-None sentinel selects the Pallas kernel.
+    arms = {"einsum": make(None), "pallas": make("pallas")}
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 255, (H, W, 3)).astype(np.float32))
+    images = jnp.broadcast_to(image, (batch, H, W, 3))
+    hws = jnp.broadcast_to(jnp.asarray([H, W], jnp.float32), (batch, 2))
+    Ks = jnp.broadcast_to(jnp.asarray(
+        [[906.96, 0, W / 2], [0, 906.79, H / 2], [0, 0, 1]], jnp.float32),
+        (batch, 3, 3))
+
+    for name, fn in arms.items():
+        t0 = time.time()
+        float(fn(params, images, hws, Ks))
+        print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
+
+    times = {name: [] for name in arms}
+    for it in range(iters):
+        for name, fn in arms.items():
+            t0 = time.time()
+            float(fn(params, images, hws, Ks))
+            times[name].append(time.time() - t0)
+        print(f"iter {it}: " + "  ".join(
+            f"{n} {times[n][-1]*1e3:7.1f} ms" for n in arms), flush=True)
+
+    for name, ts in times.items():
+        ts = np.array(ts)
+        p50 = float(np.percentile(ts, 50))
+        print(f"{name:8s} p50 {p50*1e3:7.1f} ms  ({batch/p50:6.1f} fps)  "
+              f"min {ts.min()*1e3:7.1f}  max {ts.max()*1e3:7.1f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,7 @@ def main() -> None:
             p, xi, cfg))(params_q, x[: min(n, 8)])
         params_s = quant.attach_static_act_scales(params_q, stats)
         fns["int8_static"] = fns["int8_fused"]
+        fns["int8_sta_pattn"] = fns["int8_f_pattn"]
         fns["int8_sta_noat"] = fns["int8_no_attn"]
 
         for name, fn in fns.items():
