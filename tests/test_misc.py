@@ -83,6 +83,36 @@ class TestLogger:
         lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
         assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
 
+    def test_wandb_sink_optional(self, tmp_path, monkeypatch):
+        """wandb=True mirrors scalars to a wandb run when the module is
+        importable (stubbed here — not in the base image) and degrades
+        to JSONL-only when it is not."""
+        import sys
+        import types
+
+        calls = []
+
+        class _Run:
+            def log(self, metrics, step=None):
+                calls.append((step, metrics))
+
+            def finish(self):
+                calls.append(("finish", None))
+
+        stub = types.ModuleType("wandb")
+        stub.init = lambda **kw: _Run()
+        monkeypatch.setitem(sys.modules, "wandb", stub)
+        log = MetricLogger(str(tmp_path), tensorboard=False, wandb=True)
+        log.log(3, {"loss": 0.5, "note": "x"})
+        log.close()
+        assert calls[0] == (3, {"loss": 0.5}) and calls[-1][0] == "finish"
+        # absent module -> silently disabled
+        monkeypatch.delitem(sys.modules, "wandb")
+        monkeypatch.setattr("builtins.__import__", __import__)
+        log2 = MetricLogger(str(tmp_path), tensorboard=False, wandb=False)
+        log2.log(0, {"loss": 1.0})
+        log2.close()
+
     def test_log_image_writes_png(self, tmp_path):
         import cv2
 
