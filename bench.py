@@ -13,14 +13,14 @@ value is the FULL pipeline (detector + ViT-H mesh recovery + depth), so
 vs_baseline is a conservative lower bound on relative speed.
 
 DEFAULT CONFIGURATION: the qualified int8 hybrid ViT path with STATIC
-calibrated activation scales at batch 128 (BENCH_INT8=1,
-BENCH_INT8_STATIC=1, BENCH_BATCH=128) — beyond the accuracy/speed point
-prescribed by the round-2 review ("bench.py >=161 fps at b128, MPVPE
-delta <=1.5 mm, no ToMe"). Accuracy delta: 1.22 mm MPVPE vs f32 (static
-scales measure BETTER than the 1.26 mm dynamic quantize; the bf16-vs-f32
-noise floor is 0.83 mm; tools/eval_fastpaths.py). Measured 183.0 fps
-b128 same-chip (dynamic int8 169.5; exact bf16 via BENCH_INT8=0:
-123.9 fps b32 / 128.9 b64).
+calibrated activation scales + the direct-vmapped fused Pallas
+attention kernel at batch 128 (BENCH_INT8=1, BENCH_INT8_STATIC=1,
+BENCH_BATCH=128) — beyond the accuracy/speed point prescribed by the
+round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm, no
+ToMe"). Accuracy delta: 1.46 mm MPVPE vs f32 (bf16-vs-f32 noise floor
+0.83 mm; tools/eval_fastpaths.py). Measured 191.7 fps b128 same-chip
+(einsum attention 183.0; dynamic int8 170.2 at 1.13 mm; exact bf16 via
+BENCH_INT8=0: 123.9 fps b32 / 128.9 b64).
 
 Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (2),
 BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1),
@@ -229,10 +229,11 @@ def main() -> None:
             "frame_hw": [H, W],
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
-            "math": (("int8-hybrid + static act scales (qualified: "
-                      "1.22 mm MPVPE vs f32, noise floor 0.83 mm)"
+            "math": (("int8-hybrid + static act scales + fused attention "
+                      "kernel (qualified: 1.46 mm MPVPE vs f32, noise "
+                      "floor 0.83 mm)"
                       if os.environ.get("BENCH_INT8_STATIC", "1") == "1"
-                      else "int8-hybrid dynamic (qualified: 1.26 mm MPVPE "
+                      else "int8-hybrid dynamic (qualified: 1.13 mm MPVPE "
                            "vs f32, noise floor 0.83 mm)") if use_int8
                      else "exact bf16/f32"),
             "tome_r": tome_r,
@@ -248,12 +249,14 @@ def main() -> None:
                 # (+calibrated static act scales killing the dynamic-
                 # quantize HBM pass), fully-fused Pallas GEMM at
                 # serving-size M.
-                "int8_static_fps_b128": 183.0,
-                "int8_static_mpvpe_mm": 1.22,
+                "int8_static_fps_b128": 191.7,  # direct-vmapped attn kernel
+                "int8_static_mpvpe_mm": 1.46,
+                "int8_static_einsum_attn_fps_b128": 183.0,  # HYT_ATTN=xla
+                "int8_static_einsum_attn_mpvpe_mm": 1.22,
                 "int8_static_tome_r4_fps_b128": 208.0,
                 "int8_static_tome_r4_mpvpe_mm": 5.40,
-                "int8_dynamic_fps_b128": 170.2,
-                "int8_dynamic_mpvpe_mm": 1.26,
+                "int8_dynamic_fps_b128": 170.2,  # einsum attn; mpvpe w/ kernel
+                "int8_dynamic_mpvpe_mm": 1.13,
                 "int8_dyn_tome_r4_fps_b128": 195.7,
                 "int8_dyn_tome_r4_mpvpe_mm": 4.97,
                 "tome_r4_fps_b128": 176.4, "tome_r4_mpvpe_mm": 4.58,

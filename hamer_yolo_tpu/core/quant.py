@@ -312,23 +312,42 @@ def _attn_math(qkv: jax.Array, num_heads: int,
                attn_pallas: bool = False) -> jax.Array:
     """(B, N, 3*D) fused-qkv tensor -> (B, N, D) pre-proj attention out.
 
-    Routes through ops/attention_pallas.softmax_attention_qkv: inline
-    XLA einsum softmax by default (the e2e-qualified path — the Pallas
-    kernel won the isolated microbench from 64 crops up but measured a
-    ~2.5% e2e LOSS at b128; see MIN_PALLAS_CROPS note there).
-    ``attn_pallas`` pins the kernel; env HYT_ATTN=pallas|auto opts in."""
+    Routes through ops/attention_pallas.softmax_attention_qkv. TPU
+    default is "pallas_direct" — the fused single-block kernel engaged
+    WITHOUT a custom_vmap wrapper, so under the frame pipeline's vmap
+    the pallas_call batches via its native rule (no collapse-reshape
+    copies). Interleaved e2e A/B at b128 static-int8 (tools/
+    bench_attn_ab.py): direct 671.8 ms vs einsum 704.2 (190.5 vs 181.8
+    fps); the custom_vmap-collapsed variant measured 748.4 ms — see the
+    MIN_PALLAS_CROPS note in ops/attention_pallas.py. Off-TPU falls
+    back to the einsum path (pallas_call needs a TPU or interpret
+    mode). ``attn_pallas`` pins the kernel; env HYT_ATTN overrides."""
+    import os
+
     from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
 
-    return softmax_attention_qkv(qkv, num_heads,
-                                 force="pallas" if attn_pallas else None)
+    force = "pallas_direct" if attn_pallas else None
+    if force is None and os.environ.get("HYT_ATTN") is None:
+        force = "pallas_direct" if _on_tpu() else "xla"
+    return softmax_attention_qkv(qkv, num_heads, force=force)
 
 
 def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
                           interpret: bool = False,
                           attn_pallas: bool = False) -> jax.Array:
     """LN(norm1) + qkv + softmax attention + proj, LN/quantize fused into
-    the Pallas int8 GEMMs (ops/int8_matmul.py). Residual NOT added."""
-    from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+    the Pallas int8 GEMMs (ops/int8_matmul.py). Residual NOT added.
+
+    With calibrated static scales AND the attention kernel engaged, the
+    proj quantize happens in the attention kernel's int8 EPILOGUE
+    (out_scale) and proj becomes a plain pre-quantized MXU dot — the
+    (B, N, D) quantize elementwise pass never touches HBM and the
+    attention output crosses HBM at int8 width. Kill-switch:
+    HYT_ATTN_PREQUANT=0."""
+    import os
+
+    from hamer_yolo_tpu.ops.int8_matmul import (fused_int8_matmul,
+                                                int8_dot_prequant)
 
     p = blk["attn"]
     qkv = fused_int8_matmul(
@@ -336,6 +355,19 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
         blk["norm1"]["scale"], blk["norm1"]["bias"],
         prologue="ln", interpret=interpret,
         static_scale=p["qkv"].get("sx"))
+    sx_proj = p["proj"].get("sx")
+    kernel_engaged = attn_pallas or (
+        os.environ.get("HYT_ATTN") in (None, "pallas_direct") and
+        (_on_tpu() or interpret))
+    if (sx_proj is not None and kernel_engaged
+            and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        aq = softmax_attention_qkv(qkv, num_heads, force="pallas_direct",
+                                   interpret=interpret, out_scale=sx_proj)
+        return int8_dot_prequant(aq, p["proj"]["wq"]["q"],
+                                 p["proj"]["wq"]["scale"], p["proj"].get("b"),
+                                 sx_proj, out_dtype=tok.dtype)
     out = _attn_math(qkv, num_heads, attn_pallas=attn_pallas)
     return fused_int8_matmul(
         out, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"], p["proj"].get("b"),

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
+def _attn_kernel(q_ref, k_ref, v_ref, *rest, scale: float, group: int,
+                 quantize_out: bool):
+    if quantize_out:
+        s_ref, o_ref = rest  # (1, 1) f32 static scale; o_ref int8
+        inv_s = 1.0 / s_ref[0, 0]
+    else:
+        (o_ref,) = rest
     for g in range(group):  # static unroll: `group` heads per grid step
         q = q_ref[g]  # (N, hd)
         k = k_ref[g]
@@ -30,22 +36,30 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[g, :, :] = jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        res = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        if quantize_out:
+            # Epilogue quantize with the NEXT GEMM's static activation
+            # scale (core/quant semantics: round-half-even, clip ±127) —
+            # the proj quantize pass never touches HBM.
+            res = jnp.clip(jnp.round(res * inv_s), -127, 127)
+        o_ref[g, :, :] = res.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def fused_short_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False,
-    group: int = 16,
+    group: int = 16, out_scale: jax.Array | None = None,
 ) -> jax.Array:
     """q/k/v: (B, h, N, hd) -> (B, h, N, hd); softmax attention, no mask.
 
     ``group`` (b, h) pairs are processed per grid step: one step's DMA
     then carries group*3*N*hd elements and the compute loop amortizes
     the per-step pipeline overhead (a group of 1 at ViT-H shapes is
-    DMA-latency-bound: 4096 tiny steps)."""
+    DMA-latency-bound: 4096 tiny steps).
+
+    ``out_scale``: optional () / (1, 1) f32 static activation scale of
+    the CONSUMING int8 GEMM — the epilogue quantizes in-kernel and the
+    output is int8 (the proj quantize pass disappears from HBM)."""
     B, h, N, hd = q.shape
     scale = hd ** -0.5
     G = group
@@ -54,29 +68,43 @@ def fused_short_attention(
     qf = q.reshape(B * h, N, hd)
     kf = k.reshape(B * h, N, hd)
     vf = v.reshape(B * h, N, hd)
+    quant = out_scale is not None
+    in_specs = [pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0))
+                for _ in range(3)]
+    args = [qf, kf, vf]
+    if quant:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+        args.append(jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, group=G),
+        functools.partial(_attn_kernel, scale=scale, group=G,
+                          quantize_out=quant),
         grid=(B * h // G,),
-        in_specs=[pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0)) for _ in range(3)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * h, N, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * h, N, hd),
+                                       jnp.int8 if quant else q.dtype),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(*args)
     return out.reshape(B, h, N, hd)
 
 
 # Crossover measured by tools/bench_attention2.py on one v5e chip
 # (ms/layer at ViT-H shapes, XLA einsum vs this kernel incl. the
 # layout transposes): 32 crops 0.53/0.66, 64 0.51/0.46, 128 1.76/1.22,
-# 256 3.09/2.05.  The kernel wins from ~64 crops up in the ISOLATED
-# chained microbench — but the win does NOT transfer e2e: same-session
-# bench.py A/B at b128 (int8 default config) measured 168.8 fps with
-# the kernel engaged vs 173.2 fps XLA-forced.  Inside the full int8
-# block, XLA fuses the attention elementwise with its neighbours and
-# schedules the logits better than the isolated comparison suggests
-# (consistent with the round-3 finding that the einsum path beats every
-# tested Pallas variant at 256 crops).  Default is therefore "xla";
-# the kernel stays opt-in (HYT_ATTN=pallas|auto) for future re-tests.
+# 256 3.09/2.05 — the kernel wins from ~64 crops up (the XLA softmax
+# path materializes the (B,h,N,N) logits in HBM).
+#
+# HOW the kernel is engaged matters as much as the kernel (interleaved
+# in-process e2e A/B, tools/bench_attn_ab.py, b128 static-int8):
+#   einsum                           704.2 ms  (181.8 fps)
+#   kernel via custom_vmap collapse  748.4 ms  (171.0 fps)  <- LOSS
+#   kernel direct under jax.vmap     671.8 ms  (190.5 fps)  <- WIN
+# The custom_vmap crop-collapse rule (mandatory for the int8 GEMM,
+# which must not re-fetch weights per vmap instance) materializes
+# reshape copies that cost more than the kernel saves.  Attention has
+# no weight operands, so the pallas_call's native vmap batching rule
+# (a leading grid dim) is free — "pallas_direct" is the production
+# engagement; "pallas"/"auto" (custom_vmap) remain for flat callers.
 MIN_PALLAS_CROPS = 64
 
 
@@ -127,13 +155,19 @@ def _qkv_attention(num_heads: int, interpret: bool, force):
 
 
 def softmax_attention_qkv(qkv: jax.Array, num_heads: int, *,
-                          interpret: bool = False, force=None) -> jax.Array:
+                          interpret: bool = False, force=None,
+                          out_scale: jax.Array | None = None) -> jax.Array:
     """(B, N, 3D) fused-qkv -> (B, N, D) softmax attention.
 
     ``force`` (or env HYT_ATTN when unset):
       "xla" (DEFAULT) — plain inline einsum softmax, zero wrapper: the
         e2e-qualified path (see MIN_PALLAS_CROPS note).
-      "pallas" — the fused single-block Pallas kernel.
+      "pallas" — the fused single-block Pallas kernel behind the
+        custom_vmap crop-collapse rule.
+      "pallas_direct" — the kernel inlined with NO custom_vmap wrapper:
+        under jax.vmap the pallas_call batches via its native rule (a
+        leading grid dim — fine here: attention has no weight operands
+        to re-fetch, unlike the int8 GEMM case).
       "auto" — kernel at >= MIN_PALLAS_CROPS collapsed crops, einsum
         below, behind a custom_vmap rule that folds vmap axes into the
         crop batch first (the frame pipeline vmaps 2-crop instances).
@@ -142,19 +176,38 @@ def softmax_attention_qkv(qkv: jax.Array, num_heads: int, *,
     with reverse-mode autodiff — training code must use
     nn.mha_self_attention. Matches the reference's vanilla softmax
     attention (/root/reference/hamer/hamer/models/backbones/vit.py:110-126).
+
+    ``out_scale``: optional f32 static activation scale of the consuming
+    int8 GEMM — the result is quantized to int8 (in the kernel epilogue
+    on the pallas_direct path, inline on the einsum path).
     """
     if force is None:
         env = os.environ.get("HYT_ATTN")
-        force = env if env in ("xla", "pallas", "auto") else "xla"
-    if force == "xla":
+        force = env if env in ("xla", "pallas", "pallas_direct",
+                               "auto") else "xla"
+    if out_scale is not None and force not in ("xla", "pallas_direct"):
+        raise ValueError("out_scale requires force='xla'/'pallas_direct'")
+    if force in ("xla", "pallas_direct"):
         B, N, td = qkv.shape
         h = num_heads
         hd = td // 3 // h
         x = qkv.reshape(B, N, 3, h, hd)
         q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        if force == "pallas_direct":
+            out = fused_short_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)), interpret=interpret,
+                out_scale=out_scale)
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, h * hd)
         logits = jnp.einsum("bnhd,bmhd->bhnm", q * (hd ** -0.5), k)
         attn = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, h * hd)
+        if out_scale is not None:
+            s = jnp.asarray(out_scale, jnp.float32).reshape(())
+            out = jnp.clip(jnp.round(out.astype(jnp.float32) / s),
+                           -127, 127).astype(jnp.int8)
+        return out
     return _qkv_attention(num_heads, interpret, force)(qkv)
 
 

@@ -170,6 +170,29 @@ def _pallas_matmul(x2, wq, wscale2, bias2, g2, bt2, sxs2, *, prologue, tm, tn,
     return out
 
 
+def int8_dot_prequant(xq: jax.Array, wq: jax.Array, wscale: jax.Array,
+                      bias: Optional[jax.Array], sx: jax.Array,
+                      out_dtype=jnp.bfloat16) -> jax.Array:
+    """(..., K) int8 @ (K, N) int8 -> (..., N) out_dtype.
+
+    The PRE-QUANTIZED input case: ``xq`` was already quantized by the
+    producer (e.g. the attention kernel's int8 epilogue,
+    ops/attention_pallas.fused_short_attention(out_scale=...)) with the
+    static per-tensor activation scale ``sx``. Just the MXU int8 dot +
+    dequant epilogue — no prologue, no quantize pass, and dot_general
+    batches leading dims natively so no custom_vmap machinery is needed
+    at any M."""
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32) * sx.reshape(()).astype(jnp.float32)
+         * wscale.reshape((1,) * (xq.ndim - 1) + (-1,)).astype(jnp.float32))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 # Below this row count the fully-fused Pallas GEMM wins (weight traffic
 # amortizes poorly at tiny M; measured ViT 194 -> 28 ms at 2 crops).
 # Above it, XLA's int8 dot_general + auto-fused elementwise chain is at

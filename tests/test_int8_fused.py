@@ -228,6 +228,70 @@ class TestStaticScale:
                                    rtol=0.05, atol=0.05)
 
 
+class TestPrequantAttention:
+    """Attention int8 epilogue (out_scale) + pre-quantized proj dot."""
+
+    def test_out_scale_epilogue_matches_inline_quantize(self, rng):
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv = jnp.asarray(rng.normal(size=(4, 8, 3 * 2 * 16))
+                          .astype(np.float32))
+        sx = jnp.asarray(0.02, jnp.float32)
+        got = softmax_attention_qkv(qkv, 2, force="pallas_direct",
+                                    interpret=True, out_scale=sx)
+        want = softmax_attention_qkv(qkv, 2, force="xla", out_scale=sx)
+        assert got.dtype == jnp.int8
+        # round-half-even at the +-0.5 boundary may differ by 1 ulp for
+        # values landing exactly on the grid midpoint; require exactness
+        # off the boundary via a 1-count tolerance.
+        diff = np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+
+    def test_block_prequant_matches_static_composition(self, rng,
+                                                       monkeypatch):
+        """int8_block_attn_fused with static scales + kernel engaged
+        (interpret) must match the unfused static attention block."""
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=1, num_heads=4,
+                        compute_dtype="float32")
+        pq = quant.quantize_vit_params(
+            init_vit(jax.random.PRNGKey(1), cfg))
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        stats = quant.collect_vit_act_stats(pq, x, cfg)
+        ps = quant.attach_static_act_scales(pq, stats)
+        blk = ps["blocks"][0]
+        tok = jnp.asarray(rng.normal(size=(2, 4, 128)).astype(np.float32))
+
+        got = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        ref = quant.int8_mha_self_attention(
+            blk["attn"], nn.layer_norm(blk["norm1"], tok), 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0.05, atol=0.05)
+        # kill-switch restores the non-prequant path
+        monkeypatch.setenv("HYT_ATTN_PREQUANT", "0")
+        off = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(off), np.asarray(ref),
+                                   rtol=0.05, atol=0.05)
+
+    def test_int8_dot_prequant_matches_int8_linear(self, rng):
+        from hamer_yolo_tpu.ops.int8_matmul import int8_dot_prequant
+
+        K, N = 64, 32
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        b = jnp.asarray(rng.normal(size=(N,)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(3, 8, K)).astype(np.float32))
+        sx = jnp.asarray(0.03, jnp.float32)
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        got = int8_dot_prequant(xq, wq["q"], wq["scale"], b, sx,
+                                out_dtype=jnp.float32)
+        want = quant.int8_linear(wq, x, b, sx_static=sx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestFusedVitPath:
     def test_vit_forward_int8_fused_matches_unfused(self, rng):
         from hamer_yolo_tpu.models.vit import ViTConfig, init_vit

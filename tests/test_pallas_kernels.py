@@ -80,6 +80,20 @@ class TestAttentionDispatch:
         np.testing.assert_allclose(np.asarray(out_v).reshape(flat.shape),
                                    np.asarray(flat), atol=1e-5)
 
+    def test_pallas_direct_under_vmap(self, rng):
+        """force="pallas_direct" has no custom_vmap wrapper — under
+        jax.vmap the pallas_call batches via its native rule and must
+        still match the flat einsum result."""
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng, B=6)
+        batched = qkv.reshape(3, 2, *qkv.shape[1:])
+        out = jax.vmap(lambda q: softmax_attention_qkv(
+            q, h, force="pallas_direct", interpret=True))(batched)
+        ref = softmax_attention_qkv(qkv, h, force="xla")
+        np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
+                                   np.asarray(ref), atol=1e-5)
+
     def test_auto_engages_kernel_at_crossover(self, rng):
         """force="auto" above MIN_PALLAS_CROPS takes the kernel branch
         (interpret=True stands in for being on TPU) and matches XLA."""

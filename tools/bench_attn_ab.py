@@ -76,8 +76,23 @@ def main() -> None:
         return run
 
     # int8 path only truth-tests attn_impl (models/hamer.py:91) -> any
-    # non-None sentinel selects the Pallas kernel.
-    arms = {"einsum": make(None), "pallas": make("pallas")}
+    # non-None sentinel selects the custom_vmap Pallas kernel. Arms can
+    # also be selected via HYT_ATTN / HYT_ATTN_PREQUANT, which the quant
+    # path reads at TRACE time — set just before each arm's compile call.
+    # BENCH_AB_ARMS: comma list (default einsum,direct,prequant).
+    wanted = os.environ.get("BENCH_AB_ARMS",
+                            "einsum,direct,prequant").split(",")
+    arm_defs = {
+        "einsum": (None, {"HYT_ATTN": "xla"}),
+        "pallas": ("pallas", {"HYT_ATTN_PREQUANT": "0"}),
+        "direct": (None, {"HYT_ATTN": "pallas_direct",
+                          "HYT_ATTN_PREQUANT": "0"}),
+        "prequant": (None, {}),  # the TPU default path
+    }
+    arms = {}
+    for name in wanted:
+        attn_impl, env = arm_defs[name]
+        arms[name] = (make(attn_impl), env)
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 255, (H, W, 3)).astype(np.float32))
@@ -87,14 +102,21 @@ def main() -> None:
         [[906.96, 0, W / 2], [0, 906.79, H / 2], [0, 0, 1]], jnp.float32),
         (batch, 3, 3))
 
-    for name, fn in arms.items():
+    fns = {}
+    for name, (fn, env) in arms.items():
+        for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
         t0 = time.time()
         float(fn(params, images, hws, Ks))
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
+        fns[name] = fn
+    for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT"):
+        os.environ.pop(k, None)
 
     times = {name: [] for name in arms}
     for it in range(iters):
-        for name, fn in arms.items():
+        for name, fn in fns.items():
             t0 = time.time()
             float(fn(params, images, hws, Ks))
             times[name].append(time.time() - t0)
