@@ -40,9 +40,10 @@ def main() -> None:
 
     import dataclasses
 
+    use_int8 = os.environ.get("BENCH_AB_INT8", "1") == "1"
     cfg = PipelineConfig(max_hands=2)
     cfg = dataclasses.replace(
-        cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=True))
+        cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=use_int8))
     try:
         mano = ManoModel.from_arrays(load_mano_model("right"))
     except Exception:
@@ -51,14 +52,16 @@ def main() -> None:
     params = init_pipeline_params(jax.random.PRNGKey(0), mano,
                                   yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
                                   sar_cfg=cfg.sar)
-    params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
-        params["hamer"]["backbone"])
-    crng = np.random.default_rng(1)
-    calib = jnp.asarray(crng.standard_normal((8, 256, 192, 3)), jnp.float32)
-    stats = jax.jit(lambda p, x: collect_vit_act_stats(
-        p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
-    params["hamer"]["backbone"] = attach_static_act_scales(
-        params["hamer"]["backbone"], stats)
+    if use_int8:
+        params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
+            params["hamer"]["backbone"])
+        crng = np.random.default_rng(1)
+        calib = jnp.asarray(crng.standard_normal((8, 256, 192, 3)),
+                            jnp.float32)
+        stats = jax.jit(lambda p, x: collect_vit_act_stats(
+            p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
+        params["hamer"]["backbone"] = attach_static_act_scales(
+            params["hamer"]["backbone"], stats)
     params = jax.device_put(params)
 
     def checksum(out):
@@ -79,9 +82,12 @@ def main() -> None:
     # non-None sentinel selects the custom_vmap Pallas kernel. Arms can
     # also be selected via HYT_ATTN / HYT_ATTN_PREQUANT, which the quant
     # path reads at TRACE time — set just before each arm's compile call.
-    # BENCH_AB_ARMS: comma list (default einsum,direct,prequant).
-    wanted = os.environ.get("BENCH_AB_ARMS",
-                            "einsum,direct,prequant").split(",")
+    # BENCH_AB_ARMS: comma list (default einsum,direct,prequant — for
+    # BENCH_AB_INT8=0 (exact bf16) only einsum/direct apply: fast_mha
+    # reads HYT_ATTN; prequant/pallas are int8-path mechanisms).
+    wanted = os.environ.get(
+        "BENCH_AB_ARMS",
+        "einsum,direct,prequant" if use_int8 else "einsum,direct").split(",")
     arm_defs = {
         "einsum": (None, {"HYT_ATTN": "xla"}),
         "pallas": ("pallas", {"HYT_ATTN_PREQUANT": "0"}),
