@@ -356,14 +356,20 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
         prologue="ln", interpret=interpret,
         static_scale=p["qkv"].get("sx"))
     sx_proj = p["proj"].get("sx")
-    kernel_engaged = attn_pallas or (
-        os.environ.get("HYT_ATTN") in (None, "pallas_direct") and
-        (_on_tpu() or interpret))
-    if (sx_proj is not None and kernel_engaged
+    env = os.environ.get("HYT_ATTN")
+    if attn_pallas:
+        kern = "pallas_direct"
+    elif env in ("pallas_direct", "pallas_fusedqkv"):
+        kern = env
+    elif env is None and (_on_tpu() or interpret):
+        kern = "pallas_direct"
+    else:
+        kern = None
+    if (sx_proj is not None and kern is not None
             and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
         from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
 
-        aq = softmax_attention_qkv(qkv, num_heads, force="pallas_direct",
+        aq = softmax_attention_qkv(qkv, num_heads, force=kern,
                                    interpret=interpret, out_scale=sx_proj)
         return int8_dot_prequant(aq, p["proj"]["wq"]["q"],
                                  p["proj"]["wq"]["scale"], p["proj"].get("b"),

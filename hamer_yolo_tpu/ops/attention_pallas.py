@@ -88,6 +88,82 @@ def fused_short_attention(
     return out.reshape(B, h, N, hd)
 
 
+def _attn_qkv_kernel(x_ref, *rest, scale: float, num_heads: int,
+                     head_dim: int, group: int, quantize_out: bool):
+    if quantize_out:
+        s_ref, o_ref = rest  # (1, 1) f32 static scale; o_ref int8
+        inv_s = 1.0 / s_ref[0, 0]
+    else:
+        (o_ref,) = rest
+    D = num_heads * head_dim
+    for g in range(group):
+        for t in range(num_heads):  # static unroll over heads
+            # Head slices straight out of the fused-qkv VMEM block —
+            # (s, h, e) layout from the qkv GEMM, so q/k/v of head t sit
+            # at lane offsets (s*D + t*hd). The slices are not 128-lane
+            # aligned (hd=80 for ViT-H); Mosaic relayouts in-register,
+            # which is the whole trade: a little VREG shuffling instead
+            # of four HBM-materialized (B,h,N,hd) transpose copies.
+            q = x_ref[g, :, t * head_dim:(t + 1) * head_dim]
+            k = x_ref[g, :, D + t * head_dim:D + (t + 1) * head_dim]
+            v = x_ref[g, :, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (N, N)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            res = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            if quantize_out:
+                res = jnp.clip(jnp.round(res * inv_s), -127, 127)
+            o_ref[g, :, t * head_dim:(t + 1) * head_dim] = \
+                res.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "group"))
+def fused_qkv_attention(
+    qkv: jax.Array, num_heads: int, interpret: bool = False,
+    group: int = 2, out_scale: jax.Array | None = None,
+) -> jax.Array:
+    """qkv: (B, N, 3*D) fused GEMM output -> (B, N, D); softmax attention.
+
+    The transpose-free engagement of the single-block attention: the
+    kernel consumes the qkv projection EXACTLY as the GEMM wrote it and
+    head-slices in VMEM, so the (B,h,N,hd) layout copies that
+    fused_short_attention needs (3 input transposes + 1 output
+    transpose ~= 750 MB of HBM traffic per layer at 256 crops) never
+    exist. ``group`` crops per grid step; ``out_scale`` as in
+    fused_short_attention (int8 epilogue for the consuming GEMM)."""
+    B, N, td = qkv.shape
+    hd = td // 3 // num_heads
+    scale = hd ** -0.5
+    G = group
+    while B % G:
+        G //= 2
+    quant = out_scale is not None
+    in_specs = [pl.BlockSpec((G, N, td), lambda i: (i, 0, 0))]
+    args = [qkv]
+    if quant:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0)))
+        args.append(jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+    D = num_heads * hd
+    return pl.pallas_call(
+        functools.partial(_attn_qkv_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=hd, group=G,
+                          quantize_out=quant),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, N, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D),
+                                       jnp.int8 if quant else qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 # Crossover measured by tools/bench_attention2.py on one v5e chip
 # (ms/layer at ViT-H shapes, XLA einsum vs this kernel incl. the
 # layout transposes): 32 crops 0.53/0.66, 64 0.51/0.46, 128 1.76/1.22,
@@ -168,6 +244,9 @@ def softmax_attention_qkv(qkv: jax.Array, num_heads: int, *,
         under jax.vmap the pallas_call batches via its native rule (a
         leading grid dim — fine here: attention has no weight operands
         to re-fetch, unlike the int8 GEMM case).
+      "pallas_fusedqkv" — the transpose-free variant: the kernel reads
+        the fused (B, N, 3D) GEMM output directly and head-slices in
+        VMEM (fused_qkv_attention). Also direct/no-wrapper.
       "auto" — kernel at >= MIN_PALLAS_CROPS collapsed crops, einsum
         below, behind a custom_vmap rule that folds vmap axes into the
         crop batch first (the frame pipeline vmaps 2-crop instances).
@@ -184,9 +263,14 @@ def softmax_attention_qkv(qkv: jax.Array, num_heads: int, *,
     if force is None:
         env = os.environ.get("HYT_ATTN")
         force = env if env in ("xla", "pallas", "pallas_direct",
-                               "auto") else "xla"
-    if out_scale is not None and force not in ("xla", "pallas_direct"):
-        raise ValueError("out_scale requires force='xla'/'pallas_direct'")
+                               "pallas_fusedqkv", "auto") else "xla"
+    if out_scale is not None and force not in ("xla", "pallas_direct",
+                                               "pallas_fusedqkv"):
+        raise ValueError(
+            "out_scale requires force='xla'/'pallas_direct'/'pallas_fusedqkv'")
+    if force == "pallas_fusedqkv":
+        return fused_qkv_attention(qkv, num_heads, interpret=interpret,
+                                   out_scale=out_scale)
     if force in ("xla", "pallas_direct"):
         B, N, td = qkv.shape
         h = num_heads

@@ -274,6 +274,12 @@ class TestPrequantAttention:
         off = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(off), np.asarray(ref),
                                    rtol=0.05, atol=0.05)
+        # fusedqkv (transpose-free) kernel engagement, same contract
+        monkeypatch.delenv("HYT_ATTN_PREQUANT")
+        monkeypatch.setenv("HYT_ATTN", "pallas_fusedqkv")
+        fq = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(fq), np.asarray(ref),
+                                   rtol=0.05, atol=0.05)
 
     def test_int8_dot_prequant_matches_int8_linear(self, rng):
         from hamer_yolo_tpu.ops.int8_matmul import int8_dot_prequant

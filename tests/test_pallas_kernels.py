@@ -94,6 +94,38 @@ class TestAttentionDispatch:
         np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
                                    np.asarray(ref), atol=1e-5)
 
+    def test_fusedqkv_under_vmap(self, rng):
+        """force="pallas_fusedqkv" (transpose-free, head-slicing in VMEM)
+        must match einsum both flat and under the frame pipeline's vmap,
+        including the odd head_dim (non-128-lane-aligned slices)."""
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng, B=6, h=3, hd=24)
+        ref = softmax_attention_qkv(qkv, h, force="xla")
+        out = softmax_attention_qkv(qkv, h, force="pallas_fusedqkv",
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        batched = qkv.reshape(3, 2, *qkv.shape[1:])
+        out_v = jax.vmap(lambda q: softmax_attention_qkv(
+            q, h, force="pallas_fusedqkv", interpret=True))(batched)
+        np.testing.assert_allclose(np.asarray(out_v).reshape(ref.shape),
+                                   np.asarray(ref), atol=1e-5)
+
+    def test_fusedqkv_int8_epilogue(self, rng):
+        """out_scale epilogue: int8 output matches the einsum+quantize
+        reference exactly (round-half-even, clip +-127)."""
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng, B=4)
+        sx = jnp.asarray(0.011, jnp.float32)
+        got = softmax_attention_qkv(qkv, h, force="pallas_fusedqkv",
+                                    interpret=True, out_scale=sx)
+        want = softmax_attention_qkv(qkv, h, force="xla", out_scale=sx)
+        assert got.dtype == jnp.int8
+        np.testing.assert_allclose(np.asarray(got, np.int32),
+                                   np.asarray(want, np.int32), atol=1)
+
     def test_auto_engages_kernel_at_crossover(self, rng):
         """force="auto" above MIN_PALLAS_CROPS takes the kernel branch
         (interpret=True stands in for being on TPU) and matches XLA."""

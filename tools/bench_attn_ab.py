@@ -82,18 +82,22 @@ def main() -> None:
     # non-None sentinel selects the custom_vmap Pallas kernel. Arms can
     # also be selected via HYT_ATTN / HYT_ATTN_PREQUANT, which the quant
     # path reads at TRACE time — set just before each arm's compile call.
-    # BENCH_AB_ARMS: comma list (default einsum,direct,prequant — for
-    # BENCH_AB_INT8=0 (exact bf16) only einsum/direct apply: fast_mha
-    # reads HYT_ATTN; prequant/pallas are int8-path mechanisms).
+    # BENCH_AB_ARMS: comma list. For BENCH_AB_INT8=0 (exact bf16) only
+    # einsum/direct/fusedqkv apply: fast_mha reads HYT_ATTN;
+    # prequant/pallas are int8-path mechanisms.
     wanted = os.environ.get(
         "BENCH_AB_ARMS",
-        "einsum,direct,prequant" if use_int8 else "einsum,direct").split(",")
+        "einsum,direct,prequant,fusedqkv,prequant_fq" if use_int8
+        else "einsum,direct,fusedqkv").split(",")
     arm_defs = {
         "einsum": (None, {"HYT_ATTN": "xla"}),
         "pallas": ("pallas", {"HYT_ATTN_PREQUANT": "0"}),
         "direct": (None, {"HYT_ATTN": "pallas_direct",
                           "HYT_ATTN_PREQUANT": "0"}),
+        "fusedqkv": (None, {"HYT_ATTN": "pallas_fusedqkv",
+                            "HYT_ATTN_PREQUANT": "0"}),
         "prequant": (None, {}),  # the TPU default path
+        "prequant_fq": (None, {"HYT_ATTN": "pallas_fusedqkv"}),
     }
     arms = {}
     for name in wanted:
@@ -114,20 +118,25 @@ def main() -> None:
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
-        float(fn(params, images, hws, Ks))
+        try:
+            float(fn(params, images, hws, Ks))
+        except Exception as e:  # a failing arm must not kill the A/B
+            print(f"{name}: FAILED to compile/run: {type(e).__name__}: "
+                  f"{str(e)[:500]}", flush=True)
+            continue
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
         fns[name] = fn
     for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT"):
         os.environ.pop(k, None)
 
-    times = {name: [] for name in arms}
+    times = {name: [] for name in fns}
     for it in range(iters):
         for name, fn in fns.items():
             t0 = time.time()
             float(fn(params, images, hws, Ks))
             times[name].append(time.time() - t0)
         print(f"iter {it}: " + "  ".join(
-            f"{n} {times[n][-1]*1e3:7.1f} ms" for n in arms), flush=True)
+            f"{n} {times[n][-1]*1e3:7.1f} ms" for n in fns), flush=True)
 
     for name, ts in times.items():
         ts = np.array(ts)
