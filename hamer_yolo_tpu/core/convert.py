@@ -20,7 +20,7 @@ Each converter takes a torch ``state_dict``-like mapping of numpy arrays;
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -317,15 +317,51 @@ def convert_yolov7_state_dict(sd: Dict[str, np.ndarray],
 # HaMeR (ViT-H + MANO head)
 # ---------------------------------------------------------------------------
 
+def resize_pos_embed(pos: np.ndarray, grid_hw: Tuple[int, int]) -> np.ndarray:
+    """Bicubic-resize a (1, 1+HW, D) learned pos-embed to a new token grid.
+
+    Conversion-time counterpart of the reference's runtime `get_abs_pos`
+    (/root/reference/hamer/hamer/models/backbones/vit.py:26-57): when a
+    checkpoint was pretrained at a different resolution, its grid part is
+    interpolated bicubically onto the runtime grid (the cls slot passes
+    through). Done once here instead of per-forward — the runtime grid is
+    static under jit. jax.image's bicubic kernel (Keys a=-0.5) differs
+    from torch's (a=-0.75) on high-frequency content; exact parity holds
+    in the no-resize case, which is the shipped pipeline (HaMeR's ViT-H
+    always runs at 256x192 -> 16x12 tokens — resize only fires when
+    adapting a foreign-resolution ViTPose pretrain)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = grid_hw
+    n = pos.shape[1] - 1
+    if n == h * w:
+        return pos
+    # The reference's ViTPose checkpoints are square-grid pretrained.
+    side = int(round(float(n) ** 0.5))
+    if side * side != n:
+        raise ValueError(f"cannot infer source grid from {n} tokens")
+    grid = jnp.asarray(pos[:, 1:], jnp.float32).reshape(1, side, side, -1)
+    grid = jax.image.resize(grid, (1, h, w, grid.shape[-1]), "bicubic")
+    return np.concatenate(
+        [np.asarray(pos[:, :1], np.float32),
+         np.asarray(grid).reshape(1, h * w, -1)], axis=1)
+
+
 def convert_vit_state_dict(sd: Dict[str, np.ndarray], prefix: str = "backbone.",
-                           depth: int = 32) -> Dict[str, Any]:
+                           depth: int = 32,
+                           grid_hw: Optional[Tuple[int, int]] = None
+                           ) -> Dict[str, Any]:
     g = lambda k: sd[prefix + k]
+    pos = g("pos_embed")
+    if grid_hw is not None:
+        pos = resize_pos_embed(np.asarray(pos), grid_hw)
     params: Dict[str, Any] = {
         "patch_embed": {
             "w": conv_w(g("patch_embed.proj.weight")),
             "b": g("patch_embed.proj.bias"),
         },
-        "pos_embed": g("pos_embed"),
+        "pos_embed": pos,
         "blocks": [],
         "last_norm": {"scale": g("last_norm.weight"), "bias": g("last_norm.bias")},
     }

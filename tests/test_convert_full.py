@@ -154,3 +154,18 @@ class TestHamerConverterRoundTrip:
             assert len(a) == len(b)
             for x, y in zip(a, b):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_resize_pos_embed(self, rng):
+        """Foreign-resolution pos-embed adapts bicubically to the runtime
+        grid (reference get_abs_pos, hamer vit.py:26-57); same-grid input
+        passes through bit-exact, cls slot preserved."""
+        pos = rng.standard_normal((1, 1 + 14 * 14, 8)).astype(np.float32)
+        same = cv.resize_pos_embed(pos, (14, 14))
+        np.testing.assert_array_equal(same, pos)
+        out = cv.resize_pos_embed(pos, (16, 12))
+        assert out.shape == (1, 1 + 16 * 12, 8)
+        np.testing.assert_array_equal(out[:, :1], pos[:, :1])
+        # a constant embedding must resize to itself
+        const = np.full((1, 1 + 14 * 14, 8), 3.5, np.float32)
+        np.testing.assert_allclose(
+            cv.resize_pos_embed(const, (16, 12))[:, 1:], 3.5, rtol=1e-5)
