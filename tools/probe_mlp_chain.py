@@ -135,6 +135,34 @@ def main() -> None:
                               tm=512, tn=512, force="pallas")
         return x + z
 
+    def mlp_epilogue(x, act="gelu_erf", ep_dtype=jnp.float32):
+        """xla_static with a configurable fc1 epilogue: ``ep_dtype``
+        prices the dequant precision (f32 vs bf16 on the fat (M,H)
+        tensor), ``act`` prices the nonlinearity (erf-GELU vs tanh-GELU
+        vs relu vs none). Attribution arms for the ~6.9 ms/block of
+        non-dot cost in xla_static."""
+        h = ln(x)
+        xq = quant_static(h, sx1)
+        acc = jax.lax.dot_general(xq, w1q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        scale1 = (sx1 * s1[None, :]).astype(ep_dtype)
+        y = acc.astype(ep_dtype) * scale1 + b1[None, :].astype(ep_dtype)
+        y = y.astype(jnp.bfloat16)
+        if act == "gelu_erf":
+            y = jax.nn.gelu(y, approximate=False)
+        elif act == "gelu_tanh":
+            y = jax.nn.gelu(y, approximate=True)
+        elif act == "relu":
+            y = jnp.maximum(y, 0)
+        elif act != "none":
+            raise ValueError(act)
+        yq = quant_static(y, sx2)
+        acc2 = jax.lax.dot_general(yq, w2q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        scale2 = (sx2 * s2[None, :]).astype(ep_dtype)
+        z = acc2.astype(ep_dtype) * scale2 + b2[None, :].astype(ep_dtype)
+        return x + z.astype(x.dtype)
+
     def mlp_bf16(x):
         h = ln(x)
         y = h @ w1b + b1.astype(jnp.bfloat16)[None, :]
@@ -157,6 +185,14 @@ def main() -> None:
         "acc_bf16": chain(functools.partial(
             mlp_xla, static=True, acc_dtype=jnp.bfloat16)),
         "pallas512": chain(mlp_pallas),
+        "ep_bf16": chain(functools.partial(
+            mlp_epilogue, ep_dtype=jnp.bfloat16)),
+        "gelu_tanh": chain(functools.partial(
+            mlp_epilogue, act="gelu_tanh", ep_dtype=jnp.bfloat16)),
+        "relu": chain(functools.partial(
+            mlp_epilogue, act="relu", ep_dtype=jnp.bfloat16)),
+        "noact": chain(functools.partial(
+            mlp_epilogue, act="none", ep_dtype=jnp.bfloat16)),
         "bf16": chain(mlp_bf16),
     }
 
