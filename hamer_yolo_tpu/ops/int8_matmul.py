@@ -216,7 +216,17 @@ def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype,
     reduction disappears: the quantize becomes a pure elementwise map
     that XLA fuses into the prologue (one HBM pass over x instead of
     two), and the activation scale folds into the per-channel weight
-    scale at zero marginal cost."""
+    scale at zero marginal cost.
+
+    HYT_INT8_EP=bf16 (trace-time env, default f32) runs the dequant
+    epilogue in bf16 on the fat (M, N) tensor — the acc is <= 127*127*K
+    ~ 8e7, so bf16's 8 mantissa bits cost ~0.4% relative on a path
+    already at ~1% quantization noise. Probe arm: probe_mlp_chain
+    ep_bf16; qualify via tools/eval_fastpaths.py before defaulting."""
+    import os
+
+    ep = jnp.bfloat16 if os.environ.get("HYT_INT8_EP") == "bf16" \
+        else jnp.float32
     x = _prologue_f32(x, prologue, g2.astype(x.dtype), bt2.astype(x.dtype))
     if sxs2 is None:
         absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -229,7 +239,8 @@ def _xla_chain(x, wq, wscale2, bias2, g2, bt2, prologue, out_dtype,
         xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * sx * wscale2 + bias2
+    y = (acc.astype(ep) * (sx * wscale2).astype(ep)
+         + bias2.astype(ep))
     return y.astype(out_dtype)
 
 

@@ -101,6 +101,25 @@ class TestLargeMPath:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_bf16_epilogue_close_to_f32(self, rng, monkeypatch):
+        """HYT_INT8_EP=bf16 runs the large-M dequant in bf16: bounded
+        drift vs the f32 epilogue (acc <= 127*127*K so bf16's 8 mantissa
+        bits cost ~0.4% relative)."""
+        from hamer_yolo_tpu.ops import int8_matmul as im
+
+        monkeypatch.setattr(im, "FUSED_GEMM_MAX_M", 8)
+        M, K, N = 72, 384, 256
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+        wq = quant.quantize_weight_int8(w)
+        f32 = im.fused_int8_matmul(x, wq["q"], wq["scale"], None,
+                                   prologue="id", out_dtype=jnp.float32)
+        monkeypatch.setenv("HYT_INT8_EP", "bf16")
+        bf = im.fused_int8_matmul(x, wq["q"], wq["scale"], None,
+                                  prologue="id", out_dtype=jnp.float32)
+        ref = float(jnp.max(jnp.abs(f32))) + 1e-6
+        assert float(jnp.max(jnp.abs(bf - f32))) / ref < 0.02
+
 
 class TestVmapCollapse:
     def test_vmap_matches_loop(self, rng):
