@@ -126,6 +126,25 @@ class TestAttentionDispatch:
         np.testing.assert_allclose(np.asarray(got, np.int32),
                                    np.asarray(want, np.int32), atol=1)
 
+    @pytest.mark.parametrize("force", ["pallas_direct", "pallas_fusedqkv"])
+    def test_prequant_epilogue_under_vmap(self, rng, force):
+        """The production engagement: out_scale (an UNBATCHED operand)
+        composing with the frame pipeline's jax.vmap over the kernel —
+        pallas_call's batching rule must broadcast it, matching the flat
+        einsum+quantize result exactly."""
+        from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
+
+        qkv, h = self._qkv(rng, B=6)
+        sx = jnp.asarray(0.02, jnp.float32)
+        batched = qkv.reshape(3, 2, *qkv.shape[1:])
+        out = jax.vmap(lambda q: softmax_attention_qkv(
+            q, h, force=force, interpret=True, out_scale=sx))(batched)
+        ref = softmax_attention_qkv(qkv, h, force="xla", out_scale=sx)
+        assert out.dtype == jnp.int8
+        np.testing.assert_array_equal(
+            np.asarray(out, np.int32).reshape(ref.shape),
+            np.asarray(ref, np.int32))
+
     def test_auto_engages_kernel_at_crossover(self, rng):
         """force="auto" above MIN_PALLAS_CROPS takes the kernel branch
         (interpret=True stands in for being on TPU) and matches XLA."""
