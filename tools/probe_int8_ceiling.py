@@ -141,6 +141,66 @@ def main() -> None:
     bench("bf16_fat_xla", bf16_fat, xb)
     bench("int8_fat_xla", int8_fat, xq)
 
+    # Full-N-resident Pallas fat GEMM: grid over M ONLY, the whole
+    # (K, Nf) int8 weight stays in VMEM across every step (constant
+    # index map -> fetched once), the i32 acc is consumed IN VMEM
+    # (folded back to K columns + masked to int8, the same relink as
+    # the XLA arms). This is the megakernel GEMM question: can a hand
+    # kernel beat XLA's fat-N dot rate (~166 TFLOP/s) when weight
+    # traffic is zero and the acc never exists in HBM?
+    def pallas_fatres(w, tm):
+        Kd, Nf = w.shape
+        groups = Nf // Kd
+
+        def kern(x_ref, w_ref, o_ref):
+            acc = jax.lax.dot_general(
+                x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[:] = (acc.reshape(tm, groups, Kd).sum(axis=1)
+                        & 127).astype(jnp.int8)
+
+        def call(x):
+            return pl.pallas_call(
+                kern,
+                grid=(M // tm,),
+                in_specs=[pl.BlockSpec((tm, Kd), lambda i: (i, 0)),
+                          pl.BlockSpec((Kd, Nf), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((tm, Kd), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((M, Kd), jnp.int8),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * M * Kd * Nf,
+                    bytes_accessed=M * Kd * 2 + Kd * Nf,
+                    transcendentals=0),
+            )(x, w)
+
+        @jax.jit
+        def run(x):
+            for _ in range(L):
+                x = call(x)
+            return jnp.sum(x.astype(jnp.int32))
+        return run
+
+    for tm in (128, 256):
+        bench(f"int8_pallas_res5120_tm{tm}", pallas_fatres(w2q, tm), xq)
+
+    # qkv-shaped fat dot (N=3840): both XLA and the resident kernel.
+    N3 = 3840
+    w3q = jnp.asarray(rng.integers(-127, 128, (K, N3)), jnp.int8)
+    flops = 2.0 * M * K * N3 * L
+
+    @jax.jit
+    def int8_qkvfat(x):
+        for _ in range(L):
+            acc = jax.lax.dot_general(x, w3q, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            x = (acc.reshape(M, 3, K).sum(axis=1) & 127).astype(jnp.int8)
+        return jnp.sum(acc)
+
+    print(f"qkv-N: M={M} K={K} N={N3} L={L}  ({flops/1e12:.1f} TFLOP per call)")
+    bench("int8_qkvfat_xla", int8_qkvfat, xq)
+    for tm in (128, 256):
+        bench(f"int8_pallas_res3840_tm{tm}", pallas_fatres(w3q, tm), xq)
+
 
 if __name__ == "__main__":
     main()
