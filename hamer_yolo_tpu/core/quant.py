@@ -350,27 +350,43 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
                                                 int8_dot_prequant)
 
     p = blk["attn"]
-    qkv = fused_int8_matmul(
-        tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"], p["qkv"].get("b"),
-        blk["norm1"]["scale"], blk["norm1"]["bias"],
-        prologue="ln", interpret=interpret,
-        static_scale=p["qkv"].get("sx"))
+    sx_qkv = p["qkv"].get("sx")
     sx_proj = p["proj"].get("sx")
     env = os.environ.get("HYT_ATTN")
     if attn_pallas:
         kern = "pallas_direct"
-    elif env in ("pallas_direct", "pallas_fusedqkv"):
+    elif env in ("pallas_direct", "pallas_fusedqkv", "megakernel"):
         kern = env
     elif env is None and (_on_tpu() or interpret):
         kern = "pallas_direct"
     else:
         kern = None
-    if (sx_proj is not None and kern is not None
-            and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
+    prequant = (sx_proj is not None and kern is not None
+                and os.environ.get("HYT_ATTN_PREQUANT") != "0")
+    if prequant and kern == "megakernel" and sx_qkv is not None:
+        # LN + quantize + qkv GEMM + attention + int8 epilogue in ONE
+        # pallas_call — the (B, N, 3D) qkv tensor never touches HBM.
+        from hamer_yolo_tpu.ops.attention_pallas import fused_int8_attn_block
+
+        aq = fused_int8_attn_block(
+            tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"],
+            p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
+            sx_qkv, sx_proj, num_heads, interpret=interpret)
+        return int8_dot_prequant(aq, p["proj"]["wq"]["q"],
+                                 p["proj"]["wq"]["scale"], p["proj"].get("b"),
+                                 sx_proj, out_dtype=tok.dtype)
+    qkv = fused_int8_matmul(
+        tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"], p["qkv"].get("b"),
+        blk["norm1"]["scale"], blk["norm1"]["bias"],
+        prologue="ln", interpret=interpret,
+        static_scale=sx_qkv)
+    if prequant:
         from hamer_yolo_tpu.ops.attention_pallas import softmax_attention_qkv
 
-        aq = softmax_attention_qkv(qkv, num_heads, force=kern,
-                                   interpret=interpret, out_scale=sx_proj)
+        aq = softmax_attention_qkv(
+            qkv, num_heads,
+            force="pallas_direct" if kern == "megakernel" else kern,
+            interpret=interpret, out_scale=sx_proj)
         return int8_dot_prequant(aq, p["proj"]["wq"]["q"],
                                  p["proj"]["wq"]["scale"], p["proj"].get("b"),
                                  sx_proj, out_dtype=tok.dtype)

@@ -164,6 +164,119 @@ def fused_qkv_attention(
     )(*args)
 
 
+def _attn_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
+                       sxq_ref, sxp_ref, o_ref, *, scale: float,
+                       num_heads: int, head_dim: int, group: int):
+    D = num_heads * head_dim
+    sq = sxq_ref[0, 0]
+    inv_p = 1.0 / sxp_ref[0, 0]
+    for gi in range(group):
+        x = x_ref[gi].astype(jnp.float32)  # (N, K)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x / sq), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (N, 3D) i32, consumed in VMEM — never exists in HBM
+        qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
+               + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        for t in range(num_heads):
+            q = qkv[:, t * head_dim:(t + 1) * head_dim]
+            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            res = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            res = jnp.clip(jnp.round(res * inv_p), -127, 127)
+            o_ref[gi, :, t * head_dim:(t + 1) * head_dim] = \
+                res.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "group"))
+def fused_int8_attn_block(
+    tok: jax.Array, wq: jax.Array, wscale: jax.Array,
+    bias: jax.Array | None, ln_scale: jax.Array, ln_bias: jax.Array,
+    sx_qkv: jax.Array, sx_proj: jax.Array, num_heads: int,
+    interpret: bool = False, group: int = 1,
+) -> jax.Array:
+    """The attention MEGAKERNEL: LN + static-scale int8 quantize + qkv
+    GEMM + softmax attention + int8 epilogue, one pallas_call.
+
+    tok: (B, N, K) bf16/f32 residual stream; wq: (K, 3D) int8 qkv weight
+    (RESIDENT: constant index map, fetched from HBM once per layer and
+    reused across all B crops); wscale (3D,) f32; bias (3D,) or None;
+    ln_scale/ln_bias (K,); sx_qkv/sx_proj () f32 calibrated static
+    activation scales. Returns (B, N, D) int8, pre-quantized for the
+    proj GEMM (consume with ops.int8_matmul.int8_dot_prequant).
+
+    vs the fusedqkv + XLA-chain composition, the qkv projection tensor
+    (B, N, 3D) and its int8/i32 intermediates NEVER touch HBM: per layer
+    at 256 crops that's ~880 MB of traffic replaced by one 4.9 MB weight
+    fetch. The risk (why this is env-gated until the interleaved e2e A/B
+    qualifies it): the in-kernel (N, K)x(K, 3D) dot must be within ~25%
+    of XLA's fat-N dot rate or the GEMM loss eats the traffic win —
+    tools/probe_int8_ceiling.py's int8_pallas_res3840 arm prices exactly
+    this. Engagement: HYT_ATTN=megakernel (core/quant.int8_block_attn_fused).
+    Matches the reference attention math at
+    /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
+    B, N, K = tok.shape
+    td = wq.shape[1]
+    hd = td // 3 // num_heads
+    D = num_heads * hd
+    scale = hd ** -0.5
+    G = group
+    while B % G:
+        G //= 2
+    if bias is None:
+        bias = jnp.zeros((td,), jnp.float32)
+    args = (
+        tok,
+        wq,
+        wscale.reshape(1, td).astype(jnp.float32),
+        bias.reshape(1, td).astype(jnp.float32),
+        ln_scale.reshape(1, K).astype(jnp.float32),
+        ln_bias.reshape(1, K).astype(jnp.float32),
+        jnp.asarray(sx_qkv, jnp.float32).reshape(1, 1),
+        jnp.asarray(sx_proj, jnp.float32).reshape(1, 1),
+    )
+    in_specs = [
+        pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),
+        pl.BlockSpec((K, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i: (0, 0)),
+    ]
+    return pl.pallas_call(
+        functools.partial(_attn_block_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=hd, group=G),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, N, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K * td + 4 * B * num_heads * N * N * hd,
+            bytes_accessed=B * N * K * 2 + K * td + B * N * D,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 # Crossover measured by tools/bench_attention2.py on one v5e chip
 # (ms/layer at ViT-H shapes, XLA einsum vs this kernel incl. the
 # layout transposes): 32 crops 0.53/0.66, 64 0.51/0.46, 128 1.76/1.22,

@@ -299,6 +299,22 @@ class TestPrequantAttention:
         fq = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(fq), np.asarray(ref),
                                    rtol=0.05, atol=0.05)
+        # megakernel (LN+quantize+qkv GEMM+attention+epilogue in one
+        # pallas_call), same contract
+        monkeypatch.setenv("HYT_ATTN", "megakernel")
+        mk = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(mk), np.asarray(ref),
+                                   rtol=0.05, atol=0.05)
+        # and it must be CLOSE to the prequant pallas_direct composition
+        # (same math, different fusion; +-1 int8 round-boundary flips in
+        # the pre-proj quantize allowed — ~1% of elements)
+        monkeypatch.setenv("HYT_ATTN", "pallas_direct")
+        pd = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        close = np.isclose(np.asarray(mk), np.asarray(pd),
+                           rtol=0.02, atol=0.02)
+        assert close.mean() > 0.97
+        np.testing.assert_allclose(np.asarray(mk), np.asarray(pd),
+                                   rtol=0.2, atol=0.2)
 
     def test_int8_dot_prequant_matches_int8_linear(self, rng):
         from hamer_yolo_tpu.ops.int8_matmul import int8_dot_prequant

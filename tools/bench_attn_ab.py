@@ -87,7 +87,7 @@ def main() -> None:
     # prequant/pallas are int8-path mechanisms.
     wanted = os.environ.get(
         "BENCH_AB_ARMS",
-        "einsum,direct,prequant,fusedqkv,prequant_fq" if use_int8
+        "einsum,direct,prequant,fusedqkv,prequant_fq,mega" if use_int8
         else "einsum,direct,fusedqkv").split(",")
     arm_defs = {
         "einsum": (None, {"HYT_ATTN": "xla"}),
@@ -98,6 +98,9 @@ def main() -> None:
                             "HYT_ATTN_PREQUANT": "0"}),
         "prequant": (None, {}),  # the TPU default path
         "prequant_fq": (None, {"HYT_ATTN": "pallas_fusedqkv"}),
+        # LN+quantize+qkv GEMM+attention+epilogue in one pallas_call
+        # (needs static scales; int8-only)
+        "mega": (None, {"HYT_ATTN": "megakernel"}),
     }
     arms = {}
     for name in wanted:
