@@ -428,9 +428,9 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
     """
     from hamer_yolo_tpu.core import nn
 
-    if fused is None:
-        import os
+    import os
 
+    if fused is None:
         # HYT_INT8_FUSED=0 pins the plain unfused composition (A/B
         # benchmarking across chip/tunnel conditions).
         fused = _on_tpu() and os.environ.get("HYT_INT8_FUSED", "1") != "0"
@@ -440,12 +440,29 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
                     padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
     pos = params_q["pos_embed"].astype(tok.dtype)
     tok = tok + pos[:, 1:] + pos[:, :1]
+    # HYT_INT8_MLP=megakernel: resident-weight fc1/fc2 Pallas pair with
+    # fused LN/GELU/quantize/residual (ops/int8_matmul.fused_int8_mlp_block;
+    # needs static scales). Trace-time env, like HYT_ATTN.
+    mlp_mega = os.environ.get("HYT_INT8_MLP") == "megakernel"
     for blk in params_q["blocks"]:
         if fused:
             tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,
                                               interpret=interpret,
                                               attn_pallas=attn_pallas)
-            tok = tok + int8_block_mlp_fused(blk, tok, interpret=interpret)
+            m = blk["mlp"]
+            if (mlp_mega and m["fc1"].get("sx") is not None
+                    and m["fc2"].get("sx") is not None):
+                from hamer_yolo_tpu.ops.int8_matmul import fused_int8_mlp_block
+
+                tok = fused_int8_mlp_block(
+                    tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
+                    m["fc1"].get("b"), m["fc2"]["wq"]["q"],
+                    m["fc2"]["wq"]["scale"], m["fc2"].get("b"),
+                    blk["norm2"]["scale"], blk["norm2"]["bias"],
+                    m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret)
+            else:
+                tok = tok + int8_block_mlp_fused(blk, tok,
+                                                 interpret=interpret)
         else:
             tok = tok + int8_mha_self_attention(
                 blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)

@@ -193,6 +193,122 @@ def int8_dot_prequant(xq: jax.Array, wq: jax.Array, wscale: jax.Array,
     return y.astype(out_dtype)
 
 
+def _mlp1_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, s1_ref,
+                 s2_ref, o_ref):
+    x = x_ref[:].astype(jnp.float32)
+    x = _prologue_f32(x, "ln", g_ref[:].astype(jnp.float32),
+                      bt_ref[:].astype(jnp.float32))
+    s1 = s1_ref[0, 0]
+    xq = jnp.clip(jnp.round(x / s1), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s1 * sw_ref[:].astype(jnp.float32)) \
+        + b_ref[:].astype(jnp.float32)
+    y = _prologue_f32(y, "gelu", None, None)
+    o_ref[:] = jnp.clip(jnp.round(y / s2_ref[0, 0]),
+                        -127, 127).astype(jnp.int8)
+
+
+def _mlp2_kernel(yq_ref, w_ref, sw_ref, b_ref, s2_ref, tok_ref, o_ref):
+    acc = jax.lax.dot_general(
+        yq_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    z = acc.astype(jnp.float32) * (s2_ref[0, 0]
+                                   * sw_ref[:].astype(jnp.float32)) \
+        + b_ref[:].astype(jnp.float32)
+    o_ref[:] = (tok_ref[:].astype(jnp.float32) + z).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
+def fused_int8_mlp_block(
+    tok: jax.Array,
+    w1q: jax.Array, w1scale: jax.Array, b1: Optional[jax.Array],
+    w2q: jax.Array, w2scale: jax.Array, b2: Optional[jax.Array],
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    sx1: jax.Array, sx2: jax.Array,
+    interpret: bool = False, tm: int = 128,
+) -> jax.Array:
+    """The MLP MEGAKERNEL pair: LN+quantize+fc1+GELU+quantize in one
+    pallas_call, fc2+dequant+RESIDUAL in a second — each with its full
+    (K, N) int8 weight RESIDENT in VMEM (constant index map: one HBM
+    fetch per layer, reused across every M tile and every vmap
+    instance). Returns tok + mlp(LN(tok)) — the residual is fused into
+    fc2's epilogue, so the only HBM tensors per layer are tok (in/out)
+    and the int8 GELU activations.
+
+    Requires static calibrated scales (sx1 post-LN, sx2 post-GELU).
+    Env-gated HYT_INT8_MLP=megakernel (core/quant) until the
+    interleaved e2e A/B qualifies it: the in-kernel fat GEMMs must be
+    within ~25% of XLA's fat-N dot rate (probe arms
+    int8_pallas_res5120_tm* in tools/probe_int8_ceiling.py).
+    Quantize/GELU semantics identical to the fused_int8_matmul
+    prologues (round-half-even, clip +-127, A&S erf)."""
+    lead = tok.shape[:-1]
+    K = tok.shape[-1]
+    H = w1q.shape[1]
+    x2 = tok.reshape(-1, K)
+    M = x2.shape[0]
+    Mp = -(-M // tm) * tm
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    if b1 is None:
+        b1 = jnp.zeros((H,), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((K,), jnp.float32)
+    s1 = jnp.asarray(sx1, jnp.float32).reshape(1, 1)
+    s2 = jnp.asarray(sx2, jnp.float32).reshape(1, 1)
+
+    yq = pl.pallas_call(
+        _mlp1_kernel,
+        grid=(Mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, K), lambda i: (i, 0)),
+            pl.BlockSpec((K, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, H), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, H), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * H,
+            bytes_accessed=Mp * K * 2 + K * H + Mp * H,
+            transcendentals=Mp * H),
+        interpret=interpret,
+    )(x2, w1q, w1scale.reshape(1, H).astype(jnp.float32),
+      b1.reshape(1, H).astype(jnp.float32),
+      ln_scale.reshape(1, K).astype(jnp.float32),
+      ln_bias.reshape(1, K).astype(jnp.float32), s1, s2)
+
+    out = pl.pallas_call(
+        _mlp2_kernel,
+        grid=(Mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, H), lambda i: (i, 0)),
+            pl.BlockSpec((H, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((tm, K), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, K), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), tok.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * H * K,
+            bytes_accessed=Mp * H + H * K + Mp * K * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(yq, w2q, w2scale.reshape(1, K).astype(jnp.float32),
+      b2.reshape(1, K).astype(jnp.float32), s2, x2)
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, K)
+
+
 # Below this row count the fully-fused Pallas GEMM wins (weight traffic
 # amortizes poorly at tiny M; measured ViT 194 -> 28 ms at 2 crops).
 # Above it, XLA's int8 dot_general + auto-fused elementwise chain is at

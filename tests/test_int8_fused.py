@@ -246,6 +246,25 @@ class TestStaticScale:
         np.testing.assert_allclose(np.asarray(fus), np.asarray(sta),
                                    rtol=0.05, atol=0.05)
 
+    def test_mlp_megakernel_matches_fused(self, rng, monkeypatch):
+        """HYT_INT8_MLP=megakernel (resident-weight fc1/fc2 pair with
+        fused LN/GELU/quantize/residual) matches the qualified fused
+        static path within quantization tolerance."""
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=2, num_heads=4,
+                        compute_dtype="float32")
+        pq = quant.quantize_vit_params(init_vit(jax.random.PRNGKey(0), cfg))
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        stats = quant.collect_vit_act_stats(pq, x, cfg)
+        ps = quant.attach_static_act_scales(pq, stats)
+        base = quant.vit_forward_int8(ps, x, cfg, fused=True, interpret=True)
+        monkeypatch.setenv("HYT_INT8_MLP", "megakernel")
+        mega = quant.vit_forward_int8(ps, x, cfg, fused=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(mega), np.asarray(base),
+                                   rtol=0.05, atol=0.05)
+
 
 class TestPrequantAttention:
     """Attention int8 epilogue (out_scale) + pre-quantized proj dot."""

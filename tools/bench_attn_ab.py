@@ -87,7 +87,8 @@ def main() -> None:
     # prequant/pallas are int8-path mechanisms.
     wanted = os.environ.get(
         "BENCH_AB_ARMS",
-        "einsum,direct,prequant,fusedqkv,prequant_fq,mega" if use_int8
+        "einsum,direct,prequant,fusedqkv,prequant_fq,mega,mega_mlp"
+        if use_int8
         else "einsum,direct,fusedqkv").split(",")
     arm_defs = {
         "einsum": (None, {"HYT_ATTN": "xla"}),
@@ -101,6 +102,9 @@ def main() -> None:
         # LN+quantize+qkv GEMM+attention+epilogue in one pallas_call
         # (needs static scales; int8-only)
         "mega": (None, {"HYT_ATTN": "megakernel"}),
+        # + resident-weight MLP megakernel pair on top
+        "mega_mlp": (None, {"HYT_ATTN": "megakernel",
+                            "HYT_INT8_MLP": "megakernel"}),
     }
     arms = {}
     for name in wanted:
@@ -117,7 +121,7 @@ def main() -> None:
 
     fns = {}
     for name, (fn, env) in arms.items():
-        for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT"):
+        for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -129,7 +133,7 @@ def main() -> None:
             continue
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
         fns[name] = fn
-    for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT"):
+    for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
