@@ -117,9 +117,28 @@ def vit_forward(
         mask = jax.random.bernoulli(key, keep, (B, 1, 1)).astype(residual.dtype)
         return residual * mask / keep
 
+    # HYT_ATTN_BF16=megakernel (trace-time env, inference only): LN + qkv
+    # GEMM + softmax attention fused in one Pallas call with the qkv
+    # weight resident in VMEM (ops/attention_pallas.fused_bf16_attn_block)
+    # — the roadmap's fused LN+QKV block for the exact path. Qualified
+    # via BENCH_AB_INT8=0 tools/bench_attn_ab.py before defaulting.
+    import os
+
+    mega = (rng is None and attn_impl is None
+            and os.environ.get("HYT_ATTN_BF16") == "megakernel")
+    if mega:
+        from hamer_yolo_tpu.ops.attention_pallas import fused_bf16_attn_block
+
     keys = jax.random.split(rng, 2 * depth) if rng is not None else [None] * (2 * depth)
     for i, blk in enumerate(params["blocks"]):
-        a = attn(blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)
+        if mega:
+            pre = fused_bf16_attn_block(
+                tok, blk["attn"]["qkv"]["w"], blk["attn"]["qkv"].get("b"),
+                blk["norm1"]["scale"], blk["norm1"]["bias"], cfg.num_heads)
+            a = nn.linear(blk["attn"]["proj"], pre)
+        else:
+            a = attn(blk["attn"], nn.layer_norm(blk["norm1"], tok),
+                     cfg.num_heads)
         tok = tok + drop_path(a, i, keys[2 * i])
         m = nn.mlp_gelu(blk["mlp"], nn.layer_norm(blk["norm2"], tok))
         tok = tok + drop_path(m, i, keys[2 * i + 1])

@@ -164,6 +164,93 @@ def fused_qkv_attention(
     )(*args)
 
 
+def _attn_block_bf16_kernel(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *,
+                            scale: float, num_heads: int, head_dim: int,
+                            group: int):
+    D = num_heads * head_dim
+    for gi in range(group):
+        x = x_ref[gi].astype(jnp.float32)  # (N, K)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+        qkv = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[:].astype(jnp.float32)
+        qkv = qkv.astype(jnp.bfloat16)  # (N, 3D)
+        for t in range(num_heads):
+            q = qkv[:, t * head_dim:(t + 1) * head_dim]
+            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            res = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[gi, :, t * head_dim:(t + 1) * head_dim] = \
+                res.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "group"))
+def fused_bf16_attn_block(
+    tok: jax.Array, w: jax.Array, bias: jax.Array | None,
+    ln_scale: jax.Array, ln_bias: jax.Array, num_heads: int,
+    interpret: bool = False, group: int = 1,
+) -> jax.Array:
+    """EXACT-math bf16 fused LN+QKV+attention block (pre-proj): the
+    roadmap's "fused LN+QKV Pallas block" — LN, the qkv projection and
+    softmax attention in one pallas_call with the (K, 3D) bf16 qkv
+    weight resident in VMEM. The (B, N, 3D) qkv tensor and the LN output
+    never touch HBM (~630 MB/layer at 256 crops). Returns (B, N, D) in
+    tok.dtype; apply the proj linear outside. Same f32 LN/softmax math
+    as nn.mha_self_attention over nn.layer_norm — exact path, no
+    quantization. Env-gated HYT_ATTN_BF16=megakernel in
+    models/vit.vit_forward (inference only); qualified via the
+    BENCH_AB_INT8=0 interleaved A/B. Matches the reference attention at
+    /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
+    B, N, K = tok.shape
+    td = w.shape[1]
+    hd = td // 3 // num_heads
+    D = num_heads * hd
+    scale = hd ** -0.5
+    G = group
+    while B % G:
+        G //= 2
+    if bias is None:
+        bias = jnp.zeros((td,), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_attn_block_bf16_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=hd, group=G),
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((K, td), lambda i: (0, 0)),
+            pl.BlockSpec((1, td), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, N, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), tok.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K * td + 4 * B * num_heads * N * N * hd,
+            bytes_accessed=B * N * K * 2 + K * td * 2 + B * N * D * 2,
+            transcendentals=B * num_heads * N * N,
+        ),
+        interpret=interpret,
+    )(tok, w.astype(jnp.bfloat16),
+      bias.reshape(1, td).astype(jnp.float32),
+      ln_scale.reshape(1, K).astype(jnp.float32),
+      ln_bias.reshape(1, K).astype(jnp.float32))
+
+
 def _attn_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
                        sxq_ref, sxp_ref, o_ref, *, scale: float,
                        num_heads: int, head_dim: int, group: int):

@@ -119,9 +119,15 @@ def recover_hands(
         # fused Pallas kernel (custom_vmap-based, NOT differentiable —
         # training uses hamer_forward with nn.mha_self_attention). The
         # int8 path dispatches internally (core/quant._attn_math).
-        from hamer_yolo_tpu.ops.attention_pallas import fast_mha_self_attention
+        import os
 
-        attn_impl = fast_mha_self_attention
+        if os.environ.get("HYT_ATTN_BF16") != "megakernel":
+            # HYT_ATTN_BF16=megakernel leaves attn_impl None so
+            # vit_forward engages the fused LN+QKV+attention block.
+            from hamer_yolo_tpu.ops.attention_pallas import \
+                fast_mha_self_attention
+
+            attn_impl = fast_mha_self_attention
 
     out = hamer_forward(hamer_params, mano_model, crops, cfg.hamer, attn_impl=attn_impl)
 

@@ -145,6 +145,33 @@ class TestAttentionDispatch:
             np.asarray(out, np.int32).reshape(ref.shape),
             np.asarray(ref, np.int32))
 
+    def test_bf16_block_megakernel_matches_ln_attention(self, rng):
+        """fused_bf16_attn_block == nn.mha_self_attention over
+        nn.layer_norm (pre-proj), incl. under vmap — the exact-path
+        fused LN+QKV engagement (HYT_ATTN_BF16=megakernel)."""
+        from hamer_yolo_tpu.core import nn
+        from hamer_yolo_tpu.ops.attention_pallas import fused_bf16_attn_block
+
+        h, hd, K = 2, 16, 64
+        p = nn.mha_qkv_init(jax.random.PRNGKey(0), K, h, qkv_bias=True)
+        lnp = nn.layer_norm_init(K)
+        tok = jnp.asarray(rng.normal(size=(6, 24, K)).astype(np.float32))
+        pre = fused_bf16_attn_block(tok, p["qkv"]["w"], p["qkv"].get("b"),
+                                    lnp["scale"], lnp["bias"], h,
+                                    interpret=True)
+        got = nn.linear(p["proj"], pre)
+        want = nn.mha_self_attention(p, nn.layer_norm(lnp, tok), h)
+        # kernel computes the qkv GEMM in bf16 (as the production bf16
+        # ViT does); the f32 reference differs at bf16 resolution.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0.05, atol=0.05)
+        batched = tok.reshape(3, 2, 24, K)
+        out_v = jax.vmap(lambda t: fused_bf16_attn_block(
+            t, p["qkv"]["w"], p["qkv"].get("b"), lnp["scale"], lnp["bias"],
+            h, interpret=True))(batched)
+        np.testing.assert_allclose(np.asarray(out_v).reshape(pre.shape),
+                                   np.asarray(pre), atol=1e-6)
+
     def test_auto_engages_kernel_at_crossover(self, rng):
         """force="auto" above MIN_PALLAS_CROPS takes the kernel branch
         (interpret=True stands in for being on TPU) and matches XLA."""

@@ -89,7 +89,7 @@ def main() -> None:
         "BENCH_AB_ARMS",
         "einsum,direct,prequant,fusedqkv,prequant_fq,mega,mega_mlp"
         if use_int8
-        else "einsum,direct,fusedqkv").split(",")
+        else "einsum,direct,fusedqkv,mega_bf16").split(",")
     arm_defs = {
         "einsum": (None, {"HYT_ATTN": "xla"}),
         "pallas": ("pallas", {"HYT_ATTN_PREQUANT": "0"}),
@@ -105,6 +105,8 @@ def main() -> None:
         # + resident-weight MLP megakernel pair on top
         "mega_mlp": (None, {"HYT_ATTN": "megakernel",
                             "HYT_INT8_MLP": "megakernel"}),
+        # exact-path fused LN+QKV+attention block (bf16 mode only)
+        "mega_bf16": (None, {"HYT_ATTN_BF16": "megakernel"}),
     }
     arms = {}
     for name in wanted:
@@ -121,7 +123,8 @@ def main() -> None:
 
     fns = {}
     for name, (fn, env) in arms.items():
-        for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP"):
+        for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
+                  "HYT_ATTN_BF16"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -133,7 +136,8 @@ def main() -> None:
             continue
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
         fns[name] = fn
-    for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP"):
+    for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
+                  "HYT_ATTN_BF16"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
