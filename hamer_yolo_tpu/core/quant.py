@@ -358,7 +358,13 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
     elif env in ("pallas_direct", "pallas_fusedqkv", "megakernel"):
         kern = env
     elif env is None and (_on_tpu() or interpret):
-        kern = "pallas_direct"
+        # A/B-qualified TPU defaults (tools/bench_attn_ab.py, b128
+        # static-int8, interleaved in-process): megakernel 252.1 fps vs
+        # fusedqkv 224.9 / direct 193.1 / einsum 184.0. The megakernel
+        # needs both static scales; without them the transpose-free
+        # fusedqkv engagement is the next-best measured arm.
+        kern = ("megakernel" if sx_qkv is not None and sx_proj is not None
+                else "pallas_direct")
     else:
         kern = None
     prequant = (sx_proj is not None and kern is not None
@@ -440,10 +446,15 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
                     padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
     pos = params_q["pos_embed"].astype(tok.dtype)
     tok = tok + pos[:, 1:] + pos[:, :1]
-    # HYT_INT8_MLP=megakernel: resident-weight fc1/fc2 Pallas pair with
-    # fused LN/GELU/quantize/residual (ops/int8_matmul.fused_int8_mlp_block;
-    # needs static scales). Trace-time env, like HYT_ATTN.
-    mlp_mega = os.environ.get("HYT_INT8_MLP") == "megakernel"
+    # Resident-weight fc1/fc2 Pallas megakernel pair with fused
+    # LN/GELU/quantize/residual (ops/int8_matmul.fused_int8_mlp_block;
+    # needs static scales). A/B-qualified TPU DEFAULT (bench_attn_ab
+    # b128 static-int8: mega_mlp 255.6 fps vs mega-only 252.1);
+    # HYT_INT8_MLP=off disables, =megakernel forces (trace-time env,
+    # like HYT_ATTN).
+    env_mlp = os.environ.get("HYT_INT8_MLP")
+    mlp_mega = (env_mlp == "megakernel"
+                or (env_mlp is None and _on_tpu()))
     for blk in params_q["blocks"]:
         if fused:
             tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,

@@ -60,6 +60,13 @@ class ViTConfig:
 VITH_CONFIG = ViTConfig()
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def init_vit(key: jax.Array, cfg: ViTConfig = VITH_CONFIG) -> nn.Params:
     keys = jax.random.split(key, cfg.depth + 2)
     d = cfg.embed_dim
@@ -117,15 +124,19 @@ def vit_forward(
         mask = jax.random.bernoulli(key, keep, (B, 1, 1)).astype(residual.dtype)
         return residual * mask / keep
 
-    # HYT_ATTN_BF16=megakernel (trace-time env, inference only): LN + qkv
-    # GEMM + softmax attention fused in one Pallas call with the qkv
-    # weight resident in VMEM (ops/attention_pallas.fused_bf16_attn_block)
-    # — the roadmap's fused LN+QKV block for the exact path. Qualified
-    # via BENCH_AB_INT8=0 tools/bench_attn_ab.py before defaulting.
+    # Fused LN + qkv GEMM + softmax attention in one Pallas call with the
+    # qkv weight resident in VMEM (ops/attention_pallas.fused_bf16_attn_block)
+    # — the roadmap's fused LN+QKV block for the exact path. A/B-qualified
+    # TPU DEFAULT for inference (BENCH_AB_INT8=0 tools/bench_attn_ab.py,
+    # b128: mega_bf16 163.2 fps vs fusedqkv 157.1 / direct 143.6 / einsum
+    # 136.6 — exact math now beats the 161-fps V100 baseline).
+    # HYT_ATTN_BF16=off disables, =megakernel forces (trace-time env).
     import os
 
+    _env_bf16 = os.environ.get("HYT_ATTN_BF16")
     mega = (rng is None and attn_impl is None
-            and os.environ.get("HYT_ATTN_BF16") == "megakernel")
+            and (_env_bf16 == "megakernel"
+                 or (_env_bf16 is None and _on_tpu())))
     if mega:
         from hamer_yolo_tpu.ops.attention_pallas import fused_bf16_attn_block
 

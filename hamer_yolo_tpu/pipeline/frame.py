@@ -113,17 +113,23 @@ def recover_hands(
     )(center, size, do_flip)
 
     if attn_impl is None and not cfg.hamer.int8_backbone:
-        # Inference default: env-switchable softmax attention. With
-        # HYT_ATTN unset this is byte-identical to nn.mha_self_attention
-        # (inline einsum, no wrapper); HYT_ATTN=pallas|auto engages the
-        # fused Pallas kernel (custom_vmap-based, NOT differentiable —
-        # training uses hamer_forward with nn.mha_self_attention). The
-        # int8 path dispatches internally (core/quant._attn_math).
+        # Inference default: on TPU, leave attn_impl None so vit_forward
+        # engages the fused bf16 LN+QKV+attention megakernel (the
+        # A/B-qualified exact-path default — models/vit.py; HYT_ATTN_BF16
+        # =off reverts). Elsewhere, the env-switchable softmax attention:
+        # with HYT_ATTN unset it is byte-identical to
+        # nn.mha_self_attention (inline einsum, no wrapper);
+        # HYT_ATTN=pallas|auto engages the fused Pallas kernel
+        # (custom_vmap-based, NOT differentiable — training uses
+        # hamer_forward with nn.mha_self_attention). The int8 path
+        # dispatches internally (core/quant._attn_math).
         import os
 
-        if os.environ.get("HYT_ATTN_BF16") != "megakernel":
-            # HYT_ATTN_BF16=megakernel leaves attn_impl None so
-            # vit_forward engages the fused LN+QKV+attention block.
+        from hamer_yolo_tpu.ops.attention_pallas import _on_tpu
+
+        _env_bf16 = os.environ.get("HYT_ATTN_BF16")
+        if not (_env_bf16 == "megakernel"
+                or (_env_bf16 is None and _on_tpu())):
             from hamer_yolo_tpu.ops.attention_pallas import \
                 fast_mha_self_attention
 

@@ -53,6 +53,11 @@ def main():
         return {k: np.asarray(out[k], np.float64) for k in
                 ("pred_vertices", "pred_keypoints_3d", "pred_cam")}
 
+    # Pin every non-megakernel arm to the plain einsum exact path — on
+    # TPU the bf16 megakernel is now the inference default and must be
+    # measured AGAINST exact, not AS it. The bf16_mega arm below
+    # re-enables it explicitly.
+    os.environ["HYT_ATTN_BF16"] = "off"
     base = run(cfg)
 
     def delta(name, other):
@@ -114,6 +119,26 @@ def main():
                 sparams))
     finally:
         del os.environ["HYT_INT8_FUSED"]
+
+    # Megakernel engagements of the same static-scale math (attention
+    # megakernel + resident-weight MLP pair, core/quant.py; and the
+    # exact-path bf16 fused LN+QKV+attention block, models/vit.py).
+    # Pallas kernels need a real TPU; skip elsewhere (interpret-mode
+    # parity lives in tests/test_pallas_kernels.py).
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        os.environ["HYT_ATTN"] = "megakernel"
+        os.environ["HYT_INT8_MLP"] = "megakernel"
+        try:
+            results["int8_static_mega"] = delta(
+                "int8_sta_mega",
+                run(dataclasses.replace(cfg, int8_backbone=True), sparams))
+        finally:
+            del os.environ["HYT_ATTN"], os.environ["HYT_INT8_MLP"]
+        os.environ["HYT_ATTN_BF16"] = "megakernel"
+        try:
+            results["bf16_mega"] = delta("bf16_mega", run(cfg))
+        finally:
+            del os.environ["HYT_ATTN_BF16"]
 
     print(json.dumps(results))
 
