@@ -421,6 +421,37 @@ def int8_block_mlp_fused(blk: Params, tok: jax.Array,
         static_scale=p["fc2"].get("sx"))
 
 
+def int8_block_mlp_residual(blk: Params, tok: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """tok + MLP(LN(tok)) with the qualified kernel dispatch.
+
+    Resident-weight fc1/fc2 Pallas megakernel pair with fused
+    LN/GELU/quantize/residual (ops/int8_matmul.fused_int8_mlp_block;
+    needs static scales) — A/B-qualified TPU DEFAULT (bench_attn_ab
+    b128 static-int8: mega_mlp 255.6 fps vs mega-only 252.1). Falls
+    back to the fused GEMM pair otherwise. HYT_INT8_MLP=off disables,
+    =megakernel forces (trace-time env, like HYT_ATTN); interpret mode
+    engages the megakernel too (same convention as the attention
+    dispatch above). Shared by vit_forward_int8 and models/tome."""
+    import os
+
+    env_mlp = os.environ.get("HYT_INT8_MLP")
+    mlp_mega = (env_mlp == "megakernel"
+                or (env_mlp is None and (_on_tpu() or interpret)))
+    m = blk["mlp"]
+    if (mlp_mega and m["fc1"].get("sx") is not None
+            and m["fc2"].get("sx") is not None):
+        from hamer_yolo_tpu.ops.int8_matmul import fused_int8_mlp_block
+
+        return fused_int8_mlp_block(
+            tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
+            m["fc1"].get("b"), m["fc2"]["wq"]["q"],
+            m["fc2"]["wq"]["scale"], m["fc2"].get("b"),
+            blk["norm2"]["scale"], blk["norm2"]["bias"],
+            m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret)
+    return tok + int8_block_mlp_fused(blk, tok, interpret=interpret)
+
+
 def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
                      fused: bool | None = None,
                      interpret: bool = False,
@@ -446,34 +477,12 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
                     padding=cfg.patch_padding).reshape(B, -1, cfg.embed_dim)
     pos = params_q["pos_embed"].astype(tok.dtype)
     tok = tok + pos[:, 1:] + pos[:, :1]
-    # Resident-weight fc1/fc2 Pallas megakernel pair with fused
-    # LN/GELU/quantize/residual (ops/int8_matmul.fused_int8_mlp_block;
-    # needs static scales). A/B-qualified TPU DEFAULT (bench_attn_ab
-    # b128 static-int8: mega_mlp 255.6 fps vs mega-only 252.1);
-    # HYT_INT8_MLP=off disables, =megakernel forces (trace-time env,
-    # like HYT_ATTN).
-    env_mlp = os.environ.get("HYT_INT8_MLP")
-    mlp_mega = (env_mlp == "megakernel"
-                or (env_mlp is None and _on_tpu()))
     for blk in params_q["blocks"]:
         if fused:
             tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,
                                               interpret=interpret,
                                               attn_pallas=attn_pallas)
-            m = blk["mlp"]
-            if (mlp_mega and m["fc1"].get("sx") is not None
-                    and m["fc2"].get("sx") is not None):
-                from hamer_yolo_tpu.ops.int8_matmul import fused_int8_mlp_block
-
-                tok = fused_int8_mlp_block(
-                    tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
-                    m["fc1"].get("b"), m["fc2"]["wq"]["q"],
-                    m["fc2"]["wq"]["scale"], m["fc2"].get("b"),
-                    blk["norm2"]["scale"], blk["norm2"]["bias"],
-                    m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret)
-            else:
-                tok = tok + int8_block_mlp_fused(blk, tok,
-                                                 interpret=interpret)
+            tok = int8_block_mlp_residual(blk, tok, interpret=interpret)
         else:
             tok = tok + int8_mha_self_attention(
                 blk["attn"], nn.layer_norm(blk["norm1"], tok), cfg.num_heads)

@@ -79,17 +79,21 @@ def bipartite_soft_matching_merge(
     return out_tokens, out_sizes
 
 
-def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
+def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None,
+                     fused: bool | None = None, interpret: bool = False):
     """ViT forward with per-layer token merging (drop-in for vit_forward).
 
     Composes with W8A8: if ``params`` came from quantize_vit_params
     (leaves hold {"wq": ...}), the block matmuls route through the int8
     ops — ToMe shrinks N while int8 doubles MXU rate, multiplicative.
+    ``fused``/``interpret`` mirror quant.vit_forward_int8 (tests force
+    fused=True, interpret=True on CPU; None = TPU autodispatch).
     """
+    import os
+
     from hamer_yolo_tpu.core import nn
 
     quantized = "wq" in params["blocks"][0]["attn"]["qkv"]
-    fused = False
     if quantized:
         from hamer_yolo_tpu.core import quant
 
@@ -98,15 +102,16 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
         # TPU the Pallas fused-quantize GEMM (ops/int8_matmul.py) makes
         # int8 and ToMe compose positively: ToMe shrinks the GEMMs while
         # the per-token quantize cost rides inside the matmul kernel.
-        import os
-
         # Same A/B pin as vit_forward_int8: HYT_INT8_FUSED=0 forces the
         # unfused composition (also how eval_fastpaths pins static-scale
         # semantics at small eval batches).
-        fused = quant._on_tpu() and os.environ.get("HYT_INT8_FUSED", "1") != "0"
+        if fused is None:
+            fused = (quant._on_tpu()
+                     and os.environ.get("HYT_INT8_FUSED", "1") != "0")
         attn = quant.int8_mha_self_attention
         mlp = quant.int8_mlp_gelu
     else:
+        fused = False
         attn = attn_impl or nn.mha_self_attention
         mlp = nn.mlp_gelu
     B = x.shape[0]
@@ -118,9 +123,15 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None):
     sizes = jnp.ones(tok.shape[:2], tok.dtype)
     for blk in params["blocks"]:
         if fused:
-            tok = tok + quant.int8_block_attn_fused(blk, tok, cfg.num_heads)
+            # Same qualified megakernel dispatch as quant.vit_forward_int8
+            # (attention via int8_block_attn_fused's HYT_ATTN default, MLP
+            # via int8_block_mlp_residual's HYT_INT8_MLP default) —
+            # ToMe-shrunk N just means fewer M tiles per call; the kernels
+            # are shape-generic.
+            tok = tok + quant.int8_block_attn_fused(blk, tok, cfg.num_heads,
+                                                    interpret=interpret)
             tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
-            tok = tok + quant.int8_block_mlp_fused(blk, tok)
+            tok = quant.int8_block_mlp_residual(blk, tok, interpret=interpret)
         else:
             tok = tok + attn(blk["attn"], nn.layer_norm(blk["norm1"], tok),
                              cfg.num_heads)

@@ -64,6 +64,25 @@ class TestToMe:
             np.linalg.norm(np.asarray(ref)) * np.linalg.norm(np.asarray(out)))
         assert cos > 0.99
 
+    def test_vit_tome_int8_fused_megakernel(self, rng):
+        """The fused static-scale ToMe path (interpret-mode Pallas: the
+        TPU-default attention megakernel + resident-weight MLP pair at
+        ToMe-shrunk token counts) matches the unfused int8 ToMe output
+        within quantization tolerance."""
+        from hamer_yolo_tpu.core import quant
+
+        params = init_vit(jax.random.PRNGKey(0), TINY)
+        x = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).astype(np.float32))
+        pq = quant.quantize_vit_params(params)
+        stats = quant.collect_vit_act_stats(pq, x, TINY)
+        ps = quant.attach_static_act_scales(pq, stats)
+        base = vit_forward_tome(ps, x, TINY, r_per_layer=2, fused=False)
+        mega = vit_forward_tome(ps, x, TINY, r_per_layer=2, fused=True,
+                                interpret=True)
+        assert mega.shape == base.shape
+        np.testing.assert_allclose(np.asarray(mega), np.asarray(base),
+                                   rtol=0.08, atol=0.08)
+
 
 class TestTTA:
     def test_tta_output_shape_and_flip_consistency(self):
