@@ -29,6 +29,7 @@ loss), BENCH_ATTN, BENCH_FUSED_MANO, BENCH_DETECTOR (1).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -98,10 +99,29 @@ def main() -> None:
                 p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
             params["hamer"]["backbone"] = attach_static_act_scales(
                 params["hamer"]["backbone"], stats)
-    if os.environ.get("BENCH_INT8_YOLO") == "1":
+    yolo_mode = os.environ.get("BENCH_INT8_YOLO", "0")
+    if yolo_mode in ("1", "all"):
         from hamer_yolo_tpu.core.quant import quantize_yolo_params
 
-        params["yolo"] = jax.jit(quantize_yolo_params)(params["yolo"])
+        # "1" = pointwise (1x1) convs only; "all" = every trunk conv —
+        # spatial convs run as shifted int8 GEMMs (needs the static
+        # calibrated scales below; nn.conv2d falls back to the widening
+        # lowering without them, a measured loss).
+        params["yolo"] = jax.jit(functools.partial(
+            quantize_yolo_params, only_1x1=yolo_mode == "1"))(params["yolo"])
+        if os.environ.get("BENCH_INT8_STATIC", "1") == "1":
+            # Static per-tensor scales for the detector's 1x1 convs:
+            # kills the per-pixel absmax HBM pass (at detector M =
+            # B*80*80 rows that pass is what made dynamic int8 YOLO a
+            # measured LOSS). Calibration is an eager pass — host-side,
+            # once, before device_put.
+            from hamer_yolo_tpu.core.quant import calibrate_yolo_act_scales
+
+            crng = np.random.default_rng(2)
+            calib_imgs = crng.random((2, cfg.det_size, cfg.det_size, 3),
+                                     dtype=np.float64).astype(np.float32)
+            params["yolo"] = calibrate_yolo_act_scales(
+                params["yolo"], calib_imgs, cfg.yolo)
 
     def _payload(out):
         # The full npy-schema payload (what a serving loop fetches).

@@ -84,6 +84,14 @@ def conv_init(key, k: int | Tuple[int, int], c_in: int, c_out: int,
     return p
 
 
+# Conv activation-calibration hook (core/quant.calibrate_yolo_act_scales):
+# when set to a dict, the int8 conv branch records the running input
+# absmax keyed by id(p["w"]) — the quantized-weight dict object is the
+# stable per-conv identity inside a spec-built param tree (the graph has
+# no layer names to key by). Eager-mode only.
+_CONV_CALIB: Optional[dict] = None
+
+
 def conv2d(
     p: Params,
     x: jax.Array,
@@ -107,6 +115,14 @@ def conv2d(
         padding = ((padding, padding), (padding, padding))
     if isinstance(p["w"], dict):
         kh, kw = p["w"]["q"].shape[:2]
+        if _CONV_CALIB is not None:
+            if isinstance(x, jax.core.Tracer):
+                raise RuntimeError(
+                    "conv calibration must run eagerly (outside jit)")
+            key = id(p["w"])
+            seen = _CONV_CALIB.get(key, (0.0, None))[0]
+            _CONV_CALIB[key] = (max(seen, float(jnp.max(jnp.abs(x)))),
+                                p["w"])
         no_pad = padding in (0, "VALID", ((0, 0), (0, 0))) or (
             padding == "SAME" and kh == kw == 1)
         if kh == kw == 1 and groups == 1 and no_pad:
@@ -117,12 +133,25 @@ def conv2d(
             xs = x[:, :: strides[0], :: strides[1], :]
             B, Ho, Wo, C = xs.shape
             x2 = xs.reshape(B * Ho * Wo, C)
-            # per-pixel (per-row) dynamic scales — tighter than the
-            # per-tensor scale the conv path uses
-            sx = jnp.maximum(
-                jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0, 1e-8)
-            qx = jnp.clip(jnp.round(x2 / sx.astype(x2.dtype)),
-                          -127, 127).astype(jnp.int8)
+            sx_static = p.get("sx")
+            if sx_static is not None:
+                # Static calibrated per-tensor scale: the dynamic absmax
+                # reduction (a full HBM pass over the activation at
+                # M = B*H*W rows) disappears; quantize becomes a single
+                # fused elementwise that XLA folds into the producer's
+                # epilogue. Same mechanism that flipped the ViT int8
+                # path (core/quant.attach_static_act_scales).
+                sx = sx_static.astype(jnp.float32)
+                qx = jnp.clip(jnp.round(x2 / sx.astype(x2.dtype)),
+                              -127, 127).astype(jnp.int8)
+            else:
+                # per-pixel (per-row) dynamic scales — tighter than the
+                # per-tensor scale the conv path uses
+                sx = jnp.maximum(
+                    jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+                qx = jnp.clip(jnp.round(x2 / sx.astype(x2.dtype)),
+                              -127, 127).astype(jnp.int8)
             acc = jax.lax.dot_general(
                 qx, p["w"]["q"].reshape(C, -1),
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -131,6 +160,55 @@ def conv2d(
             y = (acc.astype(jnp.float32) * sx.astype(jnp.float32)
                  * p["w"]["scale"]).astype(x.dtype)
             y = y.reshape(B, Ho, Wo, -1)
+        elif p.get("sx") is not None and groups == 1:
+            # Spatial int8 conv as kh*kw SHIFTED int8 GEMMs: XLA has no
+            # MXU int8 *conv* lowering (it widens — a measured 124.7 ->
+            # 102.5 fps loss), but int8 dot_general IS the MXU fast mode
+            # (152 vs 117 bf16 TFLOP/s at ViT shapes). out[b,i,j,o] =
+            # sum_{dy,dx,c} x[b, i*s+dy-ph, j*s+dx-pw, c] * W[dy,dx,c,o]
+            # = sum_{dy,dx} GEMM(shifted strided slice, W[dy,dx]) with
+            # int32 accumulation. Quantize BEFORE padding so the zero
+            # border is an exact int8 zero; with the static calibrated
+            # scale the quantize is one fused elementwise (no absmax
+            # reduction pass). The kh*kw slice reads are cheap relative
+            # to the GEMMs (intensity ~2*C_out FLOPs/byte).
+            B, H, W, C = x.shape
+            sh, sw = strides
+            if padding == "SAME":
+                pads = []
+                for dim, k, s in ((H, kh, sh), (W, kw, sw)):
+                    out_d = -(-dim // s)
+                    tot = max((out_d - 1) * s + (k - 1) * dilation + 1 - dim,
+                              0)
+                    pads.append((tot // 2, tot - tot // 2))
+            elif padding == "VALID":
+                pads = [(0, 0), (0, 0)]
+            else:
+                pads = list(padding)
+            Ho = (H + pads[0][0] + pads[0][1]
+                  - ((kh - 1) * dilation + 1)) // sh + 1
+            Wo = (W + pads[1][0] + pads[1][1]
+                  - ((kw - 1) * dilation + 1)) // sw + 1
+            sx = p["sx"].astype(jnp.float32)
+            qx = jnp.clip(jnp.round(x / sx.astype(x.dtype)),
+                          -127, 127).astype(jnp.int8)
+            qx = jnp.pad(qx, ((0, 0), tuple(pads[0]), tuple(pads[1]),
+                              (0, 0)))
+            wq = p["w"]["q"]
+            acc = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    y0, x0 = dy * dilation, dx * dilation
+                    sl = qx[:, y0: y0 + (Ho - 1) * sh + 1: sh,
+                            x0: x0 + (Wo - 1) * sw + 1: sw, :]
+                    d = jax.lax.dot_general(
+                        sl.reshape(B * Ho * Wo, C), wq[dy, dx],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = d if acc is None else acc + d
+            y = (acc.astype(jnp.float32) * sx
+                 * p["w"]["scale"]).astype(x.dtype).reshape(B, Ho, Wo, -1)
         else:
             sx = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-8)
             qx = jnp.clip(jnp.round(x / sx.astype(x.dtype)), -127, 127).astype(jnp.int8)

@@ -281,6 +281,70 @@ def quantize_yolo_params(params: Params, quant_detect: bool = False,
     return {**params, "layers": qlayers}
 
 
+def calibrate_yolo_act_scales(params_q: Params, images,
+                              cfg=None, spec=None) -> Params:
+    """Attach static per-tensor activation scales to the quantized 1x1
+    convs of a YOLO param tree (the detector-side analog of
+    attach_static_act_scales).
+
+    Runs the int8 forward EAGERLY over ``images`` (list/array of
+    (H, W, 3) RGB [0,1] frames at the detector input size) with the
+    nn._CONV_CALIB hook recording each quantized conv's input absmax —
+    stats therefore reflect quantized upstream activations, same
+    discipline as collect_vit_act_stats. Returns a new tree where every
+    calibrated conv dict gains a scalar ``sx``; nn.conv2d then skips the
+    dynamic per-pixel absmax pass (a full HBM read of the activation at
+    detector-sized M) entirely.
+
+    The whole pass is pinned to the host CPU backend: eager execution on
+    the axon tunnel would cost ~28 ms PER OP. The tree is device_put to
+    CPU first (which also rebuilds the dicts, so the id-keyed stats are
+    collected and attached on the same rebuilt tree); callers device_put
+    the returned tree wherever they need it. Mirrors the reference's
+    TensorRT int8 calibrator story
+    (yolo/yolov7/TensorRT-For-YOLO-Series-cuda-python/export.py) with a
+    plain eager pass instead of an entropy calibrator.
+    """
+    from hamer_yolo_tpu.core import nn as _nn
+    from hamer_yolo_tpu.models.yolov7.model import (YoloConfig,
+                                                    yolov7_forward)
+
+    cfg = cfg or YoloConfig()
+    cpu = jax.devices("cpu")[0]
+    params_q = jax.device_put(params_q, cpu)
+    stats: dict = {}
+    _nn._CONV_CALIB = stats
+    try:
+        with jax.default_device(cpu):
+            for img in images:
+                yolov7_forward(params_q, jnp.asarray(img)[None], cfg,
+                               spec=spec)
+    finally:
+        _nn._CONV_CALIB = None
+    by_id = {k: absmax for k, (absmax, _) in stats.items()}
+
+    def attach(tree):
+        if isinstance(tree, dict):
+            if "w" in tree and isinstance(tree["w"], dict):
+                absmax = by_id.get(id(tree["w"]))
+                if absmax is None:
+                    return tree
+                out = dict(tree)
+                out["sx"] = jnp.float32(max(absmax / 127.0, 1e-8))
+                return out
+            return {k: attach(v) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(attach(v) for v in tree)
+        return tree
+
+    attached = attach(params_q)
+    n = sum(1 for _ in by_id)
+    if n == 0:
+        raise RuntimeError("calibration saw no quantized 1x1 convs — "
+                           "pass a quantize_yolo_params tree")
+    return attached
+
+
 def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
     """Drop-in for nn.mha_self_attention over int8-quantized params."""
     B, N, _ = x.shape

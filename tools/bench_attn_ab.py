@@ -9,6 +9,10 @@ one process and times them interleaved (A B A B ...) — drift hits both
 arms equally.
 
   python tools/bench_attn_ab.py [batch] [iters]
+
+Env: BENCH_AB_INT8 (1), BENCH_AB_ARMS (comma list), BENCH_AB_TOME
+(0; r-per-layer token merging so the ToMe-path kernel engagement can
+be qualified the same interleaved way).
 """
 from __future__ import annotations
 
@@ -41,9 +45,11 @@ def main() -> None:
     import dataclasses
 
     use_int8 = os.environ.get("BENCH_AB_INT8", "1") == "1"
+    tome_r = int(os.environ.get("BENCH_AB_TOME", "0"))
     cfg = PipelineConfig(max_hands=2)
     cfg = dataclasses.replace(
-        cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=use_int8))
+        cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=use_int8,
+                                       tome_r=tome_r))
     try:
         mano = ManoModel.from_arrays(load_mano_model("right"))
     except Exception:

@@ -132,6 +132,10 @@ def main():
             results["int8_static_mega"] = delta(
                 "int8_sta_mega",
                 run(dataclasses.replace(cfg, int8_backbone=True), sparams))
+            results["int8_static_mega_tome_r4"] = delta(
+                "int8_mega+tom4",
+                run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4),
+                    sparams))
         finally:
             del os.environ["HYT_ATTN"], os.environ["HYT_INT8_MLP"]
         os.environ["HYT_ATTN_BF16"] = "megakernel"
