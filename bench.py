@@ -269,12 +269,19 @@ def main() -> None:
                 # (+calibrated static act scales killing the dynamic-
                 # quantize HBM pass), fully-fused Pallas GEMM at
                 # serving-size M.
-                "int8_static_fps_b128": 191.7,  # direct-vmapped attn kernel
-                "int8_static_mpvpe_mm": 1.46,
+                # TPU DEFAULT: attention megakernel + resident-weight MLP
+                # pair (HYT_ATTN/HYT_INT8_MLP=megakernel autodefaults)
+                "int8_static_fps_b128": 255.6,
+                "int8_static_mpvpe_mm": 1.52,   # int8_sta_mega arm
+                "int8_static_direct_kernel_fps_b128": 191.7,  # pre-mega
                 "int8_static_einsum_attn_fps_b128": 183.0,  # HYT_ATTN=xla
                 "int8_static_einsum_attn_mpvpe_mm": 1.22,
-                "int8_static_tome_r4_fps_b128": 208.0,
-                "int8_static_tome_r4_mpvpe_mm": 5.40,
+                # megakernels engage at ToMe-shrunk N too (BENCH_AB_TOME=4
+                # interleaved: einsum 199.4 / mega 237.7 / mega_mlp 236.8)
+                "int8_static_tome_r4_fps_b128": 236.8,
+                "int8_static_tome_r4_mpvpe_mm": 5.34,
+                "exact_bf16_mega_fps_b128": 163.2,  # fused LN+QKV+attn
+                "exact_bf16_mega_mpvpe_mm": 0.84,   # = the noise floor
                 "int8_dynamic_fps_b128": 170.2,  # einsum attn; mpvpe w/ kernel
                 "int8_dynamic_mpvpe_mm": 1.13,
                 "int8_dyn_tome_r4_fps_b128": 195.7,

@@ -105,7 +105,58 @@ def _load_runtime(args):
         if "tome" in fast:
             hcfg = dataclasses.replace(hcfg, tome_r=getattr(args, "tome_r", 4))
         cfg = dataclasses.replace(cfg, hamer=hcfg)
+    yolo_mode = getattr(args, "int8_yolo", "off") or "off"
+    if yolo_mode != "off":
+        # Detector-side W8A8 (static calibrated per-tensor scales,
+        # nn.conv2d "sx" fast path). Calibrates on the caller's own
+        # input frames when available — the TPU-native analog of the
+        # reference's TensorRT calibrator loop.
+        import functools
+
+        from hamer_yolo_tpu.core.quant import (calibrate_yolo_act_scales,
+                                               quantize_yolo_params)
+
+        params = dict(params)
+        q = jax.jit(functools.partial(
+            quantize_yolo_params,
+            only_1x1=yolo_mode == "1x1"))(params["yolo"])
+        frames = _calibration_frames(getattr(args, "input", None),
+                                     cfg.det_size)
+        params["yolo"] = calibrate_yolo_act_scales(q, frames, cfg.yolo)
     return params, mano, cfg
+
+
+def _calibration_frames(input_dir, det_size: int, n: int = 2):
+    """Up to ``n`` letterboxed RGB [0,1] frames for int8 calibration —
+    real frames from ``input_dir`` when present, noise otherwise."""
+    import numpy as np
+
+    frames = []
+    if input_dir:
+        import glob as _glob
+        import os as _os
+
+        import cv2
+
+        paths = sorted(
+            p for p in _glob.glob(_os.path.join(input_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))[:n]
+        for path in paths:
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            r = min(det_size / h, det_size / w)
+            nh, nw = int(round(h * r)), int(round(w * r))
+            canvas = np.full((det_size, det_size, 3), 114, np.uint8)
+            top, left = (det_size - nh) // 2, (det_size - nw) // 2
+            canvas[top:top + nh, left:left + nw] = cv2.resize(img, (nw, nh))
+            frames.append(canvas[..., ::-1].astype(np.float32) / 255.0)
+    if not frames:
+        rng = np.random.default_rng(2)
+        frames = list(rng.random((n, det_size, det_size, 3),
+                                 dtype=np.float64).astype(np.float32))
+    return frames
 
 
 def cmd_infer(args) -> int:
@@ -376,6 +427,13 @@ def main(argv: Optional[list] = None) -> int:
                        help="static int8 activation scales from "
                             "tools/calibrate_int8.py (with --fast-path "
                             "int8*: per-tensor static quantize, +8% e2e)")
+        p.add_argument("--int8-yolo", default="off",
+                       choices=["off", "1x1", "all"],
+                       help="W8A8 the detector trunk with static "
+                            "calibrated scales (calibrates on your input "
+                            "frames): 1x1 = pointwise convs only, all = "
+                            "spatial convs too (shifted int8 GEMMs). "
+                            "Composes with --fast-path.")
 
     p = sub.add_parser("infer", help="full pipeline over an image dir")
     common(p)
