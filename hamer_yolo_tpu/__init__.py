@@ -28,8 +28,15 @@ import os as _os
 if _os.environ.get("JAX_PLATFORMS"):
     import jax as _jax
 
+    _plats = _os.environ["JAX_PLATFORMS"]
+    if "cpu" not in _plats.split(","):
+        # Keep the host backend registered behind the accelerator:
+        # eager host-side passes (int8 calibration, converters) run on
+        # jax.devices("cpu") — on the axon tunnel they would cost
+        # ~28 ms PER OP. First entry stays the default platform.
+        _plats += ",cpu"
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", _plats)
     except Exception:
         pass  # backend already initialized; leave it be
 
