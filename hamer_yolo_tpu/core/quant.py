@@ -338,11 +338,16 @@ def calibrate_yolo_act_scales(params_q: Params, images,
         return tree
 
     attached = attach(params_q)
-    n = sum(1 for _ in by_id)
-    if n == 0:
+    if not by_id:
         raise RuntimeError("calibration saw no quantized 1x1 convs — "
                            "pass a quantize_yolo_params tree")
-    return attached
+    # Return HOST (numpy) leaves: the eager pass committed the tree to
+    # the CPU device, and committed arrays survive a later plain
+    # jax.device_put(tree) — downstream jits would then compile for CPU
+    # (where the Pallas NMS can't run). numpy leaves re-place freely.
+    import numpy as np
+
+    return jax.tree_util.tree_map(np.asarray, attached)
 
 
 def int8_mha_self_attention(p: Params, x: jax.Array, num_heads: int) -> jax.Array:
