@@ -290,6 +290,14 @@ def main() -> None:
                 "tome_r2_fps_b128": 144.4, "tome_r2_mpvpe_mm": 3.02,
                 "int8_unfused_fps_b128_same_day": 158.6,
                 "int8_yolo_1x1_fps_b128": 159.7,  # measured LOSS
+                # Detector-only interleaved A/B b128 (assets/
+                # det_ab_int8_r03.log): bf16 1.484 ms/img / static 1x1
+                # int8 1.684 / full-trunk shifted-GEMM int8 8.282 —
+                # EVERY int8 YOLO formulation measured is a loss on
+                # this chip; the trunk stays bf16.
+                "det_bf16_ms_per_img_b128": 1.484,
+                "det_int8_1x1_ms_per_img_b128": 1.684,
+                "det_int8_all_ms_per_img_b128": 8.282,
             },
             "baseline_note": "vs_baseline is CROSS-SCOPE and conservative: "
                              "our value is the FULL pipeline (detect + ViT-H "

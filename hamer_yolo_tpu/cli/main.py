@@ -433,7 +433,10 @@ def main(argv: Optional[list] = None) -> int:
                             "calibrated scales (calibrates on your input "
                             "frames): 1x1 = pointwise convs only, all = "
                             "spatial convs too (shifted int8 GEMMs). "
-                            "Composes with --fast-path.")
+                            "Composes with --fast-path. NOTE: measured "
+                            "SLOWER than the bf16 trunk on v5e in both "
+                            "modes (assets/det_ab_int8_r03.log) — for "
+                            "A/B use and other backends.")
 
     p = sub.add_parser("infer", help="full pipeline over an image dir")
     common(p)

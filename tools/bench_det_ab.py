@@ -114,6 +114,33 @@ def main() -> None:
               f"ms/img, {batch/p50:7.1f} fps)  min {ts.min()*1e3:7.1f}  "
               f"max {ts.max()*1e3:7.1f}", flush=True)
 
+    if os.environ.get("BENCH_DET_ACC", "1") == "1" and "bf16" in fns:
+        # Accuracy deltas vs the bf16 arm on the SAME frame: post-NMS box
+        # drift of matched slots + score drift. Untimed (one extra
+        # compile per arm).
+        def boxes(yolo_params, image, hw):
+            det = detect_hands(yolo_params, image, hw, cfg)
+            return det["boxes"], det["scores"], det["valid"]
+
+        bfn = jax.jit(boxes)
+        hw1 = jnp.asarray([H, W], jnp.float32)
+        ref = None
+        for name, yp in fns.items():
+            b, s, v = (np.asarray(a) for a in bfn(yp, image, hw1))
+            if name == "bf16":
+                ref = (b, s, v)
+                continue
+            rb, rs, rv = ref
+            both = (v > 0) & (rv > 0)
+            if both.any():
+                dbox = float(np.abs(b[both] - rb[both]).max())
+                dscore = float(np.abs(s[both] - rs[both]).max())
+            else:
+                dbox = dscore = float("nan")
+            print(f"acc {name:9s} valid {int(v.sum())}/{int(rv.sum())} "
+                  f"max|dbox| {dbox:.2f} px  max|dscore| {dscore:.4f}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
