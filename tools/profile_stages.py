@@ -69,8 +69,31 @@ def main():
         mano = ManoModel.from_arrays(synthetic_mano_model())
     params = init_pipeline_params(jax.random.PRNGKey(0), mano, yolo_cfg=cfg.yolo,
                                   hamer_cfg=cfg.hamer, sar_cfg=cfg.sar)
+    use_int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if use_int8:
+        # Mirror bench.py's DEFAULT config: W8A8 backbone + calibrated
+        # static activation scales (megakernels auto-engage on TPU), so
+        # the attribution matches the deployed program.
+        import dataclasses
+
+        from hamer_yolo_tpu.core.quant import (attach_static_act_scales,
+                                               collect_vit_act_stats,
+                                               quantize_vit_params)
+
+        cfg = dataclasses.replace(
+            cfg, hamer=dataclasses.replace(cfg.hamer, int8_backbone=True))
+        params["hamer"]["backbone"] = jax.jit(quantize_vit_params)(
+            params["hamer"]["backbone"])
+        calib = jnp.asarray(
+            np.random.default_rng(1).standard_normal((8, 256, 192, 3)),
+            jnp.float32)
+        stats = jax.jit(lambda p, x: collect_vit_act_stats(
+            p, x, cfg.hamer.vit))(params["hamer"]["backbone"], calib)
+        params["hamer"]["backbone"] = attach_static_act_scales(
+            params["hamer"]["backbone"], stats)
     params = jax.device_put(params)
-    print(f"device: {jax.devices()[0]}  batch={batch} slots={max_hands}", flush=True)
+    print(f"device: {jax.devices()[0]}  batch={batch} slots={max_hands}"
+          f"  int8={use_int8}", flush=True)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (batch, H, W, 3)).astype(np.float32))
@@ -99,7 +122,14 @@ def main():
     dets = jax.tree_util.tree_map(jnp.asarray, dets)
 
     # 2. ViT-H backbone alone on the crop batch.
-    vit_fn = jax.jit(lambda p, x: _scalarize(vit_forward(p, x, cfg.hamer.vit)))
+    if use_int8:
+        from hamer_yolo_tpu.core.quant import vit_forward_int8
+
+        vit_fn = jax.jit(lambda p, x: _scalarize(
+            vit_forward_int8(p, x, cfg.hamer.vit)))
+    else:
+        vit_fn = jax.jit(lambda p, x: _scalarize(
+            vit_forward(p, x, cfg.hamer.vit)))
     report("vit_backbone", vit_fn, params["hamer"]["backbone"], vit_in)
 
     # 3. Full HaMeR forward (center-crop + ViT + MANO head + LBS + proj).
