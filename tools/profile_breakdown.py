@@ -82,49 +82,82 @@ def main():
     def ssum(x):
         return jnp.sum(x.astype(jnp.float32))
 
+    # PROF_ONLY=vit|det|sar limits to one section (fewer tunnel compiles).
+    only = os.environ.get("PROF_ONLY", "")
+
     # ---- ViT ablations ----
     vcfg = cfg.hamer.vit
     vp = params["hamer"]["backbone"]
 
-    report("vit_full", lambda p, x: ssum(vit_forward(p, x, vcfg)), vp, vit_in)
+    if only in ("", "vit"):
+        report("vit_full", lambda p, x: ssum(vit_forward(p, x, vcfg)), vp,
+               vit_in)
 
     def attn_identity(p, x, num_heads):
         return x
 
-    report("vit_no_attention", lambda p, x: ssum(
-        vit_forward(p, x, vcfg, attn_impl=attn_identity)), vp, vit_in)
+    if only in ("", "vit"):
+        report("vit_no_attention", lambda p, x: ssum(
+            vit_forward(p, x, vcfg, attn_impl=attn_identity)), vp, vit_in)
 
-    def attn_projs_only(p, x, num_heads):
-        # QKV + output projections kept; the attention math itself skipped.
-        qkv = nn.linear(p["qkv"], x)
-        d = x.shape[-1]
-        return nn.linear(p["proj"], qkv[..., :d])
+        def attn_projs_only(p, x, num_heads):
+            # QKV + output projections kept; attention math itself skipped.
+            qkv = nn.linear(p["qkv"], x)
+            d = x.shape[-1]
+            return nn.linear(p["proj"], qkv[..., :d])
 
-    report("vit_attn_projs_only", lambda p, x: ssum(
-        vit_forward(p, x, vcfg, attn_impl=attn_projs_only)), vp, vit_in)
+        report("vit_attn_projs_only", lambda p, x: ssum(
+            vit_forward(p, x, vcfg, attn_impl=attn_projs_only)), vp, vit_in)
 
     # ---- detector sub-stages ----
-    report("letterbox_warp", lambda im, hw: ssum(jax.vmap(
-        lambda i, h: device_letterbox(i, h, cfg.det_size)[0])(im, hw)),
-        images, hws)
+    if only in ("", "det"):
+        report("letterbox_warp", lambda im, hw: ssum(jax.vmap(
+            lambda i, h: device_letterbox(i, h, cfg.det_size)[0])(im, hw)),
+            images, hws)
 
-    report("yolo_trunk", lambda p, x: ssum(
-        yolov7_forward(p, x, cfg.yolo)), params["yolo"], det640)
+        report("yolo_trunk", lambda p, x: ssum(
+            yolov7_forward(p, x, cfg.yolo)), params["yolo"], det640)
 
-    pred = jax.jit(lambda p, x: yolov7_forward(p, x, cfg.yolo))(
-        params["yolo"], det640)
-    pred = jnp.asarray(np.asarray(pred))
+        pred = jax.jit(lambda p, x: yolov7_forward(p, x, cfg.yolo))(
+            params["yolo"], det640)
+        pred = jnp.asarray(np.asarray(pred))
 
-    def nms_fn(pr):
-        out = non_max_suppression(pr, conf_thres=cfg.conf_thres,
-                                  iou_thres=cfg.iou_thres, classes=cfg.classes,
-                                  agnostic=cfg.agnostic_nms, max_det=cfg.max_hands)
-        return ssum(out.boxes) + ssum(out.scores)
+        def nms_fn(pr):
+            out = non_max_suppression(pr, conf_thres=cfg.conf_thres,
+                                      iou_thres=cfg.iou_thres,
+                                      classes=cfg.classes,
+                                      agnostic=cfg.agnostic_nms,
+                                      max_det=cfg.max_hands)
+            return ssum(out.boxes) + ssum(out.scores)
 
-    report("nms", nms_fn, pred)
+        report("nms", nms_fn, pred)
+
+        # Composition check: the full detect stage in BOTH formulations.
+        # vmap(detect_hands) is what the pipeline runs; the hand-batched
+        # variant chains the exact sub-stages above. A gap between
+        # either and letterbox+trunk+nms isolates what the sub-stage
+        # measurements miss (input provenance/layout, normalize, vmapped
+        # NMS batching rule).
+        from hamer_yolo_tpu.pipeline.frame import detect_hands
+
+        report("detect_vmap", lambda p, im, hw: ssum(jax.vmap(
+            lambda i, h: detect_hands(p, i, h, cfg)["boxes"])(im, hw)),
+            params["yolo"], images, hws)
+
+        def detect_batched(p, im, hw):
+            lb, r, pad = jax.vmap(
+                lambda i, h: device_letterbox(i, h, cfg.det_size))(im, hw)
+            pr = yolov7_forward(p, lb[..., ::-1] / 255.0, cfg.yolo)
+            out = non_max_suppression(
+                pr, conf_thres=cfg.conf_thres, iou_thres=cfg.iou_thres,
+                classes=cfg.classes, agnostic=cfg.agnostic_nms,
+                max_det=cfg.max_hands, max_nms_static=cfg.max_nms_static)
+            return ssum(out.boxes) + ssum(out.scores)
+
+        report("detect_batched", detect_batched, params["yolo"], images, hws)
 
     # ---- RootNet sub-stages ----
-    if "sar" in params:
+    if "sar" in params and only in ("", "sar"):
         pb = jnp.broadcast_to(jnp.asarray([100.0, 100.0, 200.0, 200.0]),
                               (ncrops, 4))
         report("sar_patch_warp", lambda im: ssum(jax.vmap(lambda i: jax.vmap(
