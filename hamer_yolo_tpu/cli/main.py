@@ -183,6 +183,7 @@ def _run_infer(args, params, mano, cfg) -> int:
         stats = process_image_dir(
             args.input, args.output, params, mano, cfg,
             intrinsics_path=args.intrinsics, save_obj=not args.no_obj,
+            batch_size=getattr(args, "batch", 1) or 1,
         )
     print(f"processed {stats.frames} frames / {stats.hands} hands "
           f"({stats.skipped} skipped) in {stats.total_s:.1f}s")
@@ -446,6 +447,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--depth-refine", action="store_true",
                    help="force tz from RootNet depth (d_infer.py behavior)")
     p.add_argument("--no-obj", action="store_true")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames per device dispatch (>1 = the stage-"
+                        "batched throughput program; same per-image "
+                        "outputs)")
     p.add_argument("--mask-dir", default=None,
                    help="dir of per-image .npy masks (bypasses the detector)")
     p.add_argument("--mask-value", type=int, default=3)

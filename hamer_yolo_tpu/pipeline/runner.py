@@ -106,8 +106,14 @@ def process_image_dir(
     save_obj: bool = True,
     attn_impl=None,
     progress: bool = True,
+    batch_size: int = 1,
 ) -> RunStats:
-    """CLI-parity batch inference: per-image .npy + .obj outputs."""
+    """CLI-parity batch inference: per-image .npy + .obj outputs.
+
+    ``batch_size`` > 1 routes chunks through the stage-batched program
+    (serving.BatchedPipeline) — same per-image outputs, device dispatch
+    amortized over the chunk (the single-frame program is tunnel-
+    latency-bound at ~28 ms/dispatch on this environment)."""
     import cv2
 
     cfg = cfg or PipelineConfig()
@@ -121,10 +127,63 @@ def process_image_dir(
     else:
         K = None
 
-    program = FrameProgram(params, mano_model, cfg, attn_impl)
     stats = RunStats()
     paths = list_images(input_dir)
     t0 = time.time()
+
+    def write_frame(name: str, out: Dict[str, np.ndarray]) -> None:
+        results = frame_outputs_to_hand_dicts(out)
+        save_hand_npy(os.path.join(output_dir, f"{name}.npy"), results)
+        n_hands = sum(1 for v in results.values() if v is not None)
+        stats.hands += n_hands
+        if save_obj and n_hands:
+            reconstruct_and_save_obj(
+                mano_model, results, os.path.join(obj_dir, f"{name}.obj")
+            )
+        stats.frames += 1
+        if progress:
+            print(f"[{stats.frames}/{len(paths)}] {name}: {n_hands} hand(s)")
+
+    if batch_size > 1:
+        # Throughput mode: chunks of frames through the stage-batched
+        # program (pipeline.frame.infer_frames) — amortizes the
+        # per-dispatch latency that dominates single-frame mode.
+        from hamer_yolo_tpu.pipeline.serving import BatchedPipeline
+
+        pipe = BatchedPipeline(params, mano_model, cfg,
+                               batch_size=batch_size, attn_impl=attn_impl)
+        chunk: list = []
+
+        def flush():
+            if not chunk:
+                return
+            names, frames, Ks = zip(*chunk)
+            try:
+                out = pipe.process_batch(list(frames), np.stack(Ks))
+                for i, name in enumerate(names):
+                    write_frame(name, {k: np.asarray(v[i])
+                                       for k, v in out.items()})
+            except Exception as e:  # whole-chunk failure
+                stats.skipped += len(chunk)
+                if progress:
+                    print(f"skip chunk [{names[0]}..{names[-1]}]: {e}")
+            chunk.clear()
+
+        for path in paths:
+            name = os.path.splitext(os.path.basename(path))[0]
+            image = cv2.imread(path)
+            if image is None:
+                stats.skipped += 1
+                continue
+            Ki = K if K is not None else _default_intrinsics(image.shape)
+            chunk.append((name, image.astype(np.float32), Ki))
+            if len(chunk) == batch_size:
+                flush()
+        flush()
+        stats.total_s = time.time() - t0
+        return stats
+
+    program = FrameProgram(params, mano_model, cfg, attn_impl)
     for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
         try:
@@ -134,17 +193,7 @@ def process_image_dir(
                 continue
             Ki = K if K is not None else _default_intrinsics(image.shape)
             out = program(image.astype(np.float32), Ki)
-            results = frame_outputs_to_hand_dicts(out)
-            save_hand_npy(os.path.join(output_dir, f"{name}.npy"), results)
-            n_hands = sum(1 for v in results.values() if v is not None)
-            stats.hands += n_hands
-            if save_obj and n_hands:
-                reconstruct_and_save_obj(
-                    mano_model, results, os.path.join(obj_dir, f"{name}.obj")
-                )
-            stats.frames += 1
-            if progress:
-                print(f"[{stats.frames}/{len(paths)}] {name}: {n_hands} hand(s)")
+            write_frame(name, out)
         except Exception as e:  # per-frame robustness (reference behavior)
             stats.skipped += 1
             if progress:

