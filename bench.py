@@ -284,7 +284,8 @@ def main() -> None:
                 # interleaved: einsum 199.4 / mega 237.7 / mega_mlp 236.8)
                 "int8_static_tome_r4_fps_b128": 236.8,
                 "int8_static_tome_r4_mpvpe_mm": 5.34,
-                "exact_bf16_mega_fps_b128": 163.2,  # fused LN+QKV+attn
+                "exact_bf16_mega_fps_b128": 167.1,  # fused LN+QKV+attn
+                                                    # + stage-batched det
                 "exact_bf16_mega_mpvpe_mm": 0.84,   # = the noise floor
                 "int8_dynamic_fps_b128": 170.2,  # einsum attn; mpvpe w/ kernel
                 "int8_dynamic_mpvpe_mm": 1.13,
