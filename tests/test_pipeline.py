@@ -110,6 +110,28 @@ class TestFrameProgram:
                 np.asarray(ref["scores"])[swapped], rtol=0, atol=2e-5,
                 err_msg="swapped slots must be score ties")
 
+    def test_detect_batched_tta_fallback(self, setup, rng):
+        """With cfg.tta the batched detect falls back to the per-frame
+        vmap formulation — must match it exactly."""
+        import dataclasses
+
+        from hamer_yolo_tpu.pipeline.frame import (detect_hands,
+                                                   detect_hands_batched)
+
+        cfg, mano, params = setup
+        tta_cfg = dataclasses.replace(cfg, tta=True)
+        imgs = jnp.asarray(
+            rng.integers(0, 255, (2, 96, 96, 3)).astype(np.float32))
+        hws = jnp.broadcast_to(jnp.array([96.0, 96.0]), (2, 2))
+        a = jax.jit(lambda p, i, h: jax.vmap(
+            lambda x, y: detect_hands(p, x, y, tta_cfg))(i, h)
+        )(params["yolo"], imgs, hws)
+        b = jax.jit(lambda p, i, h: detect_hands_batched(p, i, h, tta_cfg)
+                    )(params["yolo"], imgs, hws)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=k)
+
     def test_tta_pipeline(self, setup, rng):
         """Detector TTA branch compiles and produces the same output schema."""
         import dataclasses
