@@ -474,9 +474,11 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
 
 def int8_block_mlp_fused(blk: Params, tok: jax.Array,
                          interpret: bool = False) -> jax.Array:
-    """LN(norm2) + fc1 + GELU + fc2; LN fused into fc1's GEMM, exact-erf
-    GELU fused into fc2's quantize stage. Residual NOT added."""
-    from hamer_yolo_tpu.ops.int8_matmul import fused_int8_matmul
+    """LN(norm2) + fc1 + GELU + fc2; LN fused into fc1's GEMM, the GELU
+    (exact erf, or the int8-ready polynomial under HYT_GELU=poly) fused
+    into fc2's quantize stage. Residual NOT added."""
+    from hamer_yolo_tpu.ops.int8_matmul import (fused_int8_matmul,
+                                                gelu_prologue)
 
     p = blk["mlp"]
     h = fused_int8_matmul(
@@ -486,7 +488,7 @@ def int8_block_mlp_fused(blk: Params, tok: jax.Array,
         static_scale=p["fc1"].get("sx"))
     return fused_int8_matmul(
         h, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["scale"], p["fc2"].get("b"),
-        prologue="gelu", interpret=interpret,
+        prologue=gelu_prologue(), interpret=interpret,
         static_scale=p["fc2"].get("sx"))
 
 
@@ -510,14 +512,19 @@ def int8_block_mlp_residual(blk: Params, tok: jax.Array,
     m = blk["mlp"]
     if (mlp_mega and m["fc1"].get("sx") is not None
             and m["fc2"].get("sx") is not None):
-        from hamer_yolo_tpu.ops.int8_matmul import fused_int8_mlp_block
+        from hamer_yolo_tpu.ops.int8_matmul import (fused_int8_mlp_block,
+                                                    gelu_prologue)
 
         return fused_int8_mlp_block(
             tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
             m["fc1"].get("b"), m["fc2"]["wq"]["q"],
             m["fc2"]["wq"]["scale"], m["fc2"].get("b"),
             blk["norm2"]["scale"], blk["norm2"]["bias"],
-            m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret)
+            m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret,
+            gelu=gelu_prologue(),
+            # tm sweep (interleaved A/B, b128 static-int8): 128 479.9 ms
+            # / 192 474.6 / 256 545.4 (VMEM pressure) — 192 is default.
+            tm=int(os.environ.get("HYT_INT8_MLP_TM", "192")))
     return tok + int8_block_mlp_fused(blk, tok, interpret=interpret)
 
 

@@ -35,7 +35,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, *rest, scale: float, group: int,
         )  # (N, N)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # reciprocal-multiply: one VPU divide per ROW instead of one
+        # per logit (divides are multi-cycle on the VPU)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         res = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         if quantize_out:
             # Epilogue quantize with the NEXT GEMM's static activation
@@ -114,7 +116,7 @@ def _attn_qkv_kernel(x_ref, *rest, scale: float, num_heads: int,
             )  # (N, N)
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             res = jnp.dot(p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
             if quantize_out:
@@ -191,7 +193,7 @@ def _attn_block_bf16_kernel(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *,
             )
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             res = jnp.dot(p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
             o_ref[gi, :, t * head_dim:(t + 1) * head_dim] = \
@@ -263,7 +265,7 @@ def _attn_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
         x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x / sq), -127, 127).astype(jnp.int8)
+        xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -282,7 +284,7 @@ def _attn_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
             )
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             res = jnp.dot(p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
             res = jnp.clip(jnp.round(res * inv_p), -127, 127)

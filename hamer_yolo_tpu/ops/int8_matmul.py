@@ -48,6 +48,63 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SQRT2 = math.sqrt(2.0)
 
+# Even-polynomial GELU for the int8 path (HYT_GELU=poly): GELU(x) =
+# x/2 + E(x) with E(x) = (x/2)erf(x/sqrt(2)) EVEN, so E fits a
+# polynomial in u = x^2. Chebyshev-fit degree 8 on |x| <= 4 gives max
+# abs err 1.2e-4 (tail |x| > 4 uses the asymptote gelu ~ x / 0, err
+# 1.3e-4) — ~600x below one int8 quantization step of the consumer
+# (s2 = absmax/127, absmax ~ 10 post-GELU), i.e. bit-identical after
+# the round() in virtually every lane. Replaces the A&S erf's exp +
+# divide + 12 FMA with 9 cheap FMA: the GELU runs on the fat (M, 4K)
+# fc1 output (252M elements/layer at 256 crops), where special-function
+# VPU ops are the megakernel's dominant non-MXU cost.
+_GELU_POLY_U = (  # E(x) = sum c_k u^k, u = x^2, Chebyshev LSQ on [0, 16]
+    3.138923846637831e-05, 0.3985892442238482, -0.0658308598919238,
+    0.009491168272223864, -0.001005431695009259, 7.497100545436031e-05,
+    -3.6818665106501106e-06, 1.0570036565177172e-07,
+    -1.3327008826321846e-09)
+
+
+def _gelu_poly_f32(x: jax.Array) -> jax.Array:
+    u = jnp.minimum(x * x, 16.0)
+    e = jnp.float32(_GELU_POLY_U[-1])
+    for c in _GELU_POLY_U[-2::-1]:
+        e = e * u + jnp.float32(c)
+    y = 0.5 * x + e
+    y = jnp.where(x > 4.0, x, y)
+    return jnp.where(x < -4.0, 0.0, y)
+
+
+def gelu_prologue() -> str:
+    """Trace-time env knob (HYT_GELU=poly|exact): picks the GELU
+    prologue STRING so the flavor keys every jit/lru cache (an env read
+    inside an already-traced kernel body would go stale — inner-jit
+    jaxprs cache by avals/statics only).
+
+    TPU default is POLY — qualified by the interleaved A/B
+    (tools/bench_attn_ab.py b128 static-int8: mega_mlp 502.6 ms vs
+    mega_gelu 482.2, +10.8 fps) and by tools/eval_fastpaths.py (the
+    int8_static_mega_gelu_poly arm matches int8_sta_mega MPVPE — the
+    1.2e-4 poly error is ~600x below one int8 step of the fc2
+    quantize). Off-TPU (and under HYT_GELU=exact) the A&S-erf exact
+    form stays the default: the int8 megakernels only engage on TPU
+    and CPU interpret-mode parity tests pin exact semantics."""
+    import os
+
+    env = os.environ.get("HYT_GELU")
+    if env == "poly":
+        return "gelu_poly"
+    if env is None and _on_tpu():
+        return "gelu_poly"
+    return "gelu"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
 
 def _erf_f32(x: jax.Array) -> jax.Array:
     """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7; Mosaic has no
@@ -73,6 +130,8 @@ def _prologue_f32(x: jax.Array, prologue: str, g, b) -> jax.Array:
         # Exact-form (erf) GELU, matching jax.nn.gelu(approximate=False)
         # to ~1e-7 via the rational erf above.
         x = 0.5 * x * (1.0 + _erf_f32(x / _SQRT2))
+    elif prologue == "gelu_poly":
+        x = _gelu_poly_f32(x)
     elif prologue != "id":
         raise ValueError(f"unknown prologue {prologue!r}")
     return x
@@ -94,7 +153,10 @@ def _kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, o_ref,
         else:
             # Static calibrated per-tensor scale: no absmax reduction.
             scale = jnp.broadcast_to(sxs_ref[:], sx_ref.shape)
-        xq_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        # one reciprocal per ROW, multiply per element (VPU divides are
+        # multi-cycle; x / scale would divide per element)
+        xq_ref[:] = jnp.clip(jnp.round(x * (1.0 / scale)),
+                             -127, 127).astype(jnp.int8)
         sx_ref[:] = scale
 
     acc = jax.lax.dot_general(
@@ -194,19 +256,19 @@ def int8_dot_prequant(xq: jax.Array, wq: jax.Array, wscale: jax.Array,
 
 
 def _mlp1_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref, s1_ref,
-                 s2_ref, o_ref):
+                 s2_ref, o_ref, *, gelu: str = "gelu"):
     x = x_ref[:].astype(jnp.float32)
     x = _prologue_f32(x, "ln", g_ref[:].astype(jnp.float32),
                       bt_ref[:].astype(jnp.float32))
     s1 = s1_ref[0, 0]
-    xq = jnp.clip(jnp.round(x / s1), -127, 127).astype(jnp.int8)
+    xq = jnp.clip(jnp.round(x * (1.0 / s1)), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (s1 * sw_ref[:].astype(jnp.float32)) \
         + b_ref[:].astype(jnp.float32)
-    y = _prologue_f32(y, "gelu", None, None)
-    o_ref[:] = jnp.clip(jnp.round(y / s2_ref[0, 0]),
+    y = _prologue_f32(y, gelu, None, None)
+    o_ref[:] = jnp.clip(jnp.round(y * (1.0 / s2_ref[0, 0])),
                         -127, 127).astype(jnp.int8)
 
 
@@ -220,14 +282,14 @@ def _mlp2_kernel(yq_ref, w_ref, sw_ref, b_ref, s2_ref, tok_ref, o_ref):
     o_ref[:] = (tok_ref[:].astype(jnp.float32) + z).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tm", "gelu"))
 def fused_int8_mlp_block(
     tok: jax.Array,
     w1q: jax.Array, w1scale: jax.Array, b1: Optional[jax.Array],
     w2q: jax.Array, w2scale: jax.Array, b2: Optional[jax.Array],
     ln_scale: jax.Array, ln_bias: jax.Array,
     sx1: jax.Array, sx2: jax.Array,
-    interpret: bool = False, tm: int = 128,
+    interpret: bool = False, tm: int = 128, gelu: str = "gelu",
 ) -> jax.Array:
     """The MLP MEGAKERNEL pair: LN+quantize+fc1+GELU+quantize in one
     pallas_call, fc2+dequant+RESIDUAL in a second — each with its full
@@ -260,7 +322,7 @@ def fused_int8_mlp_block(
     s2 = jnp.asarray(sx2, jnp.float32).reshape(1, 1)
 
     yq = pl.pallas_call(
-        _mlp1_kernel,
+        functools.partial(_mlp1_kernel, gelu=gelu),
         grid=(Mp // tm,),
         in_specs=[
             pl.BlockSpec((tm, K), lambda i: (i, 0)),
@@ -277,7 +339,7 @@ def fused_int8_mlp_block(
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * H,
             bytes_accessed=Mp * K * 2 + K * H + Mp * H,
-            transcendentals=Mp * H),
+            transcendentals=Mp * H if gelu == "gelu" else 0),
         interpret=interpret,
     )(x2, w1q, w1scale.reshape(1, H).astype(jnp.float32),
       b1.reshape(1, H).astype(jnp.float32),

@@ -265,6 +265,36 @@ class TestStaticScale:
         np.testing.assert_allclose(np.asarray(mega), np.asarray(base),
                                    rtol=0.05, atol=0.05)
 
+    def test_gelu_poly_pointwise(self):
+        """HYT_GELU=poly: even-polynomial GELU within 2e-4 abs of exact
+        (vs the consumer's int8 quantization step ~1e-1)."""
+        from hamer_yolo_tpu.ops.int8_matmul import _gelu_poly_f32
+
+        x = jnp.linspace(-12.0, 12.0, 20001, dtype=jnp.float32)
+        ref = jax.nn.gelu(x, approximate=False)
+        err = float(jnp.max(jnp.abs(_gelu_poly_f32(x) - ref)))
+        assert err < 2e-4, err
+
+    def test_gelu_poly_megakernel_matches_exact(self, rng, monkeypatch):
+        """The MLP megakernel under HYT_GELU=poly reproduces the
+        exact-GELU megakernel within quantization tolerance (the poly
+        error is ~600x below one int8 step of the fc2 quantize)."""
+        from hamer_yolo_tpu.models.vit import ViTConfig, init_vit
+
+        cfg = ViTConfig(img_size=(32, 32), patch_size=16, patch_padding=0,
+                        embed_dim=128, depth=2, num_heads=4,
+                        compute_dtype="float32")
+        pq = quant.quantize_vit_params(init_vit(jax.random.PRNGKey(0), cfg))
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        stats = quant.collect_vit_act_stats(pq, x, cfg)
+        ps = quant.attach_static_act_scales(pq, stats)
+        monkeypatch.setenv("HYT_INT8_MLP", "megakernel")
+        base = quant.vit_forward_int8(ps, x, cfg, fused=True, interpret=True)
+        monkeypatch.setenv("HYT_GELU", "poly")
+        poly = quant.vit_forward_int8(ps, x, cfg, fused=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(poly), np.asarray(base),
+                                   rtol=0.02, atol=0.02)
+
 
 class TestPrequantAttention:
     """Attention int8 epilogue (out_scale) + pre-quantized proj dot."""

@@ -107,10 +107,27 @@ def main() -> None:
         "prequant_fq": (None, {"HYT_ATTN": "pallas_fusedqkv"}),
         # LN+quantize+qkv GEMM+attention+epilogue in one pallas_call
         # (needs static scales; int8-only)
-        "mega": (None, {"HYT_ATTN": "megakernel"}),
-        # + resident-weight MLP megakernel pair on top
+        "mega": (None, {"HYT_ATTN": "megakernel", "HYT_GELU": "exact"}),
+        # + resident-weight MLP megakernel pair on top (exact-erf GELU
+        # pinned: poly is the TPU default since its qualification)
         "mega_mlp": (None, {"HYT_ATTN": "megakernel",
-                            "HYT_INT8_MLP": "megakernel"}),
+                            "HYT_INT8_MLP": "megakernel",
+                            "HYT_GELU": "exact"}),
+        # + the transcendental-free polynomial GELU in the MLP
+        # megakernel (HYT_GELU=poly; fc1's fat GELU is the dominant
+        # non-MXU VPU cost at 256 crops)
+        "mega_gelu": (None, {"HYT_ATTN": "megakernel",
+                             "HYT_INT8_MLP": "megakernel",
+                             "HYT_GELU": "poly"}),
+        # tm sweep of the MLP megakernel on top of the poly GELU
+        "mega_gelu_tm192": (None, {"HYT_ATTN": "megakernel",
+                                   "HYT_INT8_MLP": "megakernel",
+                                   "HYT_GELU": "poly",
+                                   "HYT_INT8_MLP_TM": "192"}),
+        "mega_gelu_tm256": (None, {"HYT_ATTN": "megakernel",
+                                   "HYT_INT8_MLP": "megakernel",
+                                   "HYT_GELU": "poly",
+                                   "HYT_INT8_MLP_TM": "256"}),
         # exact-path fused LN+QKV+attention block (bf16 mode only)
         "mega_bf16": (None, {"HYT_ATTN_BF16": "megakernel"}),
     }
@@ -130,7 +147,7 @@ def main() -> None:
     fns = {}
     for name, (fn, env) in arms.items():
         for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
-                  "HYT_ATTN_BF16"):
+                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -143,7 +160,7 @@ def main() -> None:
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
         fns[name] = fn
     for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
-                  "HYT_ATTN_BF16"):
+                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}

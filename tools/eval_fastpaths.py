@@ -128,6 +128,10 @@ def main():
     if jax.devices()[0].platform in ("tpu", "axon"):
         os.environ["HYT_ATTN"] = "megakernel"
         os.environ["HYT_INT8_MLP"] = "megakernel"
+        # Pin exact-erf GELU for the baseline mega arms (poly is the TPU
+        # default since its qualification; the dedicated arm below
+        # measures it explicitly).
+        os.environ["HYT_GELU"] = "exact"
         try:
             results["int8_static_mega"] = delta(
                 "int8_sta_mega",
@@ -136,8 +140,21 @@ def main():
                 "int8_mega+tom4",
                 run(dataclasses.replace(cfg, int8_backbone=True, tome_r=4),
                     sparams))
+            os.environ["HYT_GELU"] = "poly"
+            try:
+                # Transcendental-free polynomial GELU in the MLP
+                # megakernel (ops/int8_matmul._gelu_poly_f32): the poly
+                # error (1.2e-4 abs) is ~600x below one int8 step of the
+                # fc2 quantize, so this arm should match int8_sta_mega.
+                results["int8_static_mega_gelu_poly"] = delta(
+                    "int8_mega_gelu",
+                    run(dataclasses.replace(cfg, int8_backbone=True),
+                        sparams))
+            finally:
+                os.environ["HYT_GELU"] = "exact"
         finally:
             del os.environ["HYT_ATTN"], os.environ["HYT_INT8_MLP"]
+            del os.environ["HYT_GELU"]
         os.environ["HYT_ATTN_BF16"] = "megakernel"
         try:
             results["bf16_mega"] = delta("bf16_mega", run(cfg))
