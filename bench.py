@@ -254,7 +254,7 @@ def main() -> None:
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
             "math": (("int8-hybrid + static act scales + fused attention "
-                      "kernel (qualified: 1.46 mm MPVPE vs f32, noise "
+                      "kernel (qualified: 1.48 mm MPVPE vs f32, noise "
                       "floor 0.83 mm)"
                       if os.environ.get("BENCH_INT8_STATIC", "1") == "1"
                       else "int8-hybrid dynamic (qualified: 1.13 mm MPVPE "
