@@ -472,6 +472,42 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
         static_scale=p["proj"].get("sx"))
 
 
+def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
+                             interpret: bool = False,
+                             attn_pallas: bool = False) -> jax.Array:
+    """tok + attnblock(LN(tok)) with the qualified kernel dispatch.
+
+    HYT_ATTN=megaproj engages the FULL attention-block megakernel
+    (ops/attention_pallas.fused_int8_attn_proj_block: LN + quantize +
+    qkv GEMM + attention + quantize + proj GEMM + dequant + residual in
+    one pallas_call, qkv AND proj weights VMEM-resident) — needs both
+    static scales. Every other value falls through to
+    tok + int8_block_attn_fused(...). Same trace-time-env convention as
+    the other fast-path knobs; new engagements stay env-gated until the
+    interleaved A/B (tools/bench_attn_ab.py arm megaproj) qualifies
+    them."""
+    import os
+
+    p = blk["attn"]
+    sx_qkv = p["qkv"].get("sx")
+    sx_proj = p["proj"].get("sx")
+    env = os.environ.get("HYT_ATTN")
+    megaproj = env == "megaproj" and not attn_pallas
+    if (megaproj and sx_qkv is not None and sx_proj is not None
+            and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
+        from hamer_yolo_tpu.ops.attention_pallas import \
+            fused_int8_attn_proj_block
+
+        return fused_int8_attn_proj_block(
+            tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"],
+            p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
+            sx_qkv, sx_proj, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"],
+            p["proj"].get("b"), num_heads, interpret=interpret)
+    return tok + int8_block_attn_fused(blk, tok, num_heads,
+                                       interpret=interpret,
+                                       attn_pallas=attn_pallas)
+
+
 def int8_block_mlp_fused(blk: Params, tok: jax.Array,
                          interpret: bool = False) -> jax.Array:
     """LN(norm2) + fc1 + GELU + fc2; LN fused into fc1's GEMM, the GELU
@@ -507,14 +543,30 @@ def int8_block_mlp_residual(blk: Params, tok: jax.Array,
     import os
 
     env_mlp = os.environ.get("HYT_INT8_MLP")
-    mlp_mega = (env_mlp == "megakernel"
+    mlp_mega = (env_mlp in ("megakernel", "megakernel1")
                 or (env_mlp is None and (_on_tpu() or interpret)))
     m = blk["mlp"]
     if (mlp_mega and m["fc1"].get("sx") is not None
             and m["fc2"].get("sx") is not None):
         from hamer_yolo_tpu.ops.int8_matmul import (fused_int8_mlp_block,
+                                                    fused_int8_mlp_block1,
                                                     gelu_prologue)
 
+        if env_mlp == "megakernel1":
+            # SINGLE-CALL variant: fc1+GELU+fc2+residual in one
+            # pallas_call, both weights resident — the int8 GELU
+            # activation tensor never touches HBM. Bit-identical int32
+            # math to the pair; env-gated until the interleaved A/B
+            # qualifies it (tools/bench_attn_ab.py arm mega1).
+            return fused_int8_mlp_block1(
+                tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
+                m["fc1"].get("b"), m["fc2"]["wq"]["q"],
+                m["fc2"]["wq"]["scale"], m["fc2"].get("b"),
+                blk["norm2"]["scale"], blk["norm2"]["bias"],
+                m["fc1"]["sx"], m["fc2"]["sx"], interpret=interpret,
+                gelu=gelu_prologue(),
+                tm=int(os.environ.get("HYT_INT8_MLP_TM", "128")),
+                hc=int(os.environ.get("HYT_INT8_MLP_HC", "1280")))
         return fused_int8_mlp_block(
             tok, m["fc1"]["wq"]["q"], m["fc1"]["wq"]["scale"],
             m["fc1"].get("b"), m["fc2"]["wq"]["q"],
@@ -555,9 +607,9 @@ def vit_forward_int8(params_q: Params, x: jax.Array, cfg,
     tok = tok + pos[:, 1:] + pos[:, :1]
     for blk in params_q["blocks"]:
         if fused:
-            tok = tok + int8_block_attn_fused(blk, tok, cfg.num_heads,
-                                              interpret=interpret,
-                                              attn_pallas=attn_pallas)
+            tok = int8_block_attn_residual(blk, tok, cfg.num_heads,
+                                           interpret=interpret,
+                                           attn_pallas=attn_pallas)
             tok = int8_block_mlp_residual(blk, tok, interpret=interpret)
         else:
             tok = tok + int8_mha_self_attention(

@@ -124,12 +124,12 @@ def vit_forward_tome(params, x, cfg, r_per_layer: int = 4, attn_impl=None,
     for blk in params["blocks"]:
         if fused:
             # Same qualified megakernel dispatch as quant.vit_forward_int8
-            # (attention via int8_block_attn_fused's HYT_ATTN default, MLP
-            # via int8_block_mlp_residual's HYT_INT8_MLP default) —
+            # (attention via int8_block_attn_residual's HYT_ATTN default,
+            # MLP via int8_block_mlp_residual's HYT_INT8_MLP default) —
             # ToMe-shrunk N just means fewer M tiles per call; the kernels
             # are shape-generic.
-            tok = tok + quant.int8_block_attn_fused(blk, tok, cfg.num_heads,
-                                                    interpret=interpret)
+            tok = quant.int8_block_attn_residual(blk, tok, cfg.num_heads,
+                                                 interpret=interpret)
             tok, sizes = bipartite_soft_matching_merge(tok, sizes, r_per_layer)
             tok = quant.int8_block_mlp_residual(blk, tok, interpret=interpret)
         else:

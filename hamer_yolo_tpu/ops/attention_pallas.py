@@ -366,6 +366,138 @@ def fused_int8_attn_block(
     )(*args)
 
 
+def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
+                            sxq_ref, sxp_ref, wp_ref, pw_ref, pb_ref,
+                            o_ref, aq_ref, *, scale: float, num_heads: int,
+                            head_dim: int, group: int):
+    D = num_heads * head_dim
+    sq = sxq_ref[0, 0]
+    sp = sxp_ref[0, 0]
+    inv_p = 1.0 / sp
+    for gi in range(group):
+        x0 = x_ref[gi].astype(jnp.float32)  # kept live for the residual
+        mu = jnp.mean(x0, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x0 - mu), axis=-1, keepdims=True)
+        x = (x0 - mu) * jax.lax.rsqrt(var + 1e-6)
+        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (N, 3D) i32, VMEM-only
+        qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
+               + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        for t in range(num_heads):
+            q = qkv[:, t * head_dim:(t + 1) * head_dim]
+            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            res = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            aq_ref[:, t * head_dim:(t + 1) * head_dim] = jnp.clip(
+                jnp.round(res * inv_p), -127, 127).astype(jnp.int8)
+        pacc = jax.lax.dot_general(
+            aq_ref[:], wp_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (N, K) i32
+        y = (pacc.astype(jnp.float32) * (sp * pw_ref[:].astype(jnp.float32))
+             + pb_ref[:].astype(jnp.float32))
+        o_ref[gi, :, :] = (x0 + y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "group"))
+def fused_int8_attn_proj_block(
+    tok: jax.Array, wq: jax.Array, wscale: jax.Array,
+    bias: jax.Array | None, ln_scale: jax.Array, ln_bias: jax.Array,
+    sx_qkv: jax.Array, sx_proj: jax.Array,
+    wp: jax.Array, pscale: jax.Array, pbias: jax.Array | None,
+    num_heads: int, interpret: bool = False, group: int = 1,
+) -> jax.Array:
+    """The FULL attention-block megakernel: LN + static int8 quantize +
+    qkv GEMM + softmax attention + int8 quantize + PROJ GEMM + dequant
+    + RESIDUAL, one pallas_call. Returns tok + proj(attn(LN(tok))).
+
+    vs fused_int8_attn_block + XLA proj: the (B, N, D) int8 attention
+    output and the proj/residual round-trip never touch HBM — per layer
+    at 256 crops that replaces ~250 MB of traffic with one extra 1.6 MB
+    resident proj weight fetch. The int8 math is IDENTICAL (same
+    quantize semantics, int32 dots), only the f32 residual add happens
+    pre-bf16-round instead of post — strictly tighter. The risk priced
+    by the interleaved A/B: the in-kernel (N, D)x(D, K) proj dot at
+    N=192 runs below XLA's fat-M int8 dot rate; the traffic win must
+    cover the difference. Engagement: HYT_ATTN=megaproj
+    (core/quant.int8_block_attn_residual). Matches the reference
+    attention at /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
+    B, N, K = tok.shape
+    td = wq.shape[1]
+    hd = td // 3 // num_heads
+    D = num_heads * hd
+    scale = hd ** -0.5
+    G = group
+    while B % G:
+        G //= 2
+    if bias is None:
+        bias = jnp.zeros((td,), jnp.float32)
+    if pbias is None:
+        pbias = jnp.zeros((K,), jnp.float32)
+    args = (
+        tok,
+        wq,
+        wscale.reshape(1, td).astype(jnp.float32),
+        bias.reshape(1, td).astype(jnp.float32),
+        ln_scale.reshape(1, K).astype(jnp.float32),
+        ln_bias.reshape(1, K).astype(jnp.float32),
+        jnp.asarray(sx_qkv, jnp.float32).reshape(1, 1),
+        jnp.asarray(sx_proj, jnp.float32).reshape(1, 1),
+        wp,
+        pscale.reshape(1, K).astype(jnp.float32),
+        pbias.reshape(1, K).astype(jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),
+        pl.BlockSpec((K, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, td), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        pl.BlockSpec((D, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+        pl.BlockSpec((1, K), lambda i: (0, 0)),
+    ]
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        functools.partial(_attn_proj_block_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=hd, group=G),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, K), tok.dtype),
+        scratch_shapes=[pltpu.VMEM((N, D), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K * td + 4 * B * num_heads * N * N * hd
+            + 2 * B * N * D * K,
+            bytes_accessed=B * N * K * 4 + K * td + D * K,
+            transcendentals=B * num_heads * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 # Crossover measured by tools/bench_attention2.py on one v5e chip
 # (ms/layer at ViT-H shapes, XLA einsum vs this kernel incl. the
 # layout transposes): 32 crops 0.53/0.66, 64 0.51/0.46, 128 1.76/1.22,

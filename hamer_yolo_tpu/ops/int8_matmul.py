@@ -371,6 +371,117 @@ def fused_int8_mlp_block(
     return out.reshape(*lead, K)
 
 
+def _mlp1p_kernel(x_ref, w1_ref, s1w_ref, b1_ref, w2_ref, s2w_ref, b2_ref,
+                  g_ref, bt_ref, s1_ref, s2_ref, o_ref, *, gelu: str,
+                  hc: int):
+    x0 = x_ref[:].astype(jnp.float32)  # kept live for the residual
+    x = _prologue_f32(x0, "ln", g_ref[:].astype(jnp.float32),
+                      bt_ref[:].astype(jnp.float32))
+    s1 = s1_ref[0, 0]
+    s2 = s2_ref[0, 0]
+    xq = jnp.clip(jnp.round(x * (1.0 / s1)), -127, 127).astype(jnp.int8)
+    H = w1_ref.shape[1]
+    acc = None
+    for c in range(0, H, hc):
+        a1 = jax.lax.dot_general(
+            xq, w1_ref[:, c:c + hc],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = a1.astype(jnp.float32) * (s1 * s1w_ref[:, c:c + hc]
+                                      .astype(jnp.float32)) \
+            + b1_ref[:, c:c + hc].astype(jnp.float32)
+        y = _prologue_f32(y, gelu, None, None)
+        yq = jnp.clip(jnp.round(y * (1.0 / s2)),
+                      -127, 127).astype(jnp.int8)
+        a2 = jax.lax.dot_general(
+            yq, w2_ref[c:c + hc, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = a2 if acc is None else acc + a2  # i32: exact chunk sum
+    z = acc.astype(jnp.float32) * (s2 * s2w_ref[:].astype(jnp.float32)) \
+        + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = (x0 + z).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tm", "gelu",
+                                              "hc"))
+def fused_int8_mlp_block1(
+    tok: jax.Array,
+    w1q: jax.Array, w1scale: jax.Array, b1: Optional[jax.Array],
+    w2q: jax.Array, w2scale: jax.Array, b2: Optional[jax.Array],
+    ln_scale: jax.Array, ln_bias: jax.Array,
+    sx1: jax.Array, sx2: jax.Array,
+    interpret: bool = False, tm: int = 128, gelu: str = "gelu",
+    hc: int = 1280,
+) -> jax.Array:
+    """The SINGLE-CALL MLP megakernel: LN+quantize+fc1+GELU+quantize+
+    fc2+dequant+residual in ONE pallas_call, both int8 weights VMEM-
+    resident (constant index maps: one HBM fetch per layer).
+
+    vs the fused_int8_mlp_block PAIR, the (M, H) int8 GELU activation
+    tensor never exists in HBM: at 256 crops that is ~500 MB of traffic
+    per layer (written by kernel 1, re-read by kernel 2) replaced by
+    nothing. fc1/fc2 are processed in ``hc``-column chunks so the i32/f32
+    intermediates stay (tm, hc); the per-chunk fc2 partial sums
+    accumulate in int32, so the math is BIT-IDENTICAL to the pair
+    (same quantize semantics, same int32 dot, one dequant at the end).
+    Cost: ~13 MB of resident weights, above Mosaic's default scoped-VMEM
+    budget — vmem_limit_bytes raised explicitly; qualified only via the
+    interleaved e2e A/B (tools/bench_attn_ab.py arm mega1).
+    Engagement: HYT_INT8_MLP=megakernel1 (core/quant.int8_block_mlp_residual)."""
+    lead = tok.shape[:-1]
+    K = tok.shape[-1]
+    H = w1q.shape[1]
+    if H % hc:
+        hc = H
+    x2 = tok.reshape(-1, K)
+    M = x2.shape[0]
+    Mp = -(-M // tm) * tm
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    if b1 is None:
+        b1 = jnp.zeros((H,), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((K,), jnp.float32)
+    s1 = jnp.asarray(sx1, jnp.float32).reshape(1, 1)
+    s2 = jnp.asarray(sx2, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp1p_kernel, gelu=gelu, hc=hc),
+        grid=(Mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, K), lambda i: (i, 0)),
+            pl.BlockSpec((K, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, K), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Mp, K), tok.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * K * H,
+            bytes_accessed=Mp * K * 4 + K * H * 2,
+            transcendentals=Mp * H if gelu == "gelu" else 0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2, w1q, w1scale.reshape(1, H).astype(jnp.float32),
+      b1.reshape(1, H).astype(jnp.float32),
+      w2q, w2scale.reshape(1, K).astype(jnp.float32),
+      b2.reshape(1, K).astype(jnp.float32),
+      ln_scale.reshape(1, K).astype(jnp.float32),
+      ln_bias.reshape(1, K).astype(jnp.float32), s1, s2)
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, K)
+
+
 # Below this row count the fully-fused Pallas GEMM wins (weight traffic
 # amortizes poorly at tiny M; measured ViT 194 -> 28 ms at 2 crops).
 # Above it, XLA's int8 dot_general + auto-fused elementwise chain is at

@@ -130,6 +130,31 @@ def main() -> None:
                                    "HYT_INT8_MLP_TM": "256"}),
         # exact-path fused LN+QKV+attention block (bf16 mode only)
         "mega_bf16": (None, {"HYT_ATTN_BF16": "megakernel"}),
+        # FULL attention-block megakernel (LN+quantize+qkv+attention+
+        # quantize+PROJ+residual in one pallas_call) on top of the
+        # poly-GELU MLP pair default
+        "megaproj": (None, {"HYT_ATTN": "megaproj",
+                            "HYT_INT8_MLP": "megakernel",
+                            "HYT_GELU": "poly"}),
+        # SINGLE-CALL MLP megakernel (fc1+GELU+fc2+residual, both
+        # weights resident, GELU tensor never in HBM) under the current
+        # attention megakernel default
+        "mega1": (None, {"HYT_ATTN": "megakernel",
+                         "HYT_INT8_MLP": "megakernel1",
+                         "HYT_GELU": "poly"}),
+        # both new engagements together
+        "megaproj1": (None, {"HYT_ATTN": "megaproj",
+                             "HYT_INT8_MLP": "megakernel1",
+                             "HYT_GELU": "poly"}),
+        # mega1 tile sweeps (VMEM pressure pricing)
+        "mega1_tm192": (None, {"HYT_ATTN": "megakernel",
+                               "HYT_INT8_MLP": "megakernel1",
+                               "HYT_GELU": "poly",
+                               "HYT_INT8_MLP_TM": "192"}),
+        "mega1_hc2560": (None, {"HYT_ATTN": "megakernel",
+                                "HYT_INT8_MLP": "megakernel1",
+                                "HYT_GELU": "poly",
+                                "HYT_INT8_MLP_HC": "2560"}),
     }
     arms = {}
     for name in wanted:
@@ -147,7 +172,8 @@ def main() -> None:
     fns = {}
     for name, (fn, env) in arms.items():
         for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
-                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM"):
+                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
+                  "HYT_INT8_MLP_HC"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -160,7 +186,8 @@ def main() -> None:
         print(f"{name}: compiled in {time.time() - t0:.0f}s", flush=True)
         fns[name] = fn
     for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
-                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM"):
+                  "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
+                  "HYT_INT8_MLP_HC"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
