@@ -18,10 +18,10 @@ attention kernel at batch 128 (BENCH_INT8=1, BENCH_INT8_STATIC=1,
 BENCH_BATCH=128) — beyond the accuracy/speed point prescribed by the
 round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm, no
 ToMe"). Accuracy delta: 1.52 mm MPVPE vs f32 (bf16-vs-f32 noise floor
-0.83 mm; tools/eval_fastpaths.py). Measured 281.8 fps b128 same-chip
-with the megakernels (polynomial-GELU MLP pair, tm 192) +
-stage-batched detector (see fastpaths_recorded table below for every
-qualified variant).
+0.83 mm; tools/eval_fastpaths.py). Measured 283.6 fps b128 same-chip
+with the megakernels (megaproj full attention-block kernel +
+polynomial-GELU MLP pair, tm 192) + stage-batched detector (see
+fastpaths_recorded table below for every qualified variant).
 
 Env knobs: BENCH_FRAMES (timed iters, default 20), BENCH_MAX_HANDS (2),
 BENCH_HW ("720x1280"), BENCH_BATCH (128), BENCH_INT8 (1),
@@ -273,11 +273,13 @@ def main() -> None:
                 # (+calibrated static act scales killing the dynamic-
                 # quantize HBM pass), fully-fused Pallas GEMM at
                 # serving-size M.
-                # TPU DEFAULT: attention megakernel + resident-weight MLP
-                # pair (HYT_ATTN/HYT_INT8_MLP=megakernel autodefaults)
-                # + polynomial GELU (HYT_GELU=poly autodefault, MPVPE
-                # identical to exact-erf) + MLP tile tm=192
-                "int8_static_fps_b128": 281.8,  # poly GELU + stage-batched
+                # TPU DEFAULT: FULL attention-block megakernel incl.
+                # proj+residual (HYT_ATTN=megaproj autodefault,
+                # assets/ab_megaproj_r03.log) + resident-weight MLP pair
+                # (HYT_INT8_MLP=megakernel) + polynomial GELU
+                # (HYT_GELU=poly, MPVPE identical to exact-erf) + tm=192
+                "int8_static_fps_b128": 283.6,  # megaproj default
+                "int8_static_megakernel_fps_b128": 281.8,  # pre-megaproj
                 "int8_static_exact_gelu_fps_b128": 265.1,  # pre-poly
                 "int8_static_vmap_det_fps_b128": 243.8,  # same-session
                 "int8_static_mpvpe_mm": 1.52,   # int8_sta_mega arm

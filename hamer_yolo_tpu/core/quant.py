@@ -483,16 +483,22 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
     one pallas_call, qkv AND proj weights VMEM-resident) — needs both
     static scales. Every other value falls through to
     tok + int8_block_attn_fused(...). Same trace-time-env convention as
-    the other fast-path knobs; new engagements stay env-gated until the
-    interleaved A/B (tools/bench_attn_ab.py arm megaproj) qualifies
-    them."""
+    the other fast-path knobs.
+
+    megaproj is the TPU AUTODEFAULT since its interleaved A/B
+    qualification (assets/ab_megaproj_r03.log, b128 static-int8:
+    megaproj 470.8 ms p50 vs megakernel+pair 473.4, winning every
+    interleaved iteration; the single-call MLP arm mega1 LOST 479.1 /
+    474.0 tm192 and stays env-gated HYT_INT8_MLP=megakernel1)."""
     import os
 
     p = blk["attn"]
     sx_qkv = p["qkv"].get("sx")
     sx_proj = p["proj"].get("sx")
     env = os.environ.get("HYT_ATTN")
-    megaproj = env == "megaproj" and not attn_pallas
+    megaproj = (env == "megaproj"
+                or (env is None and (_on_tpu() or interpret))) \
+        and not attn_pallas
     if (megaproj and sx_qkv is not None and sx_proj is not None
             and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
         from hamer_yolo_tpu.ops.attention_pallas import \

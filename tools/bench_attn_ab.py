@@ -155,6 +155,19 @@ def main() -> None:
                                 "HYT_INT8_MLP": "megakernel1",
                                 "HYT_GELU": "poly",
                                 "HYT_INT8_MLP_HC": "2560"}),
+        # best-tile single-call MLP under the qualified megaproj
+        # attention (tm192 matches the pair's qualified tile; hc2560
+        # halves the chunked fc2 partial-sum revisits)
+        "megaproj1_t192h2560": (None, {"HYT_ATTN": "megaproj",
+                                       "HYT_INT8_MLP": "megakernel1",
+                                       "HYT_GELU": "poly",
+                                       "HYT_INT8_MLP_TM": "192",
+                                       "HYT_INT8_MLP_HC": "2560"}),
+        "megaproj1_t192h5120": (None, {"HYT_ATTN": "megaproj",
+                                       "HYT_INT8_MLP": "megakernel1",
+                                       "HYT_GELU": "poly",
+                                       "HYT_INT8_MLP_TM": "192",
+                                       "HYT_INT8_MLP_HC": "5120"}),
     }
     arms = {}
     for name in wanted:

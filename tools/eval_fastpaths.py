@@ -150,6 +150,17 @@ def main():
                     "int8_mega_gelu",
                     run(dataclasses.replace(cfg, int8_backbone=True),
                         sparams))
+                # The r3 TPU DEFAULT: full attention-block megakernel
+                # (megaproj: proj GEMM + residual fused in-kernel,
+                # assets/ab_megaproj_r03.log) + poly-GELU MLP pair. Same
+                # int8 math as int8_mega_gelu, residual added in f32
+                # pre-bf16-round — expect <=1-ulp deltas.
+                os.environ["HYT_ATTN"] = "megaproj"
+                results["int8_static_megaproj"] = delta(
+                    "int8_megaproj",
+                    run(dataclasses.replace(cfg, int8_backbone=True),
+                        sparams))
+                os.environ["HYT_ATTN"] = "megakernel"
             finally:
                 os.environ["HYT_GELU"] = "exact"
         finally:
