@@ -504,11 +504,18 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
         from hamer_yolo_tpu.ops.attention_pallas import \
             fused_int8_attn_proj_block
 
+        # HYT_ATTN_MEGAPROJ_G: crops per grid step (flattened-GEMM
+        # group; bit-identical across values — perf-only, trace-time).
+        # Default 2: interleaved A/B b128 (assets/ab_megaproj_g_r03.log)
+        # p50 461.1 ms vs 472.9 at G=1 (G=4 461.8, G=8 463.6) — the
+        # taller (G*192)-row qkv/proj GEMMs lift the in-kernel int8
+        # dot rate; >=2 saturates it.
         return fused_int8_attn_proj_block(
             tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"],
             p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
             sx_qkv, sx_proj, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"],
-            p["proj"].get("b"), num_heads, interpret=interpret)
+            p["proj"].get("b"), num_heads, interpret=interpret,
+            group=int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2")))
     return tok + int8_block_attn_fused(blk, tok, num_heads,
                                        interpret=interpret,
                                        attn_pallas=attn_pallas)

@@ -371,27 +371,34 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
                             o_ref, aq_ref, *, scale: float, num_heads: int,
                             head_dim: int, group: int):
     D = num_heads * head_dim
+    N = x_ref.shape[1]
+    K = x_ref.shape[2]
     sq = sxq_ref[0, 0]
     sp = sxp_ref[0, 0]
     inv_p = 1.0 / sp
+    # The qkv/proj GEMMs run FLATTENED over the whole (group*N)-row
+    # block — at group>1 the taller M lifts the in-kernel int8 dot rate
+    # toward XLA's fat-M rate (the priced risk of the per-crop N=192
+    # form, see the wrapper docstring). Attention stays per-crop.
+    x0 = x_ref[...].reshape(group * N, K).astype(jnp.float32)  # residual
+    mu = jnp.mean(x0, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x0 - mu), axis=-1, keepdims=True)
+    x = (x0 - mu) * jax.lax.rsqrt(var + 1e-6)
+    x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (group*N, 3D) i32, VMEM-only
+    qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
+           + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
     for gi in range(group):
-        x0 = x_ref[gi].astype(jnp.float32)  # kept live for the residual
-        mu = jnp.mean(x0, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x0 - mu), axis=-1, keepdims=True)
-        x = (x0 - mu) * jax.lax.rsqrt(var + 1e-6)
-        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (N, 3D) i32, VMEM-only
-        qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
-               + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
         for t in range(num_heads):
-            q = qkv[:, t * head_dim:(t + 1) * head_dim]
-            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
-            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            r0, r1 = gi * N, (gi + 1) * N
+            q = qkv[r0:r1, t * head_dim:(t + 1) * head_dim]
+            k = qkv[r0:r1, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[r0:r1, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
             logits = jax.lax.dot_general(
                 q * scale, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -402,16 +409,24 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
             p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             res = jnp.dot(p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
-            aq_ref[:, t * head_dim:(t + 1) * head_dim] = jnp.clip(
+            aq_ref[r0:r1, t * head_dim:(t + 1) * head_dim] = jnp.clip(
                 jnp.round(res * inv_p), -127, 127).astype(jnp.int8)
-        pacc = jax.lax.dot_general(
-            aq_ref[:], wp_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (N, K) i32
-        y = (pacc.astype(jnp.float32) * (sp * pw_ref[:].astype(jnp.float32))
-             + pb_ref[:].astype(jnp.float32))
-        o_ref[gi, :, :] = (x0 + y).astype(o_ref.dtype)
+    pacc = jax.lax.dot_general(
+        aq_ref[:], wp_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (group*N, K) i32
+    # Dequant with int8_dot_prequant's exact f32 operation ORDER
+    # ((acc*sp)*pscale + bias — f32 multiplies don't reassociate), then
+    # residual in the OUTPUT dtype (round y first, then add): bit-for-
+    # bit the unfused tok + int8_dot_prequant(...) path, so the megaproj
+    # arm scores the same MPVPE as the megakernel+pair path (an earlier
+    # f32-add-then-round variant, though tighter, drew a different
+    # rounding-noise sample: 1.60 vs 1.48 mm on the eval crops).
+    y = (pacc.astype(jnp.float32) * sp * pw_ref[:].astype(jnp.float32)
+         + pb_ref[:].astype(jnp.float32))
+    o_ref[...] = (x_ref[...]
+                  + y.astype(o_ref.dtype).reshape(group, N, K))
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
@@ -435,7 +450,11 @@ def fused_int8_attn_proj_block(
     pre-bf16-round instead of post — strictly tighter. The risk priced
     by the interleaved A/B: the in-kernel (N, D)x(D, K) proj dot at
     N=192 runs below XLA's fat-M int8 dot rate; the traffic win must
-    cover the difference. Engagement: HYT_ATTN=megaproj
+    cover the difference. ``group`` batches G crops per grid step and
+    runs the qkv/proj GEMMs flattened over (G*N) rows (taller M, better
+    MXU rate) — HYT_ATTN_MEGAPROJ_G sweeps it via
+    core/quant.int8_block_attn_residual; attention math stays per-crop
+    so the output is bit-identical across G. Engagement: HYT_ATTN=megaproj
     (core/quant.int8_block_attn_residual). Matches the reference
     attention at /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
     B, N, K = tok.shape
@@ -485,7 +504,7 @@ def fused_int8_attn_proj_block(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, K), tok.dtype),
-        scratch_shapes=[pltpu.VMEM((N, D), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((G * N, D), jnp.int8)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K * td + 4 * B * num_heads * N * N * hd
             + 2 * B * N * D * K,

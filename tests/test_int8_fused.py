@@ -428,6 +428,14 @@ class TestPrequantAttention:
         got = quant.int8_block_attn_residual(blk, tok, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+        # group>1 (HYT_ATTN_MEGAPROJ_G) flattens G crops per grid step
+        # for the qkv/proj GEMMs — perf-only: output must be
+        # BIT-IDENTICAL to G=1 (attention math stays per-crop)
+        for g in ("2", "3"):  # 3 doesn't divide B=2 -> falls back to 1
+            monkeypatch.setenv("HYT_ATTN_MEGAPROJ_G", g)
+            gg = quant.int8_block_attn_residual(blk, tok, 4, interpret=True)
+            np.testing.assert_array_equal(np.asarray(gg), np.asarray(got))
+        monkeypatch.delenv("HYT_ATTN_MEGAPROJ_G")
         # without static scales (or with the kill-switch) it falls back
         # to the composed path
         monkeypatch.setenv("HYT_ATTN_PREQUANT", "0")

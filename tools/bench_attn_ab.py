@@ -168,6 +168,21 @@ def main() -> None:
                                        "HYT_GELU": "poly",
                                        "HYT_INT8_MLP_TM": "192",
                                        "HYT_INT8_MLP_HC": "5120"}),
+        # megaproj crops-per-grid-step sweep: the qkv/proj GEMMs run
+        # flattened over (G*192) rows — taller M lifts the in-kernel
+        # int8 dot rate; output bit-identical across G (perf-only knob)
+        "megaproj_g2": (None, {"HYT_ATTN": "megaproj",
+                               "HYT_INT8_MLP": "megakernel",
+                               "HYT_GELU": "poly",
+                               "HYT_ATTN_MEGAPROJ_G": "2"}),
+        "megaproj_g4": (None, {"HYT_ATTN": "megaproj",
+                               "HYT_INT8_MLP": "megakernel",
+                               "HYT_GELU": "poly",
+                               "HYT_ATTN_MEGAPROJ_G": "4"}),
+        "megaproj_g8": (None, {"HYT_ATTN": "megaproj",
+                               "HYT_INT8_MLP": "megakernel",
+                               "HYT_GELU": "poly",
+                               "HYT_ATTN_MEGAPROJ_G": "8"}),
     }
     arms = {}
     for name in wanted:

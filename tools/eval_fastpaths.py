@@ -152,9 +152,15 @@ def main():
                         sparams))
                 # The r3 TPU DEFAULT: full attention-block megakernel
                 # (megaproj: proj GEMM + residual fused in-kernel,
-                # assets/ab_megaproj_r03.log) + poly-GELU MLP pair. Same
-                # int8 math as int8_mega_gelu, residual added in f32
-                # pre-bf16-round — expect <=1-ulp deltas.
+                # assets/ab_megaproj_r03.log) + poly-GELU MLP pair. The
+                # in-kernel dequant+residual replicates the unfused
+                # path's f32 operation order and output-dtype rounding
+                # (interpret-mode match at rtol 1e-5, test_int8_fused);
+                # on-device bf16 compute still flips int8 round
+                # boundaries between the fused and composed forms, so
+                # the MPVPE is a fresh ~1.4 mm noise sample (measured
+                # 1.3976 vs mega_gelu 1.4849,
+                # assets/eval_fastpaths_megaproj_r03.log).
                 os.environ["HYT_ATTN"] = "megaproj"
                 results["int8_static_megaproj"] = delta(
                     "int8_megaproj",
