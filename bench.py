@@ -17,8 +17,8 @@ calibrated activation scales + the direct-vmapped fused Pallas
 attention kernel at batch 128 (BENCH_INT8=1, BENCH_INT8_STATIC=1,
 BENCH_BATCH=128) — beyond the accuracy/speed point prescribed by the
 round-2 review ("bench.py >=161 fps at b128, MPVPE delta <=1.5 mm, no
-ToMe"). Accuracy delta: 1.52 mm MPVPE vs f32 (bf16-vs-f32 noise floor
-0.83 mm; tools/eval_fastpaths.py). Measured 283.6 fps b128 same-chip
+ToMe"). Accuracy delta: 1.40 mm MPVPE vs f32 (bf16-vs-f32 noise floor
+0.83 mm; tools/eval_fastpaths.py, int8_megaproj arm). Measured 285.5 fps b128 same-chip
 with the megakernels (megaproj full attention-block kernel +
 polynomial-GELU MLP pair, tm 192) + stage-batched detector (see
 fastpaths_recorded table below for every qualified variant).
@@ -254,7 +254,7 @@ def main() -> None:
             "max_hands": max_hands,
             "device": str(jax.devices()[0]),
             "math": (("int8-hybrid + static act scales + fused attention "
-                      "kernel (qualified: 1.48 mm MPVPE vs f32, noise "
+                      "kernel (qualified: 1.40 mm MPVPE vs f32, noise "
                       "floor 0.83 mm)"
                       if os.environ.get("BENCH_INT8_STATIC", "1") == "1"
                       else "int8-hybrid dynamic (qualified: 1.13 mm MPVPE "
@@ -278,7 +278,7 @@ def main() -> None:
                 # assets/ab_megaproj_r03.log) + resident-weight MLP pair
                 # (HYT_INT8_MLP=megakernel) + polynomial GELU
                 # (HYT_GELU=poly, MPVPE identical to exact-erf) + tm=192
-                "int8_static_fps_b128": 283.6,  # megaproj default
+                "int8_static_fps_b128": 285.5,  # grouped-GEMM megaproj default
                 "int8_static_megakernel_fps_b128": 281.8,  # pre-megaproj
                 "int8_static_exact_gelu_fps_b128": 265.1,  # pre-poly
                 "int8_static_vmap_det_fps_b128": 243.8,  # same-session

@@ -443,10 +443,15 @@ def int8_block_attn_fused(blk: Params, tok: jax.Array, num_heads: int,
         # pallas_call — the (B, N, 3D) qkv tensor never touches HBM.
         from hamer_yolo_tpu.ops.attention_pallas import fused_int8_attn_block
 
+        # HYT_ATTN_MEGA_G: crops per grid step with the qkv GEMM
+        # flattened over (G*N) rows (bit-identical across values,
+        # perf-only — same grouped-GEMM restructure A/B-qualified for
+        # megaproj, assets/ab_megaproj_g_r03.log).
         aq = fused_int8_attn_block(
             tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"],
             p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
-            sx_qkv, sx_proj, num_heads, interpret=interpret)
+            sx_qkv, sx_proj, num_heads, interpret=interpret,
+            group=max(1, int(os.environ.get("HYT_ATTN_MEGA_G", "1"))))
         return int8_dot_prequant(aq, p["proj"]["wq"]["q"],
                                  p["proj"]["wq"]["scale"], p["proj"].get("b"),
                                  sx_proj, out_dtype=tok.dtype)
@@ -515,7 +520,7 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
             p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
             sx_qkv, sx_proj, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"],
             p["proj"].get("b"), num_heads, interpret=interpret,
-            group=int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2")))
+            group=max(1, int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2"))))
     return tok + int8_block_attn_fused(blk, tok, num_heads,
                                        interpret=interpret,
                                        attn_pallas=attn_pallas)

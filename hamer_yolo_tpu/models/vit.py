@@ -143,9 +143,13 @@ def vit_forward(
     keys = jax.random.split(rng, 2 * depth) if rng is not None else [None] * (2 * depth)
     for i, blk in enumerate(params["blocks"]):
         if mega:
+            # HYT_ATTN_BF16_G: crops per grid step, LN+qkv GEMM
+            # flattened over (G*N) rows (bit-identical across values,
+            # perf-only grouped-GEMM restructure).
             pre = fused_bf16_attn_block(
                 tok, blk["attn"]["qkv"]["w"], blk["attn"]["qkv"].get("b"),
-                blk["norm1"]["scale"], blk["norm1"]["bias"], cfg.num_heads)
+                blk["norm1"]["scale"], blk["norm1"]["bias"], cfg.num_heads,
+                group=max(1, int(os.environ.get("HYT_ATTN_BF16_G", "1"))))
             a = nn.linear(blk["attn"]["proj"], pre)
         else:
             a = attn(blk["attn"], nn.layer_norm(blk["norm1"], tok),

@@ -170,22 +170,29 @@ def _attn_block_bf16_kernel(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *,
                             scale: float, num_heads: int, head_dim: int,
                             group: int):
     D = num_heads * head_dim
+    N = x_ref.shape[1]
+    K = x_ref.shape[2]
+    # LN + qkv GEMM FLATTENED over the whole (group*N)-row block: the
+    # taller M lifts the in-kernel bf16 dot rate (same grouped-GEMM
+    # restructure as the megaproj kernel — output bit-identical across
+    # group since LN and the GEMM are per-row). Attention per-crop.
+    x = x_ref[...].reshape(group * N, K).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+    qkv = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:].astype(jnp.float32)
+    qkv = qkv.astype(jnp.bfloat16)  # (group*N, 3D)
     for gi in range(group):
-        x = x_ref[gi].astype(jnp.float32)  # (N, K)
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
-        qkv = jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b_ref[:].astype(jnp.float32)
-        qkv = qkv.astype(jnp.bfloat16)  # (N, 3D)
+        r0, r1 = gi * N, (gi + 1) * N
         for t in range(num_heads):
-            q = qkv[:, t * head_dim:(t + 1) * head_dim]
-            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
-            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            q = qkv[r0:r1, t * head_dim:(t + 1) * head_dim]
+            k = qkv[r0:r1, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[r0:r1, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
             logits = jax.lax.dot_general(
                 q * scale, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -257,26 +264,32 @@ def _attn_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
                        sxq_ref, sxp_ref, o_ref, *, scale: float,
                        num_heads: int, head_dim: int, group: int):
     D = num_heads * head_dim
+    N = x_ref.shape[1]
+    K = x_ref.shape[2]
     sq = sxq_ref[0, 0]
     inv_p = 1.0 / sxp_ref[0, 0]
+    # LN + quantize + qkv GEMM FLATTENED over (group*N) rows — taller M
+    # lifts the in-kernel int8 dot rate (grouped-GEMM restructure, same
+    # as megaproj; bit-identical across group). Attention per-crop.
+    x = x_ref[...].reshape(group * N, K).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (group*N, 3D) i32, consumed in VMEM — never exists in HBM
+    qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
+           + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
     for gi in range(group):
-        x = x_ref[gi].astype(jnp.float32)  # (N, K)
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        x = x * g_ref[:].astype(jnp.float32) + bt_ref[:].astype(jnp.float32)
-        xq = jnp.clip(jnp.round(x * (1.0 / sq)), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (N, 3D) i32, consumed in VMEM — never exists in HBM
-        qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
-               + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        r0, r1 = gi * N, (gi + 1) * N
         for t in range(num_heads):
-            q = qkv[:, t * head_dim:(t + 1) * head_dim]
-            k = qkv[:, D + t * head_dim:D + (t + 1) * head_dim]
-            v = qkv[:, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
+            q = qkv[r0:r1, t * head_dim:(t + 1) * head_dim]
+            k = qkv[r0:r1, D + t * head_dim:D + (t + 1) * head_dim]
+            v = qkv[r0:r1, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
             logits = jax.lax.dot_general(
                 q * scale, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),

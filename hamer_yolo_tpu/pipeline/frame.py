@@ -138,48 +138,44 @@ def detect_hands_batched(
     }
 
 
-def recover_hands(
-    hamer_params: Dict[str, Any],
-    mano_model: ManoModel,
-    image_bgr: jax.Array,
-    dets: Dict[str, jax.Array],
-    K: jax.Array,
-    cfg: PipelineConfig,
-    depth_refine: Optional[jax.Array] = None,
-    attn_impl=None,
-) -> Dict[str, jax.Array]:
-    """HaMeR stage over all hand slots at once (estimate_from_rgb parity)."""
+def _hamer_crops(image_bgr, dets, cfg: PipelineConfig):
+    """Per-frame crop prep: (crops (S, c, c, 3), center, size, do_flip)."""
     do_flip = 1.0 - dets["is_right"]  # left hands are flipped
     center, size = hamer_box_params(dets["boxes"])
     crops = jax.vmap(
         lambda c, s, f: hamer_crop(image_bgr, c, s, f, cfg.crop_size)
     )(center, size, do_flip)
+    return crops, center, size, do_flip
 
-    if attn_impl is None and not cfg.hamer.int8_backbone:
-        # Inference default: on TPU, leave attn_impl None so vit_forward
-        # engages the fused bf16 LN+QKV+attention megakernel (the
-        # A/B-qualified exact-path default — models/vit.py; HYT_ATTN_BF16
-        # =off reverts). Elsewhere, the env-switchable softmax attention:
-        # with HYT_ATTN unset it is byte-identical to
-        # nn.mha_self_attention (inline einsum, no wrapper);
-        # HYT_ATTN=pallas|auto engages the fused Pallas kernel
-        # (custom_vmap-based, NOT differentiable — training uses
-        # hamer_forward with nn.mha_self_attention). The int8 path
-        # dispatches internally (core/quant._attn_math).
-        import os
 
-        from hamer_yolo_tpu.ops.attention_pallas import _on_tpu
+def _select_attn_impl(cfg: PipelineConfig, attn_impl):
+    """Inference default: on TPU, leave attn_impl None so vit_forward
+    engages the fused bf16 LN+QKV+attention megakernel (the A/B-qualified
+    exact-path default — models/vit.py; HYT_ATTN_BF16=off reverts).
+    Elsewhere, the env-switchable softmax attention: with HYT_ATTN unset
+    it is byte-identical to nn.mha_self_attention (inline einsum, no
+    wrapper); HYT_ATTN=pallas|auto engages the fused Pallas kernel
+    (custom_vmap-based, NOT differentiable — training uses hamer_forward
+    with nn.mha_self_attention). The int8 path dispatches internally
+    (core/quant._attn_math)."""
+    if attn_impl is not None or cfg.hamer.int8_backbone:
+        return attn_impl
+    import os
 
-        _env_bf16 = os.environ.get("HYT_ATTN_BF16")
-        if not (_env_bf16 == "megakernel"
-                or (_env_bf16 is None and _on_tpu())):
-            from hamer_yolo_tpu.ops.attention_pallas import \
-                fast_mha_self_attention
+    from hamer_yolo_tpu.ops.attention_pallas import _on_tpu
 
-            attn_impl = fast_mha_self_attention
+    _env_bf16 = os.environ.get("HYT_ATTN_BF16")
+    if not (_env_bf16 == "megakernel" or (_env_bf16 is None and _on_tpu())):
+        from hamer_yolo_tpu.ops.attention_pallas import \
+            fast_mha_self_attention
 
-    out = hamer_forward(hamer_params, mano_model, crops, cfg.hamer, attn_impl=attn_impl)
+        return fast_mha_self_attention
+    return None
 
+
+def _recover_epilogue(out, center, size, do_flip, K, depth_refine):
+    """Flip corrections + camera lift + full-image projection over one
+    frame's hand slots, from a hamer_forward output dict."""
     # Reference-compatible kp3d flip handling (infer.py:391) is a known bug;
     # apply the corrected mirror (flip.py docstring).
     kp3d = flip_keypoints3d(out["pred_keypoints_3d"], do_flip)
@@ -208,6 +204,23 @@ def recover_hands(
         "betas": out["pred_mano_params"]["betas"],
         "do_flip": do_flip,
     }
+
+
+def recover_hands(
+    hamer_params: Dict[str, Any],
+    mano_model: ManoModel,
+    image_bgr: jax.Array,
+    dets: Dict[str, jax.Array],
+    K: jax.Array,
+    cfg: PipelineConfig,
+    depth_refine: Optional[jax.Array] = None,
+    attn_impl=None,
+) -> Dict[str, jax.Array]:
+    """HaMeR stage over all hand slots at once (estimate_from_rgb parity)."""
+    crops, center, size, do_flip = _hamer_crops(image_bgr, dets, cfg)
+    attn_impl = _select_attn_impl(cfg, attn_impl)
+    out = hamer_forward(hamer_params, mano_model, crops, cfg.hamer, attn_impl=attn_impl)
+    return _recover_epilogue(out, center, size, do_flip, K, depth_refine)
 
 
 def estimate_depths(
@@ -265,8 +278,12 @@ def _infer_from_dets(params, mano_model, image_bgr, dets, orig_hw, K, cfg,
         params["hamer"], mano_model, image_bgr, dets, K, cfg,
         depth_refine=refine, attn_impl=attn_impl,
     )
+    return _npy_fields(dets, rec, depth)
 
-    # Save-side axis-angle conversion (infer.py:1281-1296).
+
+def _npy_fields(dets, rec, depth) -> Dict[str, jax.Array]:
+    """Save-side axis-angle conversion + npy-schema dict
+    (infer.py:1281-1296)."""
     global_aa = rotmat_to_aa(rec["global_orient"][:, 0])       # (S, 3)
     hand_aa = rotmat_to_aa(rec["hand_pose"]).reshape(global_aa.shape[0], -1)  # (S, 45)
     theta = jnp.concatenate([global_aa, hand_aa], axis=-1)     # (S, 48)
@@ -308,8 +325,39 @@ def infer_frames(
     candidates on random weights; immaterial on trained weights).
     Pinned by tests/test_pipeline.py::test_infer_frames_matches_vmap.
     images_bgr: (B, Hb, Wb, 3); orig_hws: (B, 2); Ks: (B, 3, 3).
+
+    HYT_STAGE_BATCH_HAMER=1 (trace-time env) additionally stage-batches
+    the HaMeR backbone: all B*S crops run through ONE hamer_forward call
+    instead of a per-frame vmap. Same math — but the attention
+    megakernels' grid steps then see the WHOLE crop batch, so their
+    grouped-GEMM factor (HYT_ATTN_MEGAPROJ_G etc.) can exceed the
+    per-frame slot count S (vmap structurally caps the in-kernel GEMM
+    at S*192 rows). Equality pinned by
+    tests/test_pipeline.py::test_infer_frames_stage_batched_matches.
     """
+    import os
+
     dets = detect_hands_batched(params["yolo"], images_bgr, orig_hws, cfg)
+    if os.environ.get("HYT_STAGE_BATCH_HAMER", "0") == "1":
+        crops, center, size, do_flip = jax.vmap(
+            lambda i, d: _hamer_crops(i, d, cfg))(images_bgr, dets)
+        B, S = crops.shape[0], crops.shape[1]
+        flat = hamer_forward(
+            params["hamer"], mano_model,
+            crops.reshape(B * S, *crops.shape[2:]), cfg.hamer,
+            attn_impl=_select_attn_impl(cfg, attn_impl))
+        out = jax.tree.map(lambda a: a.reshape(B, S, *a.shape[1:]), flat)
+
+        def _epi(o, c, s, f, img, d, hw, k):
+            depth = None
+            if cfg.use_depth_refine or "sar" in params:
+                depth = estimate_depths(params["sar"], img, d, hw, k, cfg)
+            refine = depth if cfg.use_depth_refine else None
+            rec = _recover_epilogue(o, c, s, f, k, refine)
+            return _npy_fields(d, rec, depth)
+
+        return jax.vmap(_epi)(out, center, size, do_flip, images_bgr,
+                              dets, orig_hws, Ks)
     return jax.vmap(
         lambda i, d, hw, k: _infer_from_dets(params, mano_model, i, d, hw,
                                              k, cfg, attn_impl)

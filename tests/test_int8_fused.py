@@ -392,6 +392,11 @@ class TestPrequantAttention:
         mk = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(mk), np.asarray(ref),
                                    rtol=0.05, atol=0.05)
+        # grouped-GEMM form (HYT_ATTN_MEGA_G): perf-only, BIT-IDENTICAL
+        monkeypatch.setenv("HYT_ATTN_MEGA_G", "2")
+        mg = quant.int8_block_attn_fused(blk, tok, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(mg), np.asarray(mk))
+        monkeypatch.delenv("HYT_ATTN_MEGA_G")
         # and it must be CLOSE to the prequant pallas_direct composition
         # (same math, different fusion; +-1 int8 round-boundary flips in
         # the pre-proj quantize allowed — ~1% of elements)

@@ -171,6 +171,15 @@ class TestAttentionDispatch:
             h, interpret=True))(batched)
         np.testing.assert_allclose(np.asarray(out_v).reshape(pre.shape),
                                    np.asarray(pre), atol=1e-6)
+        # group>1 (HYT_ATTN_BF16_G) flattens G crops per grid step for
+        # the LN+qkv GEMM — perf-only: output must be BIT-IDENTICAL to
+        # group=1 (attention math stays per-crop). group=4 doesn't
+        # divide B=6 -> halves down to 2.
+        for g in (2, 3, 4):
+            gg = fused_bf16_attn_block(tok, p["qkv"]["w"], p["qkv"].get("b"),
+                                       lnp["scale"], lnp["bias"], h,
+                                       interpret=True, group=g)
+            np.testing.assert_array_equal(np.asarray(gg), np.asarray(pre))
 
     def test_auto_engages_kernel_at_crossover(self, rng):
         """force="auto" above MIN_PALLAS_CROPS takes the kernel branch

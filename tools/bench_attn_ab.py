@@ -84,6 +84,17 @@ def main() -> None:
             )(images, hws, Ks))
         return run
 
+    def make_frames():
+        # the DEPLOYED program shape (bench.py runs infer_frames):
+        # stage-batched detector; HYT_STAGE_BATCH_HAMER in the arm env
+        # additionally stage-batches the backbone (read at trace time)
+        from hamer_yolo_tpu.pipeline.frame import infer_frames
+
+        @jax.jit
+        def run(p, images, hws, Ks):
+            return checksum(infer_frames(p, mano, images, hws, Ks, cfg))
+        return run
+
     # int8 path only truth-tests attn_impl (models/hamer.py:91) -> any
     # non-None sentinel selects the custom_vmap Pallas kernel. Arms can
     # also be selected via HYT_ATTN / HYT_ATTN_PREQUANT, which the quant
@@ -119,6 +130,12 @@ def main() -> None:
         "mega_gelu": (None, {"HYT_ATTN": "megakernel",
                              "HYT_INT8_MLP": "megakernel",
                              "HYT_GELU": "poly"}),
+        # grouped-GEMM qkv in the attn-only megakernel (the ToMe path's
+        # attention form; bit-identical, perf-only)
+        "mega_gelu_g2": (None, {"HYT_ATTN": "megakernel",
+                                "HYT_INT8_MLP": "megakernel",
+                                "HYT_GELU": "poly",
+                                "HYT_ATTN_MEGA_G": "2"}),
         # tm sweep of the MLP megakernel on top of the poly GELU
         "mega_gelu_tm192": (None, {"HYT_ATTN": "megakernel",
                                    "HYT_INT8_MLP": "megakernel",
@@ -130,6 +147,12 @@ def main() -> None:
                                    "HYT_INT8_MLP_TM": "256"}),
         # exact-path fused LN+QKV+attention block (bf16 mode only)
         "mega_bf16": (None, {"HYT_ATTN_BF16": "megakernel"}),
+        # grouped-GEMM form: LN+qkv GEMM flattened over (G*192) rows
+        # per grid step (bit-identical, perf-only)
+        "mega_bf16_g2": (None, {"HYT_ATTN_BF16": "megakernel",
+                                "HYT_ATTN_BF16_G": "2"}),
+        "mega_bf16_g4": (None, {"HYT_ATTN_BF16": "megakernel",
+                                "HYT_ATTN_BF16_G": "4"}),
         # FULL attention-block megakernel (LN+quantize+qkv+attention+
         # quantize+PROJ+residual in one pallas_call) on top of the
         # poly-GELU MLP pair default
@@ -183,11 +206,48 @@ def main() -> None:
                                "HYT_INT8_MLP": "megakernel",
                                "HYT_GELU": "poly",
                                "HYT_ATTN_MEGAPROJ_G": "8"}),
+        # ----- frames-program arms (infer_frames, the bench.py shape:
+        # stage-batched detector). "fr" = per-frame-vmapped backbone
+        # (current default); "sb_*" = HYT_STAGE_BATCH_HAMER=1 runs all
+        # B*S crops through ONE hamer_forward — the megakernel grid can
+        # then group G>S crops per step (vmap caps G at S=2).
+        "fr": (None, {"HYT_ATTN": "megaproj", "HYT_INT8_MLP": "megakernel",
+                      "HYT_GELU": "poly"}, "frames"),
+        "sb_g2": (None, {"HYT_ATTN": "megaproj",
+                         "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
+                         "HYT_STAGE_BATCH_HAMER": "1",
+                         "HYT_ATTN_MEGAPROJ_G": "2"}, "frames"),
+        "sb_g4": (None, {"HYT_ATTN": "megaproj",
+                         "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
+                         "HYT_STAGE_BATCH_HAMER": "1",
+                         "HYT_ATTN_MEGAPROJ_G": "4"}, "frames"),
+        "sb_g8": (None, {"HYT_ATTN": "megaproj",
+                         "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
+                         "HYT_STAGE_BATCH_HAMER": "1",
+                         "HYT_ATTN_MEGAPROJ_G": "8"}, "frames"),
+        "sb_g16": (None, {"HYT_ATTN": "megaproj",
+                          "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
+                          "HYT_STAGE_BATCH_HAMER": "1",
+                          "HYT_ATTN_MEGAPROJ_G": "16"}, "frames"),
+        # exact-bf16 frames arms (run with BENCH_AB_INT8=0)
+        "fr_bf16": (None, {"HYT_ATTN_BF16": "megakernel"}, "frames"),
+        "sb_bf16_g2": (None, {"HYT_ATTN_BF16": "megakernel",
+                              "HYT_STAGE_BATCH_HAMER": "1",
+                              "HYT_ATTN_BF16_G": "2"}, "frames"),
+        "sb_bf16_g4": (None, {"HYT_ATTN_BF16": "megakernel",
+                              "HYT_STAGE_BATCH_HAMER": "1",
+                              "HYT_ATTN_BF16_G": "4"}, "frames"),
+        "sb_bf16_g8": (None, {"HYT_ATTN_BF16": "megakernel",
+                              "HYT_STAGE_BATCH_HAMER": "1",
+                              "HYT_ATTN_BF16_G": "8"}, "frames"),
     }
     arms = {}
     for name in wanted:
-        attn_impl, env = arm_defs[name]
-        arms[name] = (make(attn_impl), env)
+        spec = arm_defs[name]
+        attn_impl, env = spec[0], spec[1]
+        prog = spec[2] if len(spec) > 2 else "frame"
+        arms[name] = (make_frames() if prog == "frames" else make(attn_impl),
+                      env)
 
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 255, (H, W, 3)).astype(np.float32))
@@ -201,7 +261,9 @@ def main() -> None:
     for name, (fn, env) in arms.items():
         for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
-                  "HYT_INT8_MLP_HC"):
+                  "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
+                  "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
+                  "HYT_STAGE_BATCH_HAMER"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -215,7 +277,9 @@ def main() -> None:
         fns[name] = fn
     for k in ("HYT_ATTN", "HYT_ATTN_PREQUANT", "HYT_INT8_MLP",
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
-                  "HYT_INT8_MLP_HC"):
+                  "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
+                  "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
+                  "HYT_STAGE_BATCH_HAMER"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
