@@ -512,9 +512,16 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
         # HYT_ATTN_MEGAPROJ_G: crops per grid step (flattened-GEMM
         # group; bit-identical across values — perf-only, trace-time).
         # Default 2: interleaved A/B b128 (assets/ab_megaproj_g_r03.log)
-        # p50 461.1 ms vs 472.9 at G=1 (G=4 461.8, G=8 463.6) — the
-        # taller (G*192)-row qkv/proj GEMMs lift the in-kernel int8
-        # dot rate; >=2 saturates it.
+        # p50 461.1 ms vs 472.9 at G=1 — the taller (G*192)-row
+        # qkv/proj GEMMs lift the in-kernel int8 dot rate. NOTE: under
+        # the per-frame vmap the pallas batching rule caps the group at
+        # the slot count S (G halves until it divides the per-instance
+        # batch), so that log's G=4/8 arms silently ran at 2. The REAL
+        # tall-M sweep (HYT_STAGE_BATCH_HAMER=1 flattens all B*S crops
+        # into one backbone call, assets/ab_stagebatch_r03.log) shows
+        # M=384 is already the knee: sb_g2 440.6 / sb_g4 441.0 /
+        # sb_g8 451.7 / sb_g16 446.8 ms — bigger blocks VMEM-pressure
+        # the pipeline. G=2 stands.
         return fused_int8_attn_proj_block(
             tok, p["qkv"]["wq"]["q"], p["qkv"]["wq"]["scale"],
             p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
