@@ -506,8 +506,8 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
         and not attn_pallas
     if (megaproj and sx_qkv is not None and sx_proj is not None
             and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
-        from hamer_yolo_tpu.ops.attention_pallas import \
-            fused_int8_attn_proj_block
+        from hamer_yolo_tpu.ops.attention_pallas import (
+            fused_int8_attn_proj_block, softmax_flavor)
 
         # HYT_ATTN_MEGAPROJ_G: crops per grid step (flattened-GEMM
         # group; bit-identical across values — perf-only, trace-time).
@@ -527,7 +527,8 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
             p["qkv"].get("b"), blk["norm1"]["scale"], blk["norm1"]["bias"],
             sx_qkv, sx_proj, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"],
             p["proj"].get("b"), num_heads, interpret=interpret,
-            group=max(1, int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2"))))
+            group=max(1, int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2"))),
+            softmax=softmax_flavor())
     return tok + int8_block_attn_fused(blk, tok, num_heads,
                                        interpret=interpret,
                                        attn_pallas=attn_pallas)

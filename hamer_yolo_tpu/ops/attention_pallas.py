@@ -17,6 +17,28 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+_LOG2E = 1.4426950408889634
+
+
+def softmax_flavor() -> str:
+    """Trace-time env knob (HYT_SOFTMAX=exp|exp2|exp2p): the softmax form
+    inside the attention megakernels. "exp2" folds log2(e) into the
+    existing q*scale prescale (an (N, hd) tensor, N/hd = 2.4x smaller than
+    the logits) and takes exp2 of the (N, N) logits — hardware exp is
+    exp2(x*log2e) anyway, so this deletes one full VPU multiply pass over
+    every logit tensor (B*h*N*N = 151M elements per ViT-H layer at 256
+    crops). "exp2p" additionally folds the softmax normalization past the
+    p*v dot (row scaling commutes with it), turning the second (N, N)
+    broadcast-multiply into an (N, hd) one. Mathematically the same
+    softmax; bitwise they resample f32 rounding, so they stay env-gated
+    OFF until the interleaved A/B (tools/bench_attn_ab.py) qualifies one.
+    Returned as a STRING so the flavor keys every jit cache (the
+    ops/int8_matmul.gelu_prologue convention — an env read inside a
+    traced body would go stale)."""
+    v = os.environ.get("HYT_SOFTMAX")
+    return v if v in ("exp2", "exp2p") else "exp"
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, *rest, scale: float, group: int,
                  quantize_out: bool):
     if quantize_out:
@@ -382,7 +404,7 @@ def fused_int8_attn_block(
 def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
                             sxq_ref, sxp_ref, wp_ref, pw_ref, pb_ref,
                             o_ref, aq_ref, *, scale: float, num_heads: int,
-                            head_dim: int, group: int):
+                            head_dim: int, group: int, flavor: str):
     D = num_heads * head_dim
     N = x_ref.shape[1]
     K = x_ref.shape[2]
@@ -406,6 +428,16 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
     )  # (group*N, 3D) i32, VMEM-only
     qkv = (acc.astype(jnp.float32) * (sq * sw_ref[:].astype(jnp.float32))
            + b_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    # HYT_SOFTMAX=exp2: fold log2(e) into the q prescale (N x hd) and
+    # exp2 the logits (N x N) — same softmax (max-shift is invariant
+    # under the positive base change), one fewer VPU pass over the
+    # logits than hardware exp's internal x*log2e. exp2p additionally
+    # folds the softmax normalization PAST the p*v dot (row scaling
+    # commutes with it): the (N, N) broadcast-multiply by 1/sum becomes
+    # an (N, hd) multiply merged into the existing quantize prescale —
+    # the unnormalized e rows are <= N so the bf16 dot cannot overflow.
+    exp2 = flavor in ("exp2", "exp2p")
+    qs = scale * _LOG2E if exp2 else scale
     for gi in range(group):
         for t in range(num_heads):
             r0, r1 = gi * N, (gi + 1) * N
@@ -413,17 +445,24 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
             k = qkv[r0:r1, D + t * head_dim:D + (t + 1) * head_dim]
             v = qkv[r0:r1, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
             logits = jax.lax.dot_general(
-                q * scale, k,
+                q * qs, k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-            res = jnp.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32)
+            e = jnp.exp2(logits - m) if exp2 else jnp.exp(logits - m)
+            inv_s = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            if flavor == "exp2p":
+                res = jnp.dot(e.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
+                res = res * (inv_s * inv_p)
+            else:
+                p = e * inv_s
+                res = jnp.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
+                res = res * inv_p
             aq_ref[r0:r1, t * head_dim:(t + 1) * head_dim] = jnp.clip(
-                jnp.round(res * inv_p), -127, 127).astype(jnp.int8)
+                jnp.round(res), -127, 127).astype(jnp.int8)
     pacc = jax.lax.dot_general(
         aq_ref[:], wp_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -443,13 +482,14 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
-                                              "group"))
+                                              "group", "softmax"))
 def fused_int8_attn_proj_block(
     tok: jax.Array, wq: jax.Array, wscale: jax.Array,
     bias: jax.Array | None, ln_scale: jax.Array, ln_bias: jax.Array,
     sx_qkv: jax.Array, sx_proj: jax.Array,
     wp: jax.Array, pscale: jax.Array, pbias: jax.Array | None,
     num_heads: int, interpret: bool = False, group: int = 1,
+    softmax: str = "exp",
 ) -> jax.Array:
     """The FULL attention-block megakernel: LN + static int8 quantize +
     qkv GEMM + softmax attention + int8 quantize + PROJ GEMM + dequant
@@ -467,7 +507,10 @@ def fused_int8_attn_proj_block(
     runs the qkv/proj GEMMs flattened over (G*N) rows (taller M, better
     MXU rate) — HYT_ATTN_MEGAPROJ_G sweeps it via
     core/quant.int8_block_attn_residual; attention math stays per-crop
-    so the output is bit-identical across G. Engagement: HYT_ATTN=megaproj
+    so the output is bit-identical across G. ``softmax`` ("exp"|"exp2",
+    HYT_SOFTMAX via softmax_flavor()): "exp2" folds log2e into the q
+    prescale and exp2's the logits — same softmax, one fewer VPU pass
+    over (N, N) per head. Engagement: HYT_ATTN=megaproj
     (core/quant.int8_block_attn_residual). Matches the reference
     attention at /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
     B, N, K = tok.shape
@@ -512,7 +555,8 @@ def fused_int8_attn_proj_block(
 
     return pl.pallas_call(
         functools.partial(_attn_proj_block_kernel, scale=scale,
-                          num_heads=num_heads, head_dim=hd, group=G),
+                          num_heads=num_heads, head_dim=hd, group=G,
+                          flavor=softmax),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),

@@ -441,6 +441,20 @@ class TestPrequantAttention:
             gg = quant.int8_block_attn_residual(blk, tok, 4, interpret=True)
             np.testing.assert_array_equal(np.asarray(gg), np.asarray(got))
         monkeypatch.delenv("HYT_ATTN_MEGAPROJ_G")
+        # HYT_SOFTMAX=exp2 (log2e folded into the q prescale, exp2
+        # logits) and exp2p (+ normalization folded past the p*v dot)
+        # are the SAME softmax up to f32 rounding; the post-attn int8
+        # quantize may flip +-1 round boundaries on a few elements
+        for flavor in ("exp2", "exp2p"):
+            monkeypatch.setenv("HYT_SOFTMAX", flavor)
+            e2 = quant.int8_block_attn_residual(blk, tok, 4,
+                                                interpret=True)
+            monkeypatch.delenv("HYT_SOFTMAX")
+            close = np.isclose(np.asarray(e2), np.asarray(got),
+                               rtol=0.02, atol=0.02)
+            assert close.mean() > 0.97, flavor
+            np.testing.assert_allclose(np.asarray(e2), np.asarray(got),
+                                       rtol=0.2, atol=0.2)
         # without static scales (or with the kill-switch) it falls back
         # to the composed path
         monkeypatch.setenv("HYT_ATTN_PREQUANT", "0")

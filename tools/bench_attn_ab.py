@@ -213,6 +213,21 @@ def main() -> None:
         # then group G>S crops per step (vmap caps G at S=2).
         "fr": (None, {"HYT_ATTN": "megaproj", "HYT_INT8_MLP": "megakernel",
                       "HYT_GELU": "poly"}, "frames"),
+        # exp2 softmax inside the megaproj kernel: log2e folded into the
+        # q prescale, exp2 on the logits — deletes one VPU multiply pass
+        # over every (N, N) logit tensor (same softmax, f32-rounding
+        # resample)
+        "fr_exp2": (None, {"HYT_ATTN": "megaproj",
+                           "HYT_INT8_MLP": "megakernel",
+                           "HYT_GELU": "poly",
+                           "HYT_SOFTMAX": "exp2"}, "frames"),
+        # exp2 + softmax normalization folded PAST the p*v dot: the
+        # (N, N) broadcast-multiply by 1/sum becomes an (N, hd) multiply
+        # merged into the quantize prescale
+        "fr_exp2p": (None, {"HYT_ATTN": "megaproj",
+                            "HYT_INT8_MLP": "megakernel",
+                            "HYT_GELU": "poly",
+                            "HYT_SOFTMAX": "exp2p"}, "frames"),
         "sb_g2": (None, {"HYT_ATTN": "megaproj",
                          "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
                          "HYT_STAGE_BATCH_HAMER": "1",
@@ -263,7 +278,7 @@ def main() -> None:
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
                   "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
                   "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
-                  "HYT_STAGE_BATCH_HAMER"):
+                  "HYT_SOFTMAX", "HYT_STAGE_BATCH_HAMER"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -279,7 +294,7 @@ def main() -> None:
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
                   "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
                   "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
-                  "HYT_STAGE_BATCH_HAMER"):
+                  "HYT_SOFTMAX", "HYT_STAGE_BATCH_HAMER"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
