@@ -507,7 +507,7 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
     if (megaproj and sx_qkv is not None and sx_proj is not None
             and os.environ.get("HYT_ATTN_PREQUANT") != "0"):
         from hamer_yolo_tpu.ops.attention_pallas import (
-            fused_int8_attn_proj_block, softmax_flavor)
+            attn_math_flavor, fused_int8_attn_proj_block, softmax_flavor)
 
         # HYT_ATTN_MEGAPROJ_G: crops per grid step (flattened-GEMM
         # group; bit-identical across values — perf-only, trace-time).
@@ -528,7 +528,7 @@ def int8_block_attn_residual(blk: Params, tok: jax.Array, num_heads: int,
             sx_qkv, sx_proj, p["proj"]["wq"]["q"], p["proj"]["wq"]["scale"],
             p["proj"].get("b"), num_heads, interpret=interpret,
             group=max(1, int(os.environ.get("HYT_ATTN_MEGAPROJ_G", "2"))),
-            softmax=softmax_flavor())
+            softmax=softmax_flavor(), attn_math=attn_math_flavor())
     return tok + int8_block_attn_fused(blk, tok, num_heads,
                                        interpret=interpret,
                                        attn_pallas=attn_pallas)

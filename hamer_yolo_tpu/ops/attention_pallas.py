@@ -39,6 +39,27 @@ def softmax_flavor() -> str:
     return v if v in ("exp2", "exp2p") else "exp"
 
 
+def attn_math_flavor() -> str:
+    """Trace-time env knob (HYT_ATTN_MATH=bf16|int8): the dtype of the
+    two per-head attention dots inside the megaproj kernel. "int8"
+    quantizes q/k/v with DYNAMIC per-head-tile absmax scales computed in
+    VMEM (no HBM pass — the tiles are (N, hd), tiny) and runs q@k^T and
+    p@v on the int8 MXU at 2x the bf16 rate; p rides its natural [0, 1]
+    range at scale 1/127 (resolution comparable to bf16's 8-bit
+    mantissa). The attention math is the identified residual floor
+    component of the int8 ViT (est. ~1.55 TFLOP bf16 at 256 crops).
+    Same trace-time STRING convention as softmax_flavor(). CLOSED as a
+    23 ms LOSS (assets/ab_attnmath_int8_r03.log: fr_qk8 462.7 vs fr
+    439.8 ms p50 b128, losing every interleaved iteration): the dynamic
+    quantize elementwise passes — absmax+round over three (N, hd) tiles
+    per head plus the round over the (N, N) p tensor — cost more VPU
+    time than the 2x int8 MXU rate saves on the small per-head dots.
+    Together with the exp2/exp2p closures this pins the megaproj
+    attention as VPU/elementwise-bound, NOT dot-bound. Stays env-gated
+    off."""
+    return "int8" if os.environ.get("HYT_ATTN_MATH") == "int8" else "bf16"
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, *rest, scale: float, group: int,
                  quantize_out: bool):
     if quantize_out:
@@ -404,7 +425,8 @@ def fused_int8_attn_block(
 def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
                             sxq_ref, sxp_ref, wp_ref, pw_ref, pb_ref,
                             o_ref, aq_ref, *, scale: float, num_heads: int,
-                            head_dim: int, group: int, flavor: str):
+                            head_dim: int, group: int, flavor: str,
+                            math: str):
     D = num_heads * head_dim
     N = x_ref.shape[1]
     K = x_ref.shape[2]
@@ -444,15 +466,49 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
             q = qkv[r0:r1, t * head_dim:(t + 1) * head_dim]
             k = qkv[r0:r1, D + t * head_dim:D + (t + 1) * head_dim]
             v = qkv[r0:r1, 2 * D + t * head_dim:2 * D + (t + 1) * head_dim]
-            logits = jax.lax.dot_general(
-                q * qs, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if math == "int8":
+                # HYT_ATTN_MATH=int8: dynamic per-head-tile absmax
+                # quantize (the (N, hd) tiles live in VMEM — no extra
+                # HBM pass) so both attention dots run on the int8 MXU
+                # at 2x the bf16 rate; the tile-scalar dequant folds
+                # into the softmax prescale.
+                qf = q.astype(jnp.float32)
+                kf = k.astype(jnp.float32)
+                sq_t = jnp.max(jnp.abs(qf)) * (1.0 / 127) + 1e-12
+                sk_t = jnp.max(jnp.abs(kf)) * (1.0 / 127) + 1e-12
+                qi = jnp.round(qf * (1.0 / sq_t)).astype(jnp.int8)
+                ki = jnp.round(kf * (1.0 / sk_t)).astype(jnp.int8)
+                iacc = jax.lax.dot_general(
+                    qi, ki,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                logits = iacc.astype(jnp.float32) * (qs * (sq_t * sk_t))
+            else:
+                logits = jax.lax.dot_general(
+                    q * qs, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp2(logits - m) if exp2 else jnp.exp(logits - m)
             inv_s = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-            if flavor == "exp2p":
+            if math == "int8":
+                # p in [0, 1] quantizes at the fixed scale 1/127 (8-bit
+                # resolution, comparable to bf16's mantissa); v gets the
+                # same dynamic tile absmax treatment.
+                p = e * inv_s
+                pi = jnp.round(p * 127.0).astype(jnp.int8)
+                vf = v.astype(jnp.float32)
+                sv_t = jnp.max(jnp.abs(vf)) * (1.0 / 127) + 1e-12
+                vi = jnp.round(vf * (1.0 / sv_t)).astype(jnp.int8)
+                racc = jax.lax.dot_general(
+                    pi, vi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                res = racc.astype(jnp.float32) * ((sv_t / 127.0) * inv_p)
+            elif flavor == "exp2p":
                 res = jnp.dot(e.astype(v.dtype), v,
                               preferred_element_type=jnp.float32)
                 res = res * (inv_s * inv_p)
@@ -482,14 +538,15 @@ def _attn_proj_block_kernel(x_ref, w_ref, sw_ref, b_ref, g_ref, bt_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
-                                              "group", "softmax"))
+                                              "group", "softmax",
+                                              "attn_math"))
 def fused_int8_attn_proj_block(
     tok: jax.Array, wq: jax.Array, wscale: jax.Array,
     bias: jax.Array | None, ln_scale: jax.Array, ln_bias: jax.Array,
     sx_qkv: jax.Array, sx_proj: jax.Array,
     wp: jax.Array, pscale: jax.Array, pbias: jax.Array | None,
     num_heads: int, interpret: bool = False, group: int = 1,
-    softmax: str = "exp",
+    softmax: str = "exp", attn_math: str = "bf16",
 ) -> jax.Array:
     """The FULL attention-block megakernel: LN + static int8 quantize +
     qkv GEMM + softmax attention + int8 quantize + PROJ GEMM + dequant
@@ -510,7 +567,11 @@ def fused_int8_attn_proj_block(
     so the output is bit-identical across G. ``softmax`` ("exp"|"exp2",
     HYT_SOFTMAX via softmax_flavor()): "exp2" folds log2e into the q
     prescale and exp2's the logits — same softmax, one fewer VPU pass
-    over (N, N) per head. Engagement: HYT_ATTN=megaproj
+    over (N, N) per head (both exp2 flavors CLOSED as A/B losses,
+    assets/ab_softmax_*_r03.log). ``attn_math`` ("bf16"|"int8",
+    HYT_ATTN_MATH via attn_math_flavor()): int8 runs the two per-head
+    attention dots on the int8 MXU with dynamic in-VMEM tile scales.
+    Engagement: HYT_ATTN=megaproj
     (core/quant.int8_block_attn_residual). Matches the reference
     attention at /root/reference/hamer/hamer/models/backbones/vit.py:110-126."""
     B, N, K = tok.shape
@@ -556,7 +617,7 @@ def fused_int8_attn_proj_block(
     return pl.pallas_call(
         functools.partial(_attn_proj_block_kernel, scale=scale,
                           num_heads=num_heads, head_dim=hd, group=G,
-                          flavor=softmax),
+                          flavor=softmax, math=attn_math),
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((G, N, K), lambda i: (i, 0, 0)),

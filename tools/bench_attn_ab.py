@@ -228,6 +228,12 @@ def main() -> None:
                             "HYT_INT8_MLP": "megakernel",
                             "HYT_GELU": "poly",
                             "HYT_SOFTMAX": "exp2p"}, "frames"),
+        # int8 attention math: the two per-head dots on the int8 MXU
+        # (2x bf16 rate) with dynamic in-VMEM tile scales
+        "fr_qk8": (None, {"HYT_ATTN": "megaproj",
+                          "HYT_INT8_MLP": "megakernel",
+                          "HYT_GELU": "poly",
+                          "HYT_ATTN_MATH": "int8"}, "frames"),
         "sb_g2": (None, {"HYT_ATTN": "megaproj",
                          "HYT_INT8_MLP": "megakernel", "HYT_GELU": "poly",
                          "HYT_STAGE_BATCH_HAMER": "1",
@@ -278,7 +284,7 @@ def main() -> None:
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
                   "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
                   "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
-                  "HYT_SOFTMAX", "HYT_STAGE_BATCH_HAMER"):
+                  "HYT_SOFTMAX", "HYT_ATTN_MATH", "HYT_STAGE_BATCH_HAMER"):
             os.environ.pop(k, None)
         os.environ.update(env)
         t0 = time.time()
@@ -294,7 +300,7 @@ def main() -> None:
                   "HYT_ATTN_BF16", "HYT_GELU", "HYT_INT8_MLP_TM",
                   "HYT_INT8_MLP_HC", "HYT_ATTN_MEGAPROJ_G",
                   "HYT_ATTN_MEGA_G", "HYT_ATTN_BF16_G",
-                  "HYT_SOFTMAX", "HYT_STAGE_BATCH_HAMER"):
+                  "HYT_SOFTMAX", "HYT_ATTN_MATH", "HYT_STAGE_BATCH_HAMER"):
         os.environ.pop(k, None)
 
     times = {name: [] for name in fns}
