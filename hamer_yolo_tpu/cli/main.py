@@ -198,10 +198,29 @@ def cmd_serve(args) -> int:
 
     params, mano, cfg = _load_runtime(args)
     K = load_intrinsics(args.intrinsics) if args.intrinsics else None
+    K = K if K is not None else _default_K((720, 1280))
+    if args.multi:
+        # N concurrent sources, one batched dispatch per tick (LoadStreams
+        # equivalent); --detect-every K skips the detector between
+        # keyframes by tracking boxes from each source's last keypoints.
+        sources = [int(s) if s.isdigit() else s
+                   for s in args.input.split(",")]
+        pipe = BatchedPipeline(params, mano, cfg, batch_size=len(sources),
+                               detect_every=args.detect_every)
+        for tick in pipe.stream_multi(sources, K,
+                                      max_batches=args.max_frames):
+            out = tick["outputs"]
+            n = int(np.asarray(out["valid"]).sum())
+            det = (f" (detected: {tick['detected']})"
+                   if "detected" in tick else "")
+            print(f"tick: sources {tick['source_idx']}, {n} hands{det}")
+        stats = pipe.last_stats
+        print(f"{stats.frames} frames in {stats.total_s:.1f}s "
+              f"= {stats.fps:.1f} fps")
+        return 0
     pipe = BatchedPipeline(params, mano, cfg, batch_size=args.batch)
     total = 0
-    for out in pipe.stream(iter_media(args.input, args.max_frames),
-                           K if K is not None else _default_K((720, 1280))):
+    for out in pipe.stream(iter_media(args.input, args.max_frames), K):
         n = int(np.asarray(out["valid"]).sum())
         total += out["boxes"].shape[0]
         print(f"batch: {out['boxes'].shape[0]} frames, {n} hands")
@@ -466,6 +485,15 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--intrinsics", default=None)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--multi", action="store_true",
+                   help="treat --input as a comma list of N live sources "
+                        "(device idx / file / URL); one batched dispatch "
+                        "per tick across all sources")
+    p.add_argument("--detect-every", type=int, default=1,
+                   help="with --multi: run the detector every K-th tick "
+                        "per source, tracking boxes from the previous "
+                        "tick's keypoints in between (detector is ~1/3 "
+                        "of frame cost)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("serve-http", help="HTTP endpoint: POST /infer an "

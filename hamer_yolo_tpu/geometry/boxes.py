@@ -117,6 +117,40 @@ def hamer_box_params(
     return center, size
 
 
+def track_boxes_from_keypoints(
+    kp2d: jax.Array,
+    valid: jax.Array,
+    orig_hw: jax.Array,
+    expand: float = 1.3,
+    min_size: float = 32.0,
+) -> jax.Array:
+    """Detector-shaped xyxy boxes from a previous frame's projected 2D
+    keypoints — the detect-skip tracking primitive.
+
+    The reference re-runs its detector on every video frame
+    (yolo/detector.py:35-104 webcam loop); a TPU-native serving loop can
+    instead refresh detections every K-th tick and, in between, derive
+    each slot's box from the PREVIOUS tick's predicted full-image 2D
+    keypoints (pipeline output ``keypoints_2d``): the 21-joint extent
+    covers wrist..fingertips, so its bbox tracks the moving hand. The
+    ``expand`` margin absorbs inter-frame motion; ``min_size`` guards
+    degenerate keypoint collapses.
+
+    kp2d: (S, 21, 2) full-image pixel keypoints; valid: (S,) bool/0-1;
+    orig_hw: (2,) (height, width). Returns (S, 4) rounded, frame-clipped
+    xyxy with invalid slots zeroed — the same shape/rounding contract as
+    ``detect_hands`` boxes, so the boxes-driven pipeline
+    (frame.infer_frames_tracked) consumes them unchanged.
+    """
+    lo = jnp.min(kp2d, axis=-2)                      # (S, 2)
+    hi = jnp.max(kp2d, axis=-2)
+    center = (lo + hi) / 2.0
+    wh = jnp.maximum((hi - lo) * expand, min_size)   # (S, 2)
+    xyxy = jnp.concatenate([center - wh / 2.0, center + wh / 2.0], axis=-1)
+    xyxy = jnp.round(clip_boxes(xyxy, (orig_hw[0], orig_hw[1])))
+    return xyxy * valid.astype(xyxy.dtype)[..., None]
+
+
 def sanitize_bbox_xywh(
     bbox: jax.Array, img_w: jax.Array, img_h: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:

@@ -364,6 +364,53 @@ def infer_frames(
     )(images_bgr, dets, orig_hws, Ks)
 
 
+def infer_frames_tracked(
+    params: Dict[str, Any],
+    mano_model: ManoModel,
+    images_bgr: jax.Array,
+    prev_kp2d: jax.Array,
+    prev_is_right: jax.Array,
+    prev_valid: jax.Array,
+    orig_hws: jax.Array,
+    Ks: jax.Array,
+    cfg: PipelineConfig,
+    attn_impl=None,
+    track_expand: float = 1.3,
+) -> Dict[str, jax.Array]:
+    """Detector-skip frame batch: boxes come from the previous tick's
+    projected 2D keypoints instead of YOLO.
+
+    The serving tracking mode (BatchedPipeline detect_every=K): the
+    detector — ~1/3 of the frame program's device time at b128
+    (assets/profile_stages_poly_r03.log) — runs only on keyframes; in
+    between, each slot's box is ``track_boxes_from_keypoints`` of that
+    source's last outputs. The reference has no equivalent (its webcam
+    loop re-detects every frame, yolo/detector.py:35-104).
+
+    images_bgr: (B, Hb, Wb, 3); prev_kp2d: (B, S, 21, 2) full-image
+    keypoints from the previous tick; prev_is_right/prev_valid: (B, S).
+    Output pytree has the SAME key set/shapes as ``infer_frames`` (scores
+    carry the validity mask, not detector confidences), so serving can
+    stitch detected and tracked sub-batches tick by tick.
+    """
+    from hamer_yolo_tpu.geometry.boxes import track_boxes_from_keypoints
+
+    boxes = jax.vmap(
+        lambda k, v, hw: track_boxes_from_keypoints(k, v, hw,
+                                                    expand=track_expand)
+    )(prev_kp2d, prev_valid, orig_hws)
+    dets = {
+        "boxes": boxes,
+        "scores": prev_valid.astype(jnp.float32),
+        "is_right": prev_is_right.astype(jnp.float32),
+        "valid": prev_valid.astype(bool),
+    }
+    return jax.vmap(
+        lambda i, d, hw, k: _infer_from_dets(params, mano_model, i, d, hw,
+                                             k, cfg, attn_impl)
+    )(images_bgr, dets, orig_hws, Ks)
+
+
 def infer_frame_with_boxes(
     params: Dict[str, Any],
     mano_model: ManoModel,

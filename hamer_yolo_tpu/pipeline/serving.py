@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from hamer_yolo_tpu.models.mano import ManoModel
 from hamer_yolo_tpu.pipeline.frame import (PipelineConfig, infer_frame,
-                                            infer_frames)
+                                            infer_frames,
+                                            infer_frames_tracked)
 from hamer_yolo_tpu.pipeline.runner import pick_bucket
 
 
@@ -48,6 +49,8 @@ class BatchedPipeline:
         bucket_hw: Optional[tuple] = None,
         mesh=None,
         attn_impl=None,
+        detect_every: int = 1,
+        track_expand: float = 1.3,
     ):
         self.cfg = cfg or PipelineConfig()
         self.batch_size = batch_size
@@ -65,14 +68,28 @@ class BatchedPipeline:
                                 attn_impl=attn_impl)
 
         self._fn = fn
+        # Detect-skip tracking (stream_multi only — there the batch dim
+        # is SOURCES, so time stays sequential per source and a tick's
+        # boxes can come from that source's previous tick): the detector
+        # runs every ``detect_every``-th tick per source; in between the
+        # boxes program derives each slot's box from the last projected
+        # 2D keypoints. The single-source ``stream`` path batches TIME,
+        # where within-batch tracking would serialize the device over
+        # frames — it always detects.
+        self.detect_every = max(1, int(detect_every))
+        self._track_expand = float(track_expand)
 
-    def _dispatch(self, frames: List[np.ndarray], K: np.ndarray):
-        """Pad + upload + enqueue one batch; returns (lazy pytree, n).
+        @jax.jit
+        def fn_tracked(p, images, kp2d, is_right, valid, hws, Ks):
+            return infer_frames_tracked(p, mano, images, kp2d, is_right,
+                                        valid, hws, Ks, pcfg,
+                                        attn_impl=attn_impl,
+                                        track_expand=self._track_expand)
 
-        JAX dispatch is asynchronous: this returns as soon as the program
-        is enqueued, so host prep of the NEXT batch overlaps the device's
-        work on this one (the H2D/dispatch pipelining of the stream path).
-        """
+        self._fn_tracked = fn_tracked
+
+    def _pad_frames(self, frames: List[np.ndarray], K: np.ndarray):
+        """Bucket-pad a frame list to (images, hws, Ks) batch arrays."""
         n = len(frames)
         hmax = max(f.shape[0] for f in frames)
         wmax = max(f.shape[1] for f in frames)
@@ -89,13 +106,47 @@ class BatchedPipeline:
             Ks[: K.shape[0]] = K
         else:
             Ks = np.broadcast_to(K, (self.batch_size, 3, 3)).copy()
+        return images, hws, Ks
 
-        batch = (jnp.asarray(images), jnp.asarray(hws), jnp.asarray(Ks))
+    def _shard(self, batch):
         if self.mesh is not None:
             from hamer_yolo_tpu.parallel.mesh import shard_batch
 
             batch = tuple(shard_batch(list(batch), self.mesh))
+        return batch
+
+    def _dispatch(self, frames: List[np.ndarray], K: np.ndarray):
+        """Pad + upload + enqueue one batch; returns (lazy pytree, n).
+
+        JAX dispatch is asynchronous: this returns as soon as the program
+        is enqueued, so host prep of the NEXT batch overlaps the device's
+        work on this one (the H2D/dispatch pipelining of the stream path).
+        """
+        n = len(frames)
+        images, hws, Ks = self._pad_frames(frames, K)
+        batch = self._shard((jnp.asarray(images), jnp.asarray(hws),
+                             jnp.asarray(Ks)))
         return self._fn(self.params, *batch), n
+
+    def _dispatch_tracked(self, frames: List[np.ndarray], states: List[dict],
+                          K: np.ndarray):
+        """Enqueue a detector-skip batch: boxes derive on-device from each
+        source's previous-tick keypoints (``states`` rows, one per frame:
+        {"kp2d": (S, 21, 2), "is_right": (S,), "valid": (S,)})."""
+        n = len(frames)
+        images, hws, Ks = self._pad_frames(frames, K)
+        S = self.cfg.max_hands
+        kp2d = np.zeros((self.batch_size, S, 21, 2), np.float32)
+        is_right = np.zeros((self.batch_size, S), np.float32)
+        valid = np.zeros((self.batch_size, S), np.bool_)
+        for i, st in enumerate(states[: self.batch_size]):
+            kp2d[i] = st["kp2d"]
+            is_right[i] = st["is_right"]
+            valid[i] = st["valid"]
+        batch = self._shard((jnp.asarray(images), jnp.asarray(kp2d),
+                             jnp.asarray(is_right), jnp.asarray(valid),
+                             jnp.asarray(hws), jnp.asarray(Ks)))
+        return self._fn_tracked(self.params, *batch), n
 
     @staticmethod
     def _fetch(out, n: int) -> Dict[str, np.ndarray]:
@@ -153,11 +204,23 @@ class BatchedPipeline:
         Yields {"outputs": stacked pytree (n_live leading dim),
         "source_idx": list} per tick; sources with no new frame in a tick
         are skipped (their slot simply isn't dispatched).
+
+        With ``detect_every=K>1`` (constructor arg) the tick additionally
+        carries "detected": the source indices that ran the full detector
+        this tick. Every K-th tick (and any source with no stored state —
+        new or previously-frameless) detects; the rest run the
+        detector-skip program on boxes tracked from their previous tick's
+        keypoints (``frame.infer_frames_tracked``). Hands that appear
+        mid-interval are picked up at the next keyframe; hands that
+        vanish keep their (masked-invalid after NMS-less validity) slot
+        until then — the staleness bound is K ticks.
         """
         from hamer_yolo_tpu.io.video import MultiStreamReader
 
         reader = MultiStreamReader(sources, buffer=buffer)
         stats = ServingStats()
+        track: Dict[int, dict] = {}
+        tick = 0
         t0 = time.time()
         try:
             for batch in reader.batches(max_batches=max_batches,
@@ -165,11 +228,40 @@ class BatchedPipeline:
                 live = [(i, f) for i, f in enumerate(batch) if f is not None]
                 if not live:
                     continue
-                frames = [f for _, f in live]
-                out = self.process_batch(frames, K)
-                stats.frames += len(frames)
-                stats.batches += 1
-                yield {"outputs": out, "source_idx": [i for i, _ in live]}
+                keyframe = (tick % self.detect_every == 0)
+                tick += 1
+                if self.detect_every <= 1:
+                    frames = [f for _, f in live]
+                    out = self.process_batch(frames, K)
+                    stats.frames += len(frames)
+                    stats.batches += 1
+                    yield {"outputs": out, "source_idx": [i for i, _ in live]}
+                    continue
+                det = [(i, f) for i, f in live if keyframe or i not in track]
+                det_ids = {i for i, _ in det}
+                trk = [(i, f) for i, f in live if i not in det_ids]
+                pend = []  # both enqueue before either fetch (async overlap)
+                if det:
+                    pend.append((det, self._dispatch([f for _, f in det], K)))
+                if trk:
+                    pend.append((trk, self._dispatch_tracked(
+                        [f for _, f in trk], [track[i] for i, _ in trk], K)))
+                per_src: Dict[int, Dict[str, np.ndarray]] = {}
+                for items, (out, n) in pend:
+                    o = self._fetch(out, n)
+                    for j, (i, _) in enumerate(items):
+                        row = {k: v[j] for k, v in o.items()}
+                        per_src[i] = row
+                        track[i] = {"kp2d": row["keypoints_2d"],
+                                    "is_right": row["is_right"],
+                                    "valid": row["valid"]}
+                order = [i for i, _ in live]
+                stacked = {k: np.stack([per_src[i][k] for i in order])
+                           for k in per_src[order[0]]}
+                stats.frames += len(live)
+                stats.batches += len(pend)
+                yield {"outputs": stacked, "source_idx": order,
+                       "detected": sorted(det_ids)}
         finally:
             reader.close()
             stats.total_s = time.time() - t0
