@@ -306,6 +306,12 @@ def main() -> None:
                 # int8 1.684 / full-trunk shifted-GEMM int8 8.282 —
                 # EVERY int8 YOLO formulation measured is a loss on
                 # this chip; the trunk stays bf16.
+                # Detect-skip tracking program (serving detect_every=K;
+                # tools/bench_tracking.py, assets/bench_tracking_r03.log):
+                # boxes from the previous tick's keypoints, detector
+                # stage gone — box-roundtrip exact (0.000 mm/0.000 px).
+                "tracked_tick_fps_b128": 437.4,   # 292.6 ms vs 439.1 detect
+                "tracked_detect_every4_fps_b128": 388.8,
                 "det_bf16_ms_per_img_b128": 1.484,
                 "det_int8_1x1_ms_per_img_b128": 1.684,
                 "det_int8_all_ms_per_img_b128": 8.282,

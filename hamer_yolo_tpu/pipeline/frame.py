@@ -376,6 +376,7 @@ def infer_frames_tracked(
     cfg: PipelineConfig,
     attn_impl=None,
     track_expand: float = 1.3,
+    track_min_size: float = 32.0,
 ) -> Dict[str, jax.Array]:
     """Detector-skip frame batch: boxes come from the previous tick's
     projected 2D keypoints instead of YOLO.
@@ -396,8 +397,8 @@ def infer_frames_tracked(
     from hamer_yolo_tpu.geometry.boxes import track_boxes_from_keypoints
 
     boxes = jax.vmap(
-        lambda k, v, hw: track_boxes_from_keypoints(k, v, hw,
-                                                    expand=track_expand)
+        lambda k, v, hw: track_boxes_from_keypoints(
+            k, v, hw, expand=track_expand, min_size=track_min_size)
     )(prev_kp2d, prev_valid, orig_hws)
     dets = {
         "boxes": boxes,

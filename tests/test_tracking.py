@@ -117,6 +117,55 @@ class TestInferFramesTracked:
         np.testing.assert_array_equal(np.asarray(trk_out["is_right"]),
                                       np.asarray(det_out["is_right"]))
 
+    @pytest.mark.slow
+    def test_box_roundtrip_matches_detect(self):
+        """Keypoints whose tracked extent reproduces the detector's boxes
+        must yield the detect program's outputs (scores are passthrough;
+        the only difference between the programs is the box source)."""
+        from hamer_yolo_tpu.pipeline.frame import (infer_frames,
+                                                   infer_frames_tracked)
+
+        cfg = _tiny_cfg()
+        params, mano = _tiny_params(cfg)
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(
+            rng.integers(0, 255, (2, 48, 64, 3)).astype(np.float32))
+        hws = jnp.broadcast_to(jnp.asarray([48.0, 64.0]), (2, 2))
+        Ks = jnp.broadcast_to(jnp.asarray(
+            [[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], jnp.float32),
+            (2, 3, 3))
+
+        det_out = jax.jit(lambda p, i, h, k: infer_frames(
+            p, mano, i, h, k, cfg))(params, images, hws, Ks)
+        valid = np.asarray(det_out["valid"], bool)
+        assert valid.any()
+
+        expand, min_size = 1.3, 2.0
+        boxes = np.asarray(det_out["boxes"], np.float64)
+        c = (boxes[..., :2] + boxes[..., 2:]) / 2.0
+        wh = boxes[..., 2:] - boxes[..., :2]
+        kp = np.broadcast_to(c[..., None, :],
+                             boxes.shape[:2] + (21, 2)).copy()
+        kp[..., 0, :] = c - wh / (2.0 * expand)
+        kp[..., 1, :] = c + wh / (2.0 * expand)
+
+        trk_out = jax.jit(lambda p, i, kpv, ir, v, h, k: infer_frames_tracked(
+            p, mano, i, kpv, ir, v, h, k, cfg, track_expand=expand,
+            track_min_size=min_size))(
+                params, images, jnp.asarray(kp, jnp.float32),
+                det_out["is_right"], det_out["valid"], hws, Ks)
+
+        ok = valid & (wh >= min_size).all(axis=-1)
+        assert ok.any()
+        np.testing.assert_array_equal(
+            np.asarray(trk_out["boxes"])[ok], boxes[ok])
+        for key in ("vertices", "keypoints_2d", "cam_t", "root_depth",
+                    "betas", "theta"):
+            np.testing.assert_allclose(
+                np.asarray(trk_out[key], np.float64)[ok],
+                np.asarray(det_out[key], np.float64)[ok],
+                atol=2e-3, err_msg=key)
+
 
 class TestStreamMultiDetectEvery:
     @pytest.mark.slow
