@@ -210,3 +210,35 @@ class TestStreamMultiDetectEvery:
         # tracked ticks carry keyframe validity forward
         np.testing.assert_array_equal(ticks[1]["outputs"]["valid"],
                                       ticks[0]["outputs"]["valid"])
+
+    @pytest.mark.slow
+    def test_detect_every_mesh_sharded(self):
+        """Both serving programs (detect + tracked) dispatch through the
+        8-device data mesh: the tracked batch tuple shards like the
+        detect one (serving._shard pads every dispatch to batch_size)."""
+        from hamer_yolo_tpu.parallel.mesh import make_mesh
+        from hamer_yolo_tpu.pipeline.serving import BatchedPipeline
+
+        cfg = _tiny_cfg()
+        params, mano = _tiny_params(cfg)
+        K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+        rng = np.random.default_rng(3)
+        frames = [rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+                  for _ in range(2)]
+
+        def _src(i, n=4):
+            for _ in range(n):
+                yield frames[i]
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        with jax.set_mesh(mesh):
+            pipe = BatchedPipeline(params, mano, cfg, batch_size=8,
+                                   bucket_hw=(48, 64), mesh=mesh,
+                                   detect_every=2)
+            ticks = list(pipe.stream_multi([_src(0), _src(1)], K,
+                                           max_batches=3, timeout=5.0))
+        assert [t["detected"] for t in ticks] == [[0, 1], [], [0, 1]]
+        for t in ticks:
+            assert t["outputs"]["boxes"].shape[0] == 2
+            for v in t["outputs"].values():
+                assert np.isfinite(np.asarray(v)).all()
