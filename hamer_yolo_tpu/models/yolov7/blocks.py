@@ -74,10 +74,19 @@ def sp(x: jax.Array, k: int = 3, s: int = 1) -> jax.Array:
 
 
 def reorg(x: jax.Array) -> jax.Array:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C) space-to-depth."""
-    return jnp.concatenate(
-        [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1
-    )
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) space-to-depth.
+
+    Channel order matches the reference's slice-concat
+    (common.py:52: [::2,::2], [1::2,::2], [::2,1::2], [1::2,1::2]) but is
+    formulated as reshape+transpose: on TPU the four strided slices of a
+    lane-minor C=3 image each degenerate into scalar-ish gathers (~140 ms
+    device at b32/1280² — 65%% of the whole w6 forward, profile_w6_r03),
+    while the tiled transpose is plain bandwidth.
+    """
+    B, H, W, C = x.shape
+    y = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    y = y.transpose(0, 1, 3, 4, 2, 5)  # (b, h2, w2, pw, ph, c)
+    return y.reshape(B, H // 2, W // 2, 4 * C)
 
 
 def upsample2x(x: jax.Array) -> jax.Array:

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--size", type=int, default=1280)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--step", type=int, default=8)
+    ap.add_argument("--upto", type=int, default=0,
+                    help="profile only spec[:upto] (0 = whole model)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -105,7 +107,8 @@ def main():
             acc = acc + jnp.sum(v.astype(jnp.float32))
         return acc + jnp.sum(out.astype(jnp.float32))
 
-    cuts = list(range(args.step, len(spec), args.step)) + [len(spec)]
+    last = args.upto if args.upto else len(spec)
+    cuts = list(range(args.step, last, args.step)) + [last]
     times = {0: 0.0}
     prev = 0.0
     print(f"{args.cfg}: {len(spec)} layers, {len(cuts)} cuts", flush=True)
