@@ -43,11 +43,15 @@ def conv_block_init(key, c1: int, c2: int, k: int = 1, s: int = 1,
 
 
 def conv_block(p: Params, x: jax.Array, s: int = 1, act: bool = True) -> jax.Array:
+    """act: True = SiLU (the reference default), False = identity, or any
+    callable from core/activations.py (the reference's swap-in zoo)."""
     w = p["conv"]["w"]
     k = (w["q"] if isinstance(w, dict) else w).shape[0]
     y = nn.conv2d(p["conv"], x, stride=s, padding=autopad(k))
     if "bn" in p:
         y = nn.batch_norm(p["bn"], y)
+    if callable(act):
+        return act(y)
     return jax.nn.silu(y) if act else y
 
 

@@ -73,7 +73,8 @@ def _use_pallas_default() -> bool:
 
 
 @partial(jax.jit, static_argnames=("max_det", "max_nms_static", "agnostic",
-                                  "classes", "use_pallas"))
+                                  "classes", "use_pallas", "merge",
+                                  "redundant"))
 def non_max_suppression(
     prediction: jax.Array,
     conf_thres: float = 0.25,
@@ -83,8 +84,20 @@ def non_max_suppression(
     max_det: int = 300,
     max_nms_static: int = 512,
     use_pallas: Optional[bool] = None,
+    merge: bool = False,
+    redundant: bool = True,
 ) -> NmsOutput:
-    """prediction: (B, N, 5 + nc) decoded xywh + obj + cls scores."""
+    """prediction: (B, N, 5 + nc) decoded xywh + obj + cls scores.
+
+    ``merge=True`` reproduces the reference's Merge-NMS branch
+    (general.py:689-695): each kept box is replaced by the score-weighted
+    mean of every candidate overlapping it above ``iou_thres`` (IoU taken
+    on the class-offset boxes, the mean on the raw boxes), and with
+    ``redundant`` (reference default) kept boxes supported by no second
+    candidate are dropped. The reference guards the O(n^2) matrix with
+    ``1 < n < 3e3``; here the candidate set is already the static top-K,
+    so the matrix is always (K, K) and no guard is needed.
+    """
     B, N, no = prediction.shape
     nc = no - 5
     xywh = prediction[..., :4]
@@ -131,6 +144,20 @@ def non_max_suppression(
             return _greedy_suppress(iou, act, iou_thres)
 
         keep = jax.vmap(per_image)(shifted, top_active)  # (B, K)
+
+    if merge:
+        def merge_image(kp, bx_shift, bx, sc, act):
+            ov = (box_iou(bx_shift, bx_shift) > iou_thres) & act[None, :]
+            w = ov.astype(bx.dtype) * sc[None, :]  # (K, K) candidate weights
+            denom = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+            merged = (w @ bx) / denom
+            new_bx = jnp.where(kp[:, None], merged, bx)
+            if redundant:
+                kp = kp & (jnp.sum(ov, axis=1) > 1)
+            return new_bx, kp
+
+        top_boxes, keep = jax.vmap(merge_image)(
+            keep, shifted, top_boxes, top_scores, top_active)
 
     # Compact kept detections to the front, cap at max_det.
     keep_score = jnp.where(keep, top_scores, -1.0)

@@ -255,3 +255,75 @@ class TestPlots:
                               color_by=pcl[:, 2])
         import os
         assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+class TestActivations:
+    """core/activations.py vs the reference's torch modules
+    (yolo/yolov7/utils/activations.py) run as oracles."""
+
+    def test_elementwise_match_torch(self):
+        import torch
+
+        from hamer_yolo_tpu.core import activations as A
+
+        x = np.linspace(-6, 6, 97).astype(np.float32)
+        tx = torch.from_numpy(x)
+        # SiLU (:10), export-friendly Hardswish (:15), Mish (:40)
+        pairs = [
+            (A.silu, tx * torch.sigmoid(tx)),
+            (A.hardswish,
+             tx * torch.nn.functional.hardtanh(tx + 3, 0.0, 6.0) / 6.0),
+            (A.mish, tx * torch.nn.functional.softplus(tx).tanh()),
+        ]
+        for fn, expect in pairs:
+            np.testing.assert_allclose(np.asarray(fn(jnp.asarray(x))),
+                                       expect.numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_frelu_matches_torch(self):
+        import torch
+
+        from hamer_yolo_tpu.core import activations as A
+
+        rng = np.random.default_rng(11)
+        c = 8
+        p = A.frelu_init(jax.random.PRNGKey(0), c)
+        # randomize BN stats so the comparison is non-trivial
+        p["bn"]["mean"] = jnp.asarray(rng.normal(size=c).astype(np.float32))
+        p["bn"]["var"] = jnp.asarray(
+            rng.uniform(0.5, 2.0, c).astype(np.float32))
+        p["bn"]["scale"] = jnp.asarray(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        p["bn"]["bias"] = jnp.asarray(rng.normal(size=c).astype(np.float32))
+        x = rng.normal(size=(2, 10, 12, c)).astype(np.float32)
+
+        # torch oracle (activations.py:65-72): depthwise conv + BN + max
+        m = torch.nn.Conv2d(c, c, 3, 1, 1, groups=c, bias=False)
+        with torch.no_grad():
+            # our HWIO depthwise weight (kh, kw, 1, c) -> torch (c, 1, kh, kw)
+            w = np.asarray(p["conv"]["w"]).transpose(3, 2, 0, 1)
+            m.weight.copy_(torch.from_numpy(w))
+        bn = torch.nn.BatchNorm2d(c).eval()
+        with torch.no_grad():
+            bn.running_mean.copy_(torch.from_numpy(np.asarray(p["bn"]["mean"])))
+            bn.running_var.copy_(torch.from_numpy(np.asarray(p["bn"]["var"])))
+            bn.weight.copy_(torch.from_numpy(np.asarray(p["bn"]["scale"])))
+            bn.bias.copy_(torch.from_numpy(np.asarray(p["bn"]["bias"])))
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            expect = torch.max(tx, bn(m(tx))).numpy().transpose(0, 2, 3, 1)
+
+        got = np.asarray(A.frelu(p, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def test_conv_block_accepts_callable_act(self):
+        from hamer_yolo_tpu.core import activations as A
+        from hamer_yolo_tpu.models.yolov7 import blocks as B
+
+        p = B.conv_block_init(jax.random.PRNGKey(0), 3, 4, k=3)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 8, 8, 3)).astype(
+                np.float32))
+        y_mish = B.conv_block(p, x, act=A.mish)
+        y_raw = B.conv_block(p, x, act=False)
+        np.testing.assert_allclose(np.asarray(y_mish),
+                                   np.asarray(A.mish(y_raw)), rtol=1e-6)

@@ -143,6 +143,58 @@ class TestNMS:
         np.testing.assert_allclose(got, exp_boxes[order], rtol=1e-4)
         np.testing.assert_array_equal(got_cls, exp_cls[order])
 
+    def test_merge_nms_matches_reference_math(self, rng):
+        """merge=True vs the reference's Merge-NMS branch
+        (general.py:689-695): kept boxes become the score-weighted mean
+        of every candidate overlapping >iou_thres (IoU on offset boxes,
+        mean on raw boxes); redundant=True drops kept boxes with no
+        second supporter."""
+        N, nc = 120, 3
+        pred = np.zeros((1, N, 5 + nc), np.float32)
+        pred[0, :, 0:2] = rng.uniform(50, 400, (N, 2))
+        pred[0, :, 2:4] = rng.uniform(40, 160, (N, 2))
+        pred[0, :, 4] = rng.uniform(0, 1, N)
+        pred[0, :, 5:] = rng.dirichlet(np.ones(nc), N)
+        out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                  iou_thres=0.45, merge=True)
+        got = np.asarray(out.boxes[0])[np.asarray(out.valid[0])]
+        got_scores = np.asarray(out.scores[0])[np.asarray(out.valid[0])]
+
+        # reference computation
+        p = pred[0]
+        conf = p[:, 5:] * p[:, 4:5]
+        score = conf.max(1)
+        cls = conf.argmax(1)
+        mask = (p[:, 4] > 0.25) & (score > 0.25)
+        boxes = np.stack([
+            p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+            p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2,
+        ], 1)
+        shifted = (boxes + cls[:, None] * 4096.0)[mask]
+        sc, bx = score[mask], boxes[mask]
+        keep = self._torch_nms(shifted, sc, 0.45)
+
+        def iou_mat(a, b):
+            x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+            y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+            x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+            y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+            inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+            ar = lambda z: (z[:, 2] - z[:, 0]) * (z[:, 3] - z[:, 1])
+            return inter / np.maximum(ar(a)[:, None] + ar(b)[None] - inter,
+                                      1e-12)
+
+        ov = iou_mat(shifted[keep], shifted) > 0.45
+        w = ov * sc[None, :]
+        merged = (w @ bx) / w.sum(1, keepdims=True)
+        red = ov.sum(1) > 1
+        exp_boxes, exp_scores = merged[red], sc[keep][red]
+
+        assert len(got) == len(exp_boxes)
+        order = np.argsort(-exp_scores)
+        np.testing.assert_allclose(got_scores, exp_scores[order], rtol=1e-5)
+        np.testing.assert_allclose(got, exp_boxes[order], rtol=1e-4)
+
     def test_candidate_overflow_keeps_highest_scores(self, rng):
         """More candidates above conf than max_nms_static: the static top-K
         must keep the HIGHEST-scoring candidates (silent truncation only
