@@ -98,6 +98,16 @@ def non_max_suppression(
     ``1 < n < 3e3``; here the candidate set is already the static top-K,
     so the matrix is always (K, K) and no guard is needed.
     """
+    out, _ = _nms_core(prediction, conf_thres, iou_thres, classes, agnostic,
+                       max_det, max_nms_static, use_pallas, merge, redundant)
+    return out
+
+
+def _nms_core(prediction, conf_thres, iou_thres, classes, agnostic, max_det,
+              max_nms_static, use_pallas, merge, redundant):
+    """Shared NMS body; also returns the kept candidates' original indices
+    (B, max_det) so callers can gather side payloads (keypoint columns in
+    non_max_suppression_kpt, general.py:706-800)."""
     B, N, no = prediction.shape
     nc = no - 5
     xywh = prediction[..., :4]
@@ -165,13 +175,60 @@ def non_max_suppression(
     out_scores, order = jax.lax.top_k(keep_score, m)
     out_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
     out_cls = jnp.take_along_axis(top_cls, order, axis=1)
+    out_idx = jnp.take_along_axis(top_idx, order, axis=1)
     if m < max_det:
         pad = max_det - m
         out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
         out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
         out_cls = jnp.pad(out_cls, ((0, 0), (0, pad)))
+        out_idx = jnp.pad(out_idx, ((0, 0), (0, pad)))
     out_valid = out_scores > 0.0
     return NmsOutput(
         boxes=out_boxes, scores=jnp.maximum(out_scores, 0.0),
         classes=out_cls, valid=out_valid,
-    )
+    ), out_idx
+
+
+class NmsKptOutput(NamedTuple):
+    boxes: jax.Array  # (B, max_det, 4) xyxy
+    scores: jax.Array  # (B, max_det)
+    classes: jax.Array  # (B, max_det) int32
+    kpts: jax.Array  # (B, max_det, 3 * nkpt) x,y,conf per keypoint
+    valid: jax.Array  # (B, max_det) bool
+
+
+@partial(jax.jit, static_argnames=("nc", "max_det", "max_nms_static",
+                                  "agnostic", "classes", "use_pallas"))
+def non_max_suppression_kpt(
+    prediction: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    nc: int = 1,
+    classes: Optional[Tuple[int, ...]] = None,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms_static: int = 512,
+    use_pallas: Optional[bool] = None,
+) -> NmsKptOutput:
+    """Keypoint-carrying NMS (general.py:706-800 kpt_label=True path):
+    prediction is (B, N, 5 + nc + 3*nkpt) from the IKeypoint decode; the
+    trailing 3*nkpt (x, y, conf) columns ride along with each kept box.
+    Suppression semantics are identical to :func:`non_max_suppression`
+    (the reference's kpt variant hardcodes merge=False)."""
+    det = prediction[..., : 5 + nc]
+    kpts = prediction[..., 5 + nc:]
+    if nc == 1:
+        # The reference kpt path scores by obj*cls even single-class
+        # (general.py:762: conf from x[:, 5:6] after the obj multiply);
+        # _nms_core's nc==1 shortcut uses obj alone, so fold cls in. The
+        # kept set is identical: cls<=1 makes the raw-obj>thres gate
+        # implied by obj*cls>thres.
+        det = jnp.concatenate(
+            [det[..., :4], (det[..., 4] * det[..., 5])[..., None],
+             det[..., 5:6]], axis=-1)
+    out, idx = _nms_core(det, conf_thres, iou_thres, classes, agnostic,
+                         max_det, max_nms_static, use_pallas, False, True)
+    out_kpts = jnp.take_along_axis(kpts, idx[..., None], axis=1)
+    out_kpts = jnp.where(out.valid[..., None], out_kpts, 0.0)
+    return NmsKptOutput(boxes=out.boxes, scores=out.scores,
+                        classes=out.classes, kpts=out_kpts, valid=out.valid)

@@ -195,6 +195,45 @@ class TestNMS:
         np.testing.assert_allclose(got_scores, exp_scores[order], rtol=1e-5)
         np.testing.assert_allclose(got, exp_boxes[order], rtol=1e-4)
 
+    def test_kpt_nms_matches_reference_path(self, rng):
+        """non_max_suppression_kpt vs the reference kpt_label=True path
+        (general.py:706-800): obj*cls scoring (even single-class), same
+        greedy suppression, keypoint columns carried with each kept box."""
+        from hamer_yolo_tpu.ops.nms import non_max_suppression_kpt
+
+        N, nkpt = 150, 17
+        pred = np.zeros((1, N, 6 + 3 * nkpt), np.float32)
+        pred[0, :, 0:2] = rng.uniform(50, 500, (N, 2))
+        pred[0, :, 2:4] = rng.uniform(30, 140, (N, 2))
+        pred[0, :, 4] = rng.uniform(0, 1, N)  # obj
+        pred[0, :, 5] = rng.uniform(0.5, 1, N)  # single cls score
+        pred[0, :, 6:] = rng.normal(size=(N, 3 * nkpt))
+        out = non_max_suppression_kpt(jnp.asarray(pred), conf_thres=0.25,
+                                      iou_thres=0.45, nc=1)
+        v = np.asarray(out.valid[0])
+        got_boxes = np.asarray(out.boxes[0])[v]
+        got_kpts = np.asarray(out.kpts[0])[v]
+        got_scores = np.asarray(out.scores[0])[v]
+
+        # reference computation
+        p = pred[0]
+        score = p[:, 4] * p[:, 5]
+        mask = (p[:, 4] > 0.25) & (score > 0.25)
+        boxes = np.stack([
+            p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+            p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2,
+        ], 1)
+        keep = self._torch_nms(boxes[mask], score[mask], 0.45)
+        exp_boxes = boxes[mask][keep]
+        exp_scores = score[mask][keep]
+        exp_kpts = p[:, 6:][mask][keep]
+
+        assert len(got_boxes) == len(exp_boxes)
+        order = np.argsort(-exp_scores)
+        np.testing.assert_allclose(got_scores, exp_scores[order], rtol=1e-5)
+        np.testing.assert_allclose(got_boxes, exp_boxes[order], rtol=1e-4)
+        np.testing.assert_allclose(got_kpts, exp_kpts[order], rtol=1e-5)
+
     def test_candidate_overflow_keeps_highest_scores(self, rng):
         """More candidates above conf than max_nms_static: the static top-K
         must keep the HIGHEST-scoring candidates (silent truncation only
