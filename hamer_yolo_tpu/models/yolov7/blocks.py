@@ -93,6 +93,43 @@ def reorg(x: jax.Array) -> jax.Array:
     return y.reshape(B, H // 2, W // 2, 4 * C)
 
 
+def reorg_conv_weight(w3: jax.Array) -> jax.Array:
+    """Rearrange a (3, 3, 4C, O) conv weight that consumes ReOrg output
+    into the equivalent (6, 6, C, O) stride-2 weight on the RAW image.
+
+    ReOrg(x)[y, x', px*2C+py*C+c] = x[2y+py, 2x'+px, c], so a 3x3/s1 conv
+    on the half-res 4C map is exactly a 6x6/s2 conv on the full-res C map
+    with taps W6[2dy+py, 2dx+px, c] = W3[dy, dx, px*2C+py*C+c] and
+    asymmetric padding (2, 3). Fusing skips materialising the 12-channel
+    intermediate entirely (the C_in=12 conv is heavily lane-padded on
+    TPU; the raw C=3 first-layer conv has dedicated XLA handling).
+    """
+    kh, kw, c4, o = w3.shape
+    assert kh == 3 and kw == 3 and c4 % 4 == 0
+    c = c4 // 4
+    w = w3.reshape(3, 3, 2, 2, c, o)  # (dy, dx, px, py, c, o)
+    w = w.transpose(0, 3, 1, 2, 4, 5)  # (dy, py, dx, px, c, o)
+    return w.reshape(6, 6, c, o)
+
+
+def reorg_conv_block(p: Params, x: jax.Array, act: bool = True) -> jax.Array:
+    """conv_block(p, reorg(x)) computed as one 6x6/s2 conv on x.
+
+    p must be a deploy/inference Conv whose weight is a plain (3,3,4C,O)
+    array (int8-dict weights fall back to the unfused path in the model
+    walk). BN/bias/activation act on output channels, so they apply
+    unchanged.
+    """
+    conv = dict(p["conv"])
+    conv["w"] = reorg_conv_weight(conv["w"])
+    y = nn.conv2d(conv, x, stride=2, padding=((2, 3), (2, 3)))
+    if "bn" in p:
+        y = nn.batch_norm(p["bn"], y)
+    if callable(act):
+        return act(y)
+    return jax.nn.silu(y) if act else y
+
+
 def upsample2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x upsample."""
     B, H, W, C = x.shape

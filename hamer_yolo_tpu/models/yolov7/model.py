@@ -18,6 +18,7 @@ identical for Detect and IDetect checkpoints.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Sequence, Tuple
 
@@ -270,6 +271,30 @@ def _save_set(spec) -> set:
     return saved
 
 
+def _reorg_conv_fusable(spec, params, i: int, saved) -> bool:
+    """True when spec[i] (REORG) feeds only spec[i+1] = Conv(k=3, s=1)
+    with a plain bf16/f32 weight — the exact-fusion peephole conditions
+    (HYT_FUSE_REORG: 1/0/auto, auto = on for TPU where the unfused
+    C_in=12 conv is lane-padding-bound)."""
+    knob = os.environ.get("HYT_FUSE_REORG", "auto")
+    if knob == "0":
+        return False
+    if knob == "auto":
+        try:
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return False
+        except Exception:
+            return False
+    if i + 1 >= len(spec) or i in saved:
+        return False
+    frm, op, args = spec[i + 1]
+    if op != C or frm != -1 or len(args) < 3 or args[1] != 3 or args[2] != 1:
+        return False
+    p = params["layers"][i + 1]
+    w = p.get("conv", {}).get("w") if isinstance(p, dict) else None
+    return w is not None and not isinstance(w, dict) and w.shape[0] == 3
+
+
 def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
                             cfg: YoloConfig = YoloConfig(),
                             spec=None) -> List[jax.Array]:
@@ -279,7 +304,12 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
     y: Dict[int, jax.Array] = {}
     out = x.astype(jnp.dtype(cfg.compute_dtype))
     det_maps: List[jax.Array] = []
+    fused_skip = -1
     for i, (frm, op, args) in enumerate(spec):
+        if i == fused_skip:  # consumed by the fused REORG+Conv below
+            if i in saved:
+                y[i] = out
+            continue
         srcs = _resolve(frm, i)
         inputs = [out if s == i - 1 else y[s] for s in srcs]
         p = params["layers"][i]
@@ -296,6 +326,12 @@ def yolov7_backbone_forward(params: nn.Params, x: jax.Array,
         elif op == UP:
             out = B.upsample2x(inputs[0])
         elif op == "REORG":
+            if _reorg_conv_fusable(spec, params, i, saved):
+                # exact peephole: ReOrg + 3x3/s1 Conv = one 6x6/s2 conv
+                # on the raw image (blocks.reorg_conv_block)
+                out = B.reorg_conv_block(params["layers"][i + 1], inputs[0])
+                fused_skip = i + 1
+                continue
             out = B.reorg(inputs[0])
         elif op == "SP_":
             out = B.sp(inputs[0], args[0] if args else 3)

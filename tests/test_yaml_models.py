@@ -100,3 +100,25 @@ class TestReferenceYamls:
         assert len(spec) == 262  # 1:1 with the yaml layer list
         assert sum(1 for _, op, _a in spec if op == "ADD") == 11
         assert cfg.nl == 4
+
+
+class TestReorgConvFusion:
+    """The exact REORG+Conv(3x3/s1) -> 6x6/s2 peephole
+    (models/yolov7/model._reorg_conv_fusable, blocks.reorg_conv_block):
+    full w6 forward with fusion forced on must match fusion off."""
+
+    def test_w6_forward_matches_unfused(self, monkeypatch):
+        import dataclasses
+
+        spec, cfg = load_yaml_model_cfg(
+            os.path.join(REF_CFG, "yolov7-w6.yaml"), nc=3)
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
+        params = init_yolov7(jax.random.PRNGKey(0), cfg, spec=spec)
+        x = jnp.asarray(np.random.default_rng(0).random(
+            (1, 128, 128, 3), np.float32))
+
+        monkeypatch.setenv("HYT_FUSE_REORG", "0")
+        ref = np.asarray(yolov7_forward(params, x, cfg, spec=spec))
+        monkeypatch.setenv("HYT_FUSE_REORG", "1")
+        fused = np.asarray(yolov7_forward(params, x, cfg, spec=spec))
+        np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
