@@ -260,7 +260,15 @@ def cmd_detect(args) -> int:
     from hamer_yolo_tpu.pipeline.runner import FrameProgram
 
     params, mano, cfg = _load_runtime(args)
+    if getattr(args, "augment", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, tta=True)
     program = FrameProgram(params, mano, cfg)
+    if args.save_txt:
+        os.makedirs(args.save_txt, exist_ok=True)
+    if args.save_img:
+        os.makedirs(args.save_img, exist_ok=True)
     for path in list_images(args.input):
         img = cv2.imread(path)
         if img is None:
@@ -268,9 +276,36 @@ def cmd_detect(args) -> int:
         out = program(img.astype(np.float32), _default_K(img.shape))
         dets = [
             {"label": "right" if out["is_right"][i] > 0.5 else "left",
-             "box": out["boxes"][i].tolist(), "score": float(out["scores"][i])}
+             "box": out["boxes"][i].tolist(), "score": float(out["scores"][i]),
+             "class": int(out["classes"][i])}
             for i in range(len(out["valid"])) if out["valid"][i]
         ]
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if args.save_txt:
+            # reference detect.py:111-115 label format: cls x_c y_c w h
+            # [conf], normalized by image size, '%g' rendering
+            h, w = img.shape[:2]
+            lines = []
+            for d in dets:
+                x1, y1, x2, y2 = d["box"]
+                row = [d["class"], (x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                       (x2 - x1) / w, (y2 - y1) / h]
+                if args.save_conf:
+                    row.append(d["score"])
+                lines.append(" ".join(f"{v:g}" for v in row))
+            with open(os.path.join(args.save_txt, stem + ".txt"), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        if args.save_img:
+            from hamer_yolo_tpu.utils.viz import plot_box
+
+            vis = img
+            for d in dets:
+                vis = plot_box(vis, d["box"],
+                               label=f"{d['label']} {d['score']:.2f}",
+                               color=(0, 200, 0) if d["label"] == "right"
+                               else (0, 120, 255))
+            cv2.imwrite(os.path.join(args.save_img,
+                                     os.path.basename(path)), vis)
         print(json.dumps({"image": os.path.basename(path), "detections": dets}))
     return 0
 
@@ -512,6 +547,15 @@ def main(argv: Optional[list] = None) -> int:
     p = sub.add_parser("detect", help="hand detection only")
     common(p)
     p.add_argument("--input", required=True)
+    p.add_argument("--save-txt", default=None, metavar="DIR",
+                   help="write per-image YOLO label txt (detect.py "
+                        "--save-txt format: cls x_c y_c w h, normalized)")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append confidence to --save-txt rows")
+    p.add_argument("--save-img", default=None, metavar="DIR",
+                   help="write annotated images (plot_one_box equivalent)")
+    p.add_argument("--augment", action="store_true",
+                   help="3-scale+flip detector TTA (detect.py --augment)")
     p.set_defaults(fn=cmd_detect)
 
     p = sub.add_parser("depth", help="RootNet absolute depth only")

@@ -91,6 +91,7 @@ def detect_hands(
         "boxes": boxes,
         "scores": nms.scores[0],
         "is_right": (nms.classes[0] == cfg.right_class).astype(jnp.float32),
+        "classes": nms.classes[0],
         "valid": nms.valid[0],
     }
 
@@ -134,6 +135,7 @@ def detect_hands_batched(
         "boxes": boxes,
         "scores": nms.scores,
         "is_right": (nms.classes == cfg.right_class).astype(jnp.float32),
+        "classes": nms.classes,
         "valid": nms.valid,
     }
 
@@ -404,6 +406,11 @@ def infer_frames_tracked(
         "boxes": boxes,
         "scores": prev_valid.astype(jnp.float32),
         "is_right": prev_is_right.astype(jnp.float32),
+        # raw class id is not recoverable from is_right alone; 0 is a
+        # legitimate left id in the 3-class mapping (cls==1 -> right,
+        # else left, yolo/detector.py:144-148)
+        "classes": jnp.where(prev_is_right > 0.5, cfg.right_class,
+                             0).astype(jnp.int32),
         "valid": prev_valid.astype(bool),
     }
     return jax.vmap(

@@ -132,3 +132,21 @@ class TestCliDetect:
         assert len(lines) == 2
         rec = json.loads(lines[0])
         assert "detections" in rec
+
+    def test_detect_save_txt_and_img(self, image_dir, tmp_path, capsys):
+        """--save-txt writes the reference detect.py label format
+        (cls x_c y_c w h conf, normalized); --save-img writes annotated
+        copies."""
+        txt, img = str(tmp_path / "labels"), str(tmp_path / "vis")
+        rc = main(["detect", "--tiny", "--input", image_dir,
+                   "--save-txt", txt, "--save-conf", "--save-img", img])
+        assert rc == 0
+        capsys.readouterr()
+        txts = sorted(os.listdir(txt))
+        assert len(txts) == 2 and all(f.endswith(".txt") for f in txts)
+        rows = open(os.path.join(txt, txts[0])).read().split()
+        if rows:  # cls + 4 coords + conf per detection
+            assert len(rows) % 6 == 0
+            vals = [float(v) for v in rows]
+            assert all(0.0 <= v <= 1.0 for v in vals[1:6])
+        assert len(os.listdir(img)) == 2
