@@ -24,6 +24,9 @@ def main() -> int:
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--conf", type=float, default=0.001)
     p.add_argument("--iou", type=float, default=0.65)
+    p.add_argument("--save-json", default=None, metavar="PATH",
+                   help="write a cocoapi-compatible results JSON "
+                        "(test.py --save-json, test.py:167-176 schema)")
     args = p.parse_args()
 
     import cv2
@@ -57,6 +60,7 @@ def main() -> int:
 
     iou_thresholds = np.linspace(0.5, 0.95, 10)
     all_tp, all_conf, all_cls, all_target_cls = [], [], [], []
+    jdict = []
     cm = ConfusionMatrix(args.nc)
 
     pairs = image_label_pairs(args.data, args.labels)
@@ -84,6 +88,18 @@ def main() -> int:
             (labels[:, 2] + labels[:, 4] / 2) * h0,
         ], axis=1) if len(labels) else np.zeros((0, 4))
 
+        if args.save_json is not None:
+            stem = os.path.splitext(os.path.basename(img_path))[0]
+            image_id = int(stem) if stem.isnumeric() else stem
+            for bx, sc, cl in zip(boxes, scores, classes):
+                jdict.append({
+                    "image_id": image_id,
+                    "category_id": int(cl),
+                    "bbox": [round(float(bx[0]), 3), round(float(bx[1]), 3),
+                             round(float(bx[2] - bx[0]), 3),
+                             round(float(bx[3] - bx[1]), 3)],
+                    "score": round(float(sc), 5),
+                })
         tp = match_predictions(boxes, classes, gt_boxes, gt_cls, iou_thresholds)
         all_tp.append(tp)
         all_conf.append(scores)
@@ -94,6 +110,12 @@ def main() -> int:
             cm.process_batch(dets6, np.concatenate([gt_cls[:, None], gt_boxes], 1)
                              if len(gt_boxes) else np.zeros((0, 5)))
 
+    if args.save_json is not None:
+        import json
+
+        with open(args.save_json, "w") as f:
+            json.dump(jdict, f)
+        print(f"saved {len(jdict)} predictions to {args.save_json}")
     if not all_tp:
         print("no images evaluated")
         return 1
