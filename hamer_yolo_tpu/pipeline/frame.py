@@ -50,8 +50,9 @@ class PipelineConfig:
     crop_size: int = 256
     use_depth_refine: bool = False  # d_infer.py behavior when True
     tta: bool = False  # 3-scale+flip detector TTA (reference default ON,
-    #                    config/yolo_config.py:6 — off here by default; it
-    #                    triples detector cost for marginal recall)
+    #                    config/yolo_config.py:6 — off here by default;
+    #                    measured 1.87x detector cost on v5e, 2.25 -> 4.21
+    #                    ms/img b32, assets/ab_tta_r03.log)
     yolo: YoloConfig = field(default_factory=lambda: YoloConfig(nc=3))
     hamer: HamerConfig = field(default_factory=HamerConfig)
     sar: SarConfig = field(default_factory=SarConfig)
