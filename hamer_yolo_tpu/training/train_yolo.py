@@ -33,10 +33,14 @@ class YoloTrainState(NamedTuple):
 
 
 def init_yolo_train_state(
-    key: jax.Array, cfg: YoloConfig, total_steps: int = 10000, spec=None
+    key: jax.Array, cfg: YoloConfig, total_steps: int = 10000, spec=None,
+    opt_kwargs: Dict[str, float] | None = None,
 ) -> Tuple[YoloTrainState, optax.GradientTransformation]:
+    """opt_kwargs: lr0/lrf/momentum/weight_decay overrides — e.g. from a
+    reference hyp yaml via training/hyp.load_hyp_yaml."""
     params = init_yolov7(key, cfg, deploy=False, spec=spec)
-    tx = yolo_optimizer(params, total_steps=total_steps)
+    tx = yolo_optimizer(params, total_steps=total_steps,
+                        **(opt_kwargs or {}))
     return YoloTrainState(
         params=params, opt_state=tx.init(params), ema=ema_init(params),
         step=jnp.zeros((), jnp.int32),
@@ -45,7 +49,8 @@ def init_yolo_train_state(
 
 def make_yolo_train_step(cfg: YoloConfig, tx: optax.GradientTransformation,
                          spec=None, assigner: str = "neighbor",
-                         ota_topk: int = 10):
+                         ota_topk: int = 10,
+                         loss_kwargs: Dict[str, float] | None = None):
     """spec: optional model spec (yaml_spec). If it ends in AUXDET (a
     cfg/training/*.yaml IAuxDetect model), the step trains train_aux.py
     style: lead + aux maps split and fed to the ComputeLossAuxOTA
@@ -67,12 +72,14 @@ def make_yolo_train_step(cfg: YoloConfig, tx: optax.GradientTransformation,
                 batch["targets"], anchors, cfg.strides, cfg.nc,
                 assigner=assigner, ota_topk=ota_topk,
                 aux_maps=[m.astype(jnp.float32) for m in aux],
+                **(loss_kwargs or {}),
             )
         else:
             out = yolo_loss(
                 [m.astype(jnp.float32) for m in maps],
                 batch["targets"], anchors, cfg.strides, cfg.nc,
                 assigner=assigner, ota_topk=ota_topk,
+                **(loss_kwargs or {}),
             )
         return out["loss"], (out, params_with_stats)
 

@@ -241,3 +241,45 @@ class TestKPFusionRGBDTrainCLI:
             capture_output=True, text=True, env=env, timeout=900)
         assert r2.returncode == 0, r2.stderr[-2000:]
         assert "resumed from" in r2.stdout
+
+
+class TestHypYaml:
+    """training/hyp.load_hyp_yaml vs the reference's shipped hyp files
+    (yolo/yolov7/data/hyp.scratch.*.yaml, consumed by train.py --hyp)."""
+
+    def test_p5_mapping(self):
+        from hamer_yolo_tpu.training.hyp import load_hyp_yaml
+
+        opt, loss, data, extras = load_hyp_yaml(
+            "/root/reference/yolo/yolov7/data/hyp.scratch.p5.yaml")
+        assert opt == {"lr0": 0.01, "lrf": 0.1, "momentum": 0.937,
+                       "weight_decay": 0.0005}
+        assert loss == {"box_w": 0.05, "cls_w": 0.3, "obj_w": 0.7,
+                        "anchor_t": 4.0}
+        assert data["mosaic"] is True and data["mixup"] == 0.15
+        assert data["scale"] == 0.9 and data["fliplr"] == 0.5
+        # loss_ota: 1 in every shipped hyp -> SimOTA assigner
+        assert extras["_assigner"] == "simota"
+        # pos-weights etc. surface as extras, not silent drops
+        assert "cls_pw" in extras and "paste_in" in extras
+
+    def test_hyp_drives_train_step(self):
+        """A step with hyp loss gains reproduces manual gains."""
+        import jax
+
+        from hamer_yolo_tpu.models.yolov7.model import YoloConfig
+        from hamer_yolo_tpu.training.hyp import load_hyp_yaml
+        from hamer_yolo_tpu.training.train_yolo import (
+            init_yolo_train_state, make_yolo_train_step,
+            synthetic_yolo_batch,
+        )
+
+        opt, loss, _, _ = load_hyp_yaml(
+            "/root/reference/yolo/yolov7/data/hyp.scratch.p5.yaml")
+        cfg = YoloConfig(nc=3, img_size=64)
+        state, tx = init_yolo_train_state(jax.random.PRNGKey(0), cfg,
+                                          total_steps=4, opt_kwargs=opt)
+        step = jax.jit(make_yolo_train_step(cfg, tx, loss_kwargs=loss))
+        batch = synthetic_yolo_batch(jax.random.PRNGKey(1), 2, img_size=64)
+        state2, metrics = step(state, batch)
+        assert float(metrics["loss"]) > 0 and int(state2.step) == 1

@@ -42,6 +42,10 @@ def main() -> int:
     p.add_argument("--assigner", default=None,
                    choices=["neighbor", "simota"],
                    help="label assigner (default: neighbor; simota for OTA)")
+    p.add_argument("--hyp", default=None, metavar="YAML",
+                   help="reference hyp yaml (data/hyp.scratch.*.yaml): "
+                        "lr/momentum/wd, box/cls/obj gains, aug params, "
+                        "loss_ota -> simota assigner")
     args = p.parse_args()
 
     import jax
@@ -72,10 +76,21 @@ def main() -> int:
                   "with an IAuxDetect head")
             return 2
         cfg = YoloConfig(nc=args.nc, img_size=args.img_size)
-    assigner = args.assigner or ("simota" if args.aux else "neighbor")
+    opt_kwargs, loss_kwargs, data_kwargs = {}, {}, {}
+    hyp_assigner = None
+    if args.hyp:
+        from hamer_yolo_tpu.training.hyp import load_hyp_yaml
+
+        opt_kwargs, loss_kwargs, data_kwargs, extras = load_hyp_yaml(args.hyp)
+        hyp_assigner = extras.pop("_assigner", None)
+        if extras:
+            print(f"hyp keys without a counterpart here (ignored): "
+                  f"{sorted(extras)}")
+    assigner = (args.assigner or hyp_assigner
+                or ("simota" if args.aux else "neighbor"))
     ota_topk = 20 if args.aux else 10
     state, tx = init_yolo_train_state(jax.random.PRNGKey(0), cfg, args.steps,
-                                      spec=spec)
+                                      spec=spec, opt_kwargs=opt_kwargs)
     resume = latest_checkpoint(args.out) if args.resume == "auto" else args.resume
     if resume and os.path.exists(resume):
         state = load_checkpoint(resume, state)
@@ -89,9 +104,10 @@ def main() -> int:
     mesh = make_mesh(n_data=n_dev, n_model=1) if n_dev > 1 else None
     step_fn = jax.jit(make_yolo_train_step(cfg, tx, spec=spec,
                                            assigner=assigner,
-                                           ota_topk=ota_topk))
+                                           ota_topk=ota_topk,
+                                           loss_kwargs=loss_kwargs))
 
-    data_cfg = YoloDataConfig(img_size=args.img_size)
+    data_cfg = YoloDataConfig(img_size=args.img_size, **data_kwargs)
     data = yolo_batch_iterator(args.data, args.batch, data_cfg,
                                label_dir=args.labels)
 
