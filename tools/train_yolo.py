@@ -46,6 +46,10 @@ def main() -> int:
                    help="reference hyp yaml (data/hyp.scratch.*.yaml): "
                         "lr/momentum/wd, box/cls/obj gains, aug params, "
                         "loss_ota -> simota assigner")
+    p.add_argument("--plots", action="store_true",
+                   help="save train_batch0.jpg mosaic + labels.png at start "
+                        "and results.png curves at the end (reference "
+                        "train.py plot_images/plot_labels/plot_results)")
     args = p.parse_args()
 
     import jax
@@ -112,10 +116,23 @@ def main() -> int:
                                label_dir=args.labels)
 
     os.makedirs(args.out, exist_ok=True)
+    from hamer_yolo_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(args.out)
     t0 = time.time()
     start = int(state.step)
     for step in range(start, args.steps):
         batch = next(data)
+        if args.plots and step == start:
+            from hamer_yolo_tpu.utils.plots import plot_images, plot_labels
+
+            tgt = batch["targets"]  # (B, T, 5) [cls, xywh-normalized]
+            live = tgt[..., 3] > 0  # padded rows have w == 0
+            rows = [np.concatenate([[b], tgt[b, t]])
+                    for b, t in zip(*np.nonzero(live))]
+            plot_images(batch["img"], np.asarray(rows).reshape(-1, 6),
+                        fname=os.path.join(args.out, "train_batch0.jpg"))
+            plot_labels(tgt[live], os.path.join(args.out, "labels.png"))
         if mesh is not None:
             with jax.set_mesh(mesh):
                 batch = shard_batch(batch, mesh)
@@ -125,11 +142,17 @@ def main() -> int:
         if step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             rate = (step - start + 1) * args.batch / (time.time() - t0)
+            logger.log(step, m)
             print(f"step {step}: loss={m['loss']:.4f} box={m['box']:.4f} "
                   f"obj={m['obj']:.4f} cls={m['cls']:.4f} ({rate:.1f} img/s)")
         if step and step % args.ckpt_every == 0:
             save_checkpoint(os.path.join(args.out, f"ckpt_{step}"), state)
     save_checkpoint(os.path.join(args.out, "ckpt_final"), state)
+    logger.close()
+    if args.plots:
+        from hamer_yolo_tpu.utils.plots import plot_results
+
+        print(f"curves -> {plot_results(args.out)}")
     print(f"done: {args.steps} steps in {time.time() - t0:.0f}s -> {args.out}")
     return 0
 
