@@ -1,0 +1,83 @@
+"""Tests: utils/downloads.py checkpoint resolver (google_utils.py parity:
+attempt_download:19 semantics — cache-first, egress-gated, no partials)."""
+import hashlib
+import os
+
+import pytest
+
+from hamer_yolo_tpu.utils import downloads as dl
+
+
+class TestFindWeights:
+    def test_explicit_path_wins(self, tmp_path):
+        f = tmp_path / "w.pt"
+        f.write_bytes(b"x")
+        assert dl.find_weights(str(f)) == str(f)
+
+    def test_search_dir_by_basename(self, tmp_path):
+        (tmp_path / "yolov7_best.pt").write_bytes(b"x")
+        got = dl.find_weights("some/dir/yolov7_best.pt", search=[str(tmp_path)])
+        assert got == str(tmp_path / "yolov7_best.pt")
+
+    def test_hyt_weights_env(self, tmp_path, monkeypatch):
+        (tmp_path / "hamer.ckpt").write_bytes(b"x")
+        monkeypatch.setenv("HYT_WEIGHTS", str(tmp_path))
+        assert dl.find_weights("hamer.ckpt") == str(tmp_path / "hamer.ckpt")
+
+    def test_missing_returns_none(self):
+        assert dl.find_weights("definitely_not_there.pt") is None
+
+
+class TestAttemptDownload:
+    def test_local_hit_skips_network(self, tmp_path):
+        f = tmp_path / "w.pt"
+        f.write_bytes(b"data")
+        assert dl.attempt_download(str(f)) == str(f)
+
+    def test_checksum_verified_on_local_hit(self, tmp_path):
+        f = tmp_path / "w.pt"
+        f.write_bytes(b"data")
+        good = hashlib.sha256(b"data").hexdigest()
+        assert dl.attempt_download(str(f), sha256_hex=good) == str(f)
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download(str(f), sha256_hex="0" * 64)
+
+    def test_gated_off_by_default(self, monkeypatch):
+        monkeypatch.delenv("HYT_ALLOW_DOWNLOAD", raising=False)
+        # known asset name, no local copy, gate closed -> None, no egress
+        assert dl.attempt_download("yolov7-tiny.pt") is None
+
+    def test_unknown_name_never_fetches(self):
+        assert dl.attempt_download("mystery.bin", allow_download=True) is None
+
+    def test_fetch_atomic_and_checksummed(self, tmp_path, monkeypatch):
+        # fake urlopen: no real network involved
+        import io
+        import urllib.request
+
+        payload = b"checkpoint-bytes"
+        monkeypatch.setattr(urllib.request, "urlopen",
+                            lambda url: io.BytesIO(payload))
+        good = hashlib.sha256(payload).hexdigest()
+        got = dl.attempt_download("w.pt", url="http://x/w.pt",
+                                  sha256_hex=good, allow_download=True,
+                                  dest_dir=str(tmp_path))
+        assert got == str(tmp_path / "w.pt")
+        assert (tmp_path / "w.pt").read_bytes() == payload
+        assert not list(tmp_path.glob("*.part"))
+
+    def test_bad_fetch_leaves_nothing(self, tmp_path, monkeypatch):
+        import io
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlopen",
+                            lambda url: io.BytesIO(b"corrupt"))
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download("w.pt", url="http://x/w.pt",
+                                sha256_hex="0" * 64, allow_download=True,
+                                dest_dir=str(tmp_path))
+        assert list(tmp_path.iterdir()) == []  # no partials, no target
+
+    def test_known_assets_table(self):
+        assert "yolov7.pt" in dl.KNOWN_ASSETS
+        assert all(u.startswith("https://") for u in dl.KNOWN_ASSETS.values())

@@ -97,6 +97,21 @@ def main() -> int:
     for d in (input_dir, ref_dir, ours_dir):
         os.makedirs(d, exist_ok=True)
 
+    # Resolve checkpoint names through the cache-first resolver
+    # (utils/downloads.find_weights): `--yolo yolov7_best.pt` works as soon
+    # as the file appears anywhere on $HYT_WEIGHTS / the user cache, so the
+    # golden gate closes without editing paths.
+    from hamer_yolo_tpu.utils.downloads import find_weights
+    for attr in ("yolo", "hamer", "model_cfg", "sar", "mean_params"):
+        val = getattr(args, attr)
+        if val is not None and not os.path.isfile(val):
+            resolved = find_weights(val)
+            if resolved is None:
+                print(f"FATAL: --{attr.replace('_', '-')} {val!r} not found "
+                      "(checked the path, $HYT_WEIGHTS, and the user cache)")
+                return 2
+            setattr(args, attr, resolved)
+
     dry_run = args.yolo is None
     K = _load_intrinsics(args.intrinsics)
 
