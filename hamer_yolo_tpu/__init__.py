@@ -41,6 +41,34 @@ if _os.environ.get("JAX_PLATFORMS"):
         pass  # backend already initialized; leave it be
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (HYT_JAX_CACHE=0 disables).
+
+    On the axon tunnel a full-pipeline compile costs minutes (BENCH_r02
+    recorded 577 s for one b64 program); the cache makes every rerun of
+    bench.py / tools / the driver's benchmark skip those compiles
+    entirely. Keyed on HLO + backend, so CPU test compiles and TPU bench
+    compiles coexist. min_compile_time 4 s keeps tiny test programs from
+    spamming the disk.
+    """
+    import jax as _jax
+
+    cache = _os.environ.get("HYT_JAX_CACHE")
+    if cache == "0":
+        return
+    cache = cache or _os.path.expanduser("~/.cache/hamer_yolo_tpu/jax_cache")
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 4)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags — cache is best-effort
+
+
+_enable_compilation_cache()
+
+
 def load_pipeline(checkpoint: str | None = None, mano_dir: str | None = None,
                   max_hands: int = 4, **config_overrides):
     """One-call pipeline constructor (the torch.hub / hubconf equivalent).

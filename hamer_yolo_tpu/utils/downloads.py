@@ -87,8 +87,19 @@ def attempt_download(name_or_path: str,
     found = find_weights(name_or_path, search)
     if found is not None:
         if sha256_hex and sha256(found) != sha256_hex.lower():
-            raise ValueError(f"checksum mismatch for {found}")
-        return found
+            # Reference attempt_download deletes a bad file and re-fetches
+            # (google_utils.py: os.remove on failed check). Mirror that —
+            # a corrupted cache entry must not permanently block
+            # resolution — but only remove files we own (the cache dirs);
+            # an explicit user path with a bad checksum still raises.
+            if os.path.dirname(os.path.abspath(found)) in (
+                    os.path.abspath(d) for d in _search_dirs(search)):
+                os.unlink(found)
+                found = None
+            else:
+                raise ValueError(f"checksum mismatch for {found}")
+        if found is not None:
+            return found
 
     base = os.path.basename(name_or_path)
     url = url or KNOWN_ASSETS.get(base)
@@ -104,7 +115,8 @@ def attempt_download(name_or_path: str,
     fd, tmp = tempfile.mkstemp(dir=dest_dir, suffix=".part")
     os.close(fd)
     try:
-        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+        with urllib.request.urlopen(url, timeout=60) as r, \
+                open(tmp, "wb") as f:
             shutil.copyfileobj(r, f)
         if sha256_hex and sha256(tmp) != sha256_hex.lower():
             raise ValueError(f"checksum mismatch downloading {url}")

@@ -373,8 +373,15 @@ def heatmap_overlay(img: np.ndarray, heatmap: np.ndarray, size: int,
 
     Reference debug_img_heatmap:382 / debug_2d_heatmap:408 math (per-map
     min/max normalize, ``jet(1 - h)`` color, ``img/2 + color``) with the
-    per-(sample, joint) python loop replaced by one vectorized pass;
-    returns (B, J, size, size, 3) float BGR images.
+    per-(sample, joint) python loop replaced by one vectorized pass.
+
+    DELIBERATE divergences from the reference: (1) the base image is
+    resized to (size, size) — the reference interpolates it to the
+    heatmap's own (h, w) and would broadcast-fail unless h == size; this
+    is the sane fix, not the reference math. (2) colors come from
+    matplotlib's jet sliced ``[..., :3]``, i.e. RGB channel order (the
+    reference blends BGR via cv2); returns (B, J, size, size, 3) float
+    images in that RGB-jet-over-gray convention.
 
     img: (B, H, W) grayscale in [-1, 1] or None-able by passing zeros;
     heatmap: (B, J, h, w).
@@ -413,6 +420,8 @@ def tile_batch_images(img_list: Sequence[np.ndarray], max_col: int = 7,
     """
     import cv2
 
+    if not img_list:
+        raise ValueError("tile_batch_images: img_list is empty")
     rows = []
     for i in range(0, len(img_list), max_col):
         chunk = [np.asarray(im) for im in img_list[i:i + max_col]]

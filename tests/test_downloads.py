@@ -8,6 +8,15 @@ import pytest
 from hamer_yolo_tpu.utils import downloads as dl
 
 
+@pytest.fixture(autouse=True)
+def _isolate_caches(tmp_path_factory, monkeypatch):
+    """Negative-path tests must not see a stray machine-level cache: drop
+    $HYT_WEIGHTS and point the user cache (~/.cache/hamer_yolo_tpu) at a
+    fresh tmp dir via $HOME."""
+    monkeypatch.delenv("HYT_WEIGHTS", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path_factory.mktemp("isohome")))
+
+
 class TestFindWeights:
     def test_explicit_path_wins(self, tmp_path):
         f = tmp_path / "w.pt"
@@ -57,7 +66,7 @@ class TestAttemptDownload:
 
         payload = b"checkpoint-bytes"
         monkeypatch.setattr(urllib.request, "urlopen",
-                            lambda url: io.BytesIO(payload))
+                            lambda url, timeout=None: io.BytesIO(payload))
         good = hashlib.sha256(payload).hexdigest()
         got = dl.attempt_download("w.pt", url="http://x/w.pt",
                                   sha256_hex=good, allow_download=True,
@@ -71,12 +80,39 @@ class TestAttemptDownload:
         import urllib.request
 
         monkeypatch.setattr(urllib.request, "urlopen",
-                            lambda url: io.BytesIO(b"corrupt"))
+                            lambda url, timeout=None: io.BytesIO(b"corrupt"))
         with pytest.raises(ValueError, match="checksum"):
             dl.attempt_download("w.pt", url="http://x/w.pt",
                                 sha256_hex="0" * 64, allow_download=True,
                                 dest_dir=str(tmp_path))
         assert list(tmp_path.iterdir()) == []  # no partials, no target
+
+    def test_corrupt_cache_entry_deleted_and_refetched(self, tmp_path,
+                                                       monkeypatch):
+        # Reference attempt_download removes a bad file and re-fetches
+        # (google_utils.py): a corrupted CACHE entry must not permanently
+        # block resolution. Explicit user paths still raise (see
+        # test_checksum_verified_on_local_hit).
+        import io
+        import urllib.request
+
+        (tmp_path / "w.pt").write_bytes(b"corrupt")
+        payload = b"good-bytes"
+        good = hashlib.sha256(payload).hexdigest()
+        monkeypatch.setattr(urllib.request, "urlopen",
+                            lambda url, timeout=None: io.BytesIO(payload))
+        got = dl.attempt_download("w.pt", url="http://x/w.pt",
+                                  sha256_hex=good, allow_download=True,
+                                  search=[str(tmp_path)],
+                                  dest_dir=str(tmp_path))
+        assert got == str(tmp_path / "w.pt")
+        assert (tmp_path / "w.pt").read_bytes() == payload
+
+    def test_corrupt_cache_entry_gate_closed_returns_none(self, tmp_path):
+        (tmp_path / "w.pt").write_bytes(b"corrupt")
+        assert dl.attempt_download("w.pt", sha256_hex="0" * 64,
+                                   search=[str(tmp_path)]) is None
+        assert not (tmp_path / "w.pt").exists()  # bad entry removed
 
     def test_known_assets_table(self):
         assert "yolov7.pt" in dl.KNOWN_ASSETS

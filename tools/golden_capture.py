@@ -26,7 +26,10 @@ detections/crops chaotically (65 mm MPVPE swings measured). Real
 checkpoints are well-conditioned and use our detections end-to-end over
 --max-images images.
 
-Runs on CPU f32 (JAX_PLATFORMS=cpu) for bit-stable comparison.
+Runs on CPU f32 (JAX_PLATFORMS=cpu) for bit-stable comparison — the
+<1 mm gate is ALWAYS graded on exact math (compute_dtype=float32 forced
+for every model below), never the int8/bf16 bench fast paths; the
+verdict JSON records this in its "math" field.
 """
 from __future__ import annotations
 
@@ -290,6 +293,12 @@ def main() -> int:
     ok = n_checked >= 1 and worst < args.gate_mm
     verdict = {
         "mode": "dry_run" if dry_run else "real_checkpoints",
+        # The <1 mm BASELINE.md gate is evaluated on EXACT math — f32 on
+        # CPU (cfg forces compute_dtype=float32 for yolo/vit/sar above),
+        # never the int8/bf16 bench fast paths. bench.py's default int8
+        # config sits at 1.40 mm vs f32 and must not be what the golden
+        # gate grades.
+        "math": "f32-exact (CPU; fast paths disabled)",
         "images": len(res), "hands_checked": n_checked,
         "worst_mpvpe_mm": None if worst == float("inf") else round(worst, 4),
         "gate_mm": args.gate_mm, "pass": bool(ok),
