@@ -1,17 +1,20 @@
-"""KPFusion RGBD model tests."""
+"""Auxiliary KeypointFusion layer tests (kpfusion_rgbd/layers.py).
+
+The layer-exact KPFusion model/runtime/trainer are covered by
+tests/test_kpfusion_rgbd.py (oracle parity vs the reference torch
+modules) and tests/test_training.py. These tests cover the auxiliary
+reference components (cbam.py / fusion_layer.py / hourglass.py PoseNet /
+full-map back-projection) that the main runtime does not consume.
+"""
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from hamer_yolo_tpu.models.kpfusion import (
-    KPFusionConfig, cbam, cbam_init, depth_to_pointcloud, desa, desa_init,
-    hourglass, hourglass_init, init_kpfusion, kpfusion_forward,
+from hamer_yolo_tpu.models.kpfusion_rgbd.layers import (
+    cbam, cbam_init, depth_to_pointcloud, hourglass, hourglass_init,
     rgbd_fusion, rgbd_fusion_init,
 )
-
-CFG = KPFusionConfig(img_size=64, num_points=128, num_samples=16,
-                     ball_k=8, feat_dim=32, n_blocks=2, heads=4)
 
 
 class TestComponents:
@@ -34,33 +37,12 @@ class TestComponents:
         x = jnp.asarray(rng.normal(size=(1, 16, 16, 16)).astype(np.float32))
         assert hourglass(p, x).shape == x.shape
 
-    def test_desa_distance_bias(self, rng):
-        """A joint sitting exactly on one point attends mostly to it."""
-        p = desa_init(jax.random.PRNGKey(0), 16)
-        # zero projections -> logits from distance bias only
-        p = jax.tree_util.tree_map(jnp.zeros_like, p)
-        node_xyz = jnp.array([[[0.0, 0, 0]]])
-        pcl_xyz = jnp.array([[[0.0, 0, 0], [5.0, 5, 5]]])
-        node_feat = jnp.zeros((1, 1, 16))
-        pcl_feat = jnp.ones((1, 2, 16))
-        out = desa(p, node_feat, node_xyz, pcl_feat, pcl_xyz, sigma=0.5)
-        # proj is zero so output equals node_feat (residual); just check shape
-        assert out.shape == (1, 1, 16)
-
-
-class TestModel:
-    def test_forward_shapes(self, rng):
-        params = init_kpfusion(jax.random.PRNGKey(0), CFG, with_mesh=True)
-        img = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
-        depth = jnp.asarray(rng.uniform(0.3, 0.8, (2, 64, 64, 1)).astype(np.float32))
-        pcl = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32) * 0.1 + 0.5)
-        out = jax.jit(lambda p, i, d, c: kpfusion_forward(p, i, d, c, CFG))(
-            params, img, depth, pcl
-        )
-        assert out["joints_xyz"].shape == (2, 21, 3)
-        assert out["trajectory"].shape == (2, CFG.n_blocks + 1, 21, 3)
-        assert out["mesh_xyz"].shape == (2, 778, 3)
-        assert np.isfinite(np.asarray(out["joints_xyz"])).all()
+    def test_hourglass_odd_size(self, rng):
+        # stride-2 downs don't halve exactly at odd sizes; the resize-back
+        # path must still reproduce the input resolution.
+        p = hourglass_init(jax.random.PRNGKey(0), 8, depth=2)
+        x = jnp.asarray(rng.normal(size=(1, 15, 15, 8)).astype(np.float32))
+        assert hourglass(p, x).shape == x.shape
 
 
 class TestPointCloud:
@@ -80,30 +62,3 @@ class TestPointCloud:
         pcl = np.asarray(depth_to_pointcloud(depth, K, 32, stride=1))
         # all slots collapse to the single valid point
         np.testing.assert_allclose(pcl[:, 2], 0.5, atol=1e-6)
-
-
-class TestTraining:
-    def test_train_step_loss_decreases(self):
-        from hamer_yolo_tpu.training.train_kpfusion import (
-            init_kpfusion_train_state, make_kpfusion_train_step,
-            synthetic_kpfusion_batch,
-        )
-
-        state, tx = init_kpfusion_train_state(jax.random.PRNGKey(0), CFG, lr=1e-4)
-        step = jax.jit(make_kpfusion_train_step(CFG, tx))
-        batch = synthetic_kpfusion_batch(jax.random.PRNGKey(1), 2, CFG)
-        losses = []
-        for _ in range(8):
-            state, m = step(state, batch)
-            losses.append(float(m["total"]))
-        assert all(np.isfinite(losses))
-        assert min(losses[4:]) < losses[0]  # overfits the fixed batch
-
-    def test_heatmap_targets_peak_at_joint(self):
-        from hamer_yolo_tpu.training.train_kpfusion import heatmap_targets
-
-        uv = jnp.array([[[0.0, 0.0], [-1.0, -1.0]]])  # center, top-left
-        hm = np.asarray(heatmap_targets(uv, 9, sigma=1.0))
-        assert hm.shape == (1, 9, 9, 2)
-        assert hm[0, 4, 4, 0] == hm[0].max()  # center joint peaks at center
-        assert hm[0, 0, 0, 1] == hm[0, :, :, 1].max()
