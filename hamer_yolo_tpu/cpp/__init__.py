@@ -14,12 +14,47 @@ _LIB_PATHS = [
 ]
 
 _lib = None
+_build_attempted = False
+
+
+def build_library(timeout_s: int = 300) -> bool:
+    """Best-effort in-tree build of cpp/ (cmake -G Ninja + ninja).
+
+    Lets a fresh checkout get native coverage without a manual build step
+    (the round-3 review found 6/7 suite skips were just the missing
+    cpp/build). No-op when the toolchain is absent or the build fails;
+    HYT_NO_CPP_BUILD=1 disables. Returns True if the library exists after.
+    """
+    global _build_attempted
+    if _build_attempted or os.environ.get("HYT_NO_CPP_BUILD") == "1":
+        return os.path.exists(_LIB_PATHS[0])
+    _build_attempted = True
+    import shutil
+    import subprocess
+
+    src = os.path.dirname(_LIB_PATHS[0])  # .../cpp/build
+    src = os.path.dirname(src)            # .../cpp
+    if not os.path.exists(os.path.join(src, "CMakeLists.txt")):
+        return False
+    if not (shutil.which("cmake") and shutil.which("ninja")):
+        return False
+    try:
+        subprocess.run(["cmake", "-B", os.path.join(src, "build"), "-S", src,
+                        "-G", "Ninja"], check=True, capture_output=True,
+                       timeout=timeout_s)
+        subprocess.run(["ninja", "-C", os.path.join(src, "build")],
+                       check=True, capture_output=True, timeout=timeout_s)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATHS[0])
 
 
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATHS[0]):
+        build_library()
     for p in _LIB_PATHS:
         if os.path.exists(p) or "/" not in p:
             try:
