@@ -150,3 +150,26 @@ class TestCliDetect:
             vals = [float(v) for v in rows]
             assert all(0.0 <= v <= 1.0 for v in vals[1:6])
         assert len(os.listdir(img)) == 2
+
+
+class TestCliRgbd:
+    def test_rgbd_on_reference_wild_fixture(self, capsys):
+        """`rgbd` CLI on the reference's own committed wild-test fixture
+        (KeypointFusion/test/20.png + 20_d.png + 20_bbox.txt; normalized
+        center-box format per test_wild.py:666-671). Random weights —
+        checks the full metric-cube crop + pcl runtime end-to-end;
+        numeric parity vs the reference runtime is pinned in
+        tests/test_kpfusion_rgbd.py::TestWildFixtures."""
+        base = "/root/reference/rootnet/KeypointFusion/test"
+        rgb, dep, box = (os.path.join(base, n)
+                         for n in ("20.png", "20_d.png", "20_bbox.txt"))
+        if not all(os.path.exists(p) for p in (rgb, dep, box)):
+            pytest.skip("reference wild fixtures not mounted")
+        rc = main(["rgbd", "--rgb", rgb, "--depth", dep, "--bbox-file", box])
+        assert rc == 0
+        out = capsys.readouterr().out
+        payload = json.loads(out.strip().splitlines()[-1])
+        xyz = np.asarray(payload["joint_xyz_world"])
+        assert xyz.shape == (21, 3) and np.isfinite(xyz).all()
+        uvd = np.asarray(payload["joint_uvd_full"])
+        assert uvd.shape == (21, 3) and np.isfinite(uvd).all()

@@ -390,38 +390,57 @@ class TestFullKPFusion:
                                        err_msg=name)
 
 
+def _ref_model_rgbd(kpf_env, seed: int = 7):
+    """Construct the reference's own Model_RGBD runtime on random weights
+    (BertConfig path patched to the checked-in config dir)."""
+    import torch
+    from transformers import BertConfig
+
+    mm = kpf_env.import_module("software.KeypointFusion.model.model")
+    mrgbd = R.load_model_rgbd_module()
+
+    real_cfg_dir = os.path.join(R.REF, "rootnet/KeypointFusion/config")
+
+    class PatchedBertConfig(BertConfig):
+        @classmethod
+        def from_pretrained(cls, path, *a, **k):
+            return BertConfig.from_pretrained(real_cfg_dir, *a, **k)
+
+    opt = sys.modules["config"].opt
+    opt.load_model = ""
+    orig = mm.BertConfig
+    mm.BertConfig = PatchedBertConfig
+    try:
+        torch.manual_seed(seed)
+        ref_rt = mrgbd.Model_RGBD(opt)
+    finally:
+        mm.BertConfig = orig
+    _spread_bn(ref_rt.net)
+    ref_rt.net.eval()
+    return ref_rt
+
+
+def _converted_runtime(ref_rt):
+    """Our RGBDRuntime on the reference model's exact weights."""
+    from hamer_yolo_tpu.core.convert import convert_kpfusion_state_dict
+    from hamer_yolo_tpu.models.kpfusion_rgbd.model import KPFusionConfig
+    from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import RGBDRuntime
+
+    sd = {k[len("module."):] if k.startswith("module.") else k:
+          np.asarray(v.numpy()) for k, v in ref_rt.net.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_kpfusion_state_dict(sd))
+    return RGBDRuntime(params, KPFusionConfig())
+
+
 class TestModelRGBDRuntime:
     def test_composed_runtime_parity(self, kpf_env, rng):
         """The reference's own Model_RGBD.estimate_pose_RGBD vs our
         RGBDRuntime on the SAME random weights and synthetic RGB-D frame
         (bbox from the reference's wild-test fixtures)."""
         import torch
-        from transformers import BertConfig
 
-        mm = kpf_env.import_module("software.KeypointFusion.model.model")
-        mrgbd = R.load_model_rgbd_module()
-        from hamer_yolo_tpu.core.convert import convert_kpfusion_state_dict
-        from hamer_yolo_tpu.models.kpfusion_rgbd.model import KPFusionConfig
-        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import RGBDRuntime
-
-        real_cfg_dir = os.path.join(R.REF, "rootnet/KeypointFusion/config")
-
-        class PatchedBertConfig(BertConfig):
-            @classmethod
-            def from_pretrained(cls, path, *a, **k):
-                return BertConfig.from_pretrained(real_cfg_dir, *a, **k)
-
-        opt = sys.modules["config"].opt
-        opt.load_model = ""
-        orig = mm.BertConfig
-        mm.BertConfig = PatchedBertConfig
-        try:
-            torch.manual_seed(7)
-            ref_rt = mrgbd.Model_RGBD(opt)
-        finally:
-            mm.BertConfig = orig
-        _spread_bn(ref_rt.net)
-        ref_rt.net.eval()
+        ref_rt = _ref_model_rgbd(kpf_env)
 
         # synthetic frame: a hand-depth blob inside the fixture bbox
         bbox_file = os.path.join(R.REF, "rootnet/KeypointFusion/test/20_bbox.txt")
@@ -445,11 +464,7 @@ class TestModelRGBDRuntime:
                 {"rgb": img_rgb.copy(), "depth": depth.copy(),
                  "bbox": bbox, "hand_type": "right"})
 
-        sd = {k[len("module."):] if k.startswith("module.") else k:
-              np.asarray(v.numpy()) for k, v in ref_rt.net.state_dict().items()}
-        params = jax.tree_util.tree_map(
-            jnp.asarray, convert_kpfusion_state_dict(sd))
-        ours = RGBDRuntime(params, KPFusionConfig())
+        ours = _converted_runtime(ref_rt)
         np.random.seed(1234)
         got = ours.estimate_pose_rgbd(img_rgb, depth, bbox)
 
@@ -473,6 +488,58 @@ class TestModelRGBDRuntime:
         v = xyz_mano[:, 1] * fy / xyz_mano[:, 2] + fv
         np.testing.assert_allclose(uvd[:, 0], u, atol=0.5)
         np.testing.assert_allclose(uvd[:, 1], v, atol=0.5)
+
+
+WILD_FIXTURES = [
+    ("test/20.png", "test/20_d.png", "test/20_bbox.txt"),
+    ("test/box_101/101.png", "test/box_101/101_d.png",
+     "test/box_101/101_bbox.txt"),
+]
+
+
+class TestWildFixtures:
+    """Reference test_wild.py flow on the reference's OWN committed
+    fixture images (test/20*, test/box_101/101*): real 1080p RGB +
+    uint16-mm depth + normalized-center bbox through the full
+    metric-cube crop + pcl sampling runtime, pinned against the
+    reference's in-process Model_RGBD.estimate_pose_RGBD on the same
+    converted random weights (test_wild.py:655-689 input construction,
+    Model_RGBD.py:64-205 runtime)."""
+
+    @pytest.mark.parametrize("rgb_rel,d_rel,bbox_rel", WILD_FIXTURES,
+                             ids=["20", "box_101"])
+    def test_wild_fixture_parity(self, kpf_env, rgb_rel, d_rel, bbox_rel):
+        import cv2
+        import torch
+
+        base = os.path.join(R.REF, "rootnet/KeypointFusion")
+        rgb_p, d_p, b_p = (os.path.join(base, rel)
+                           for rel in (rgb_rel, d_rel, bbox_rel))
+        if not all(os.path.exists(p) for p in (rgb_p, d_p, b_p)):
+            pytest.skip("wild fixtures not present in reference checkout")
+        rgb = cv2.imread(rgb_p).astype(np.float32)
+        depth = cv2.imread(d_p, cv2.IMREAD_ANYDEPTH).astype(np.float32)
+        # normalized CENTER boxes -> pixel xywh (test_wild.py:666-671)
+        v = np.loadtxt(b_p).reshape(-1)[:4]
+        H, W = depth.shape
+        bbox = [v[0] * W - v[2] * W / 2, v[1] * H - v[3] * H / 2,
+                v[2] * W, v[3] * H]
+
+        ref_rt = _ref_model_rgbd(kpf_env)
+        np.random.seed(1234)
+        with torch.no_grad():
+            _, ref_out = ref_rt.estimate_pose_RGBD(
+                {"rgb": rgb.copy(), "depth": depth.copy(),
+                 "bbox": bbox, "hand_type": "right"})
+
+        ours = _converted_runtime(ref_rt)
+        np.random.seed(1234)
+        got = ours.estimate_pose_rgbd(rgb, depth, bbox)
+
+        ref_xyz = np.asarray(ref_out["joint_xyz"])
+        assert np.isfinite(ref_xyz).all()
+        np.testing.assert_allclose(got["joint_xyz_world"], ref_xyz,
+                                   atol=1e-4, rtol=1e-3)
 
 
 class TestCenterNet:
