@@ -1,11 +1,15 @@
 """KPFusion RGBD training CLI (reference KeypointFusion/train.py).
 
 python tools/train_kpfusion_rgbd.py --steps 200 [--batch 4] [--tiny]
+    [--data DIR [--depth-fmt u16|nyu|ho3d|npy]]
     [--out runs/kpfusion_rgbd] [--resume dir|auto] [--devices N]
 
-Data: --synthetic (default; plausibly-scaled random batches in the
-reference's normalized spaces) until a DexYCB/NYU-format loader is
-wired. With N visible devices the batch shards over the "data" mesh.
+Data: --data DIR consumes a directory of fixture-style samples
+({stem}.png + {stem}_d.png + {stem}.txt 21x3 mm joints; io/rgbd_datasets
+— DexYCB/NYU/HO3D depth decode conventions, metric-cube crops, uvd/xyz
+label generation per dataloader/loader.py:1097-1205). Without --data,
+synthetic batches (plausibly-scaled random, the smoke default). With N
+visible devices the batch shards over the "data" mesh.
 """
 from __future__ import annotations
 
@@ -23,6 +27,10 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=8e-4)   # config.py:60
     p.add_argument("--tiny", action="store_true", help="scaled-down net (smoke)")
+    p.add_argument("--data", default=None,
+                   help="RGB-D sample dir (fixture layout); default synthetic")
+    p.add_argument("--depth-fmt", default="auto",
+                   choices=["auto", "u16", "nyu", "ho3d", "npy"])
     p.add_argument("--devices", type=int, default=0)
     p.add_argument("--out", default="runs/kpfusion_rgbd")
     p.add_argument("--resume", default=None)
@@ -72,6 +80,28 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     logger = MetricLogger(args.out)
     rng = np.random.default_rng(0)
+
+    batch_iter = None
+    if args.data:
+        from hamer_yolo_tpu.io.rgbd_datasets import (
+            RGBDDatasetConfig, RGBDDiskDataset,
+        )
+
+        ds = RGBDDiskDataset(
+            args.data,
+            RGBDDatasetConfig(img_size=cfg.img_size,
+                              sample_num=cfg.sample_num,
+                              depth_fmt=args.depth_fmt))
+        print(f"data: {len(ds)} labeled sample(s) from {args.data}")
+
+        def _epochs():
+            epoch = 0
+            while True:
+                yield from ((epoch, b) for b in ds.batches(
+                    args.batch, shuffle=True, seed=epoch))
+                epoch += 1
+
+        batch_iter = _epochs()
     t0 = time.time()
     ctx = jax.set_mesh(mesh) if mesh is not None else None
     if ctx is not None:
@@ -80,12 +110,16 @@ def main() -> int:
         start = int(state["step"])
         params, opt_state = state["params"], state["opt_state"]
         for step in range(start, args.steps):
-            batch = {k: jnp.asarray(v)
-                     for k, v in synthetic_rgbd_batch(rng, args.batch, cfg).items()}
+            if batch_iter is not None:
+                epoch, np_batch = next(batch_iter)
+                batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            else:
+                batch = {k: jnp.asarray(v) for k, v in
+                         synthetic_rgbd_batch(rng, args.batch, cfg).items()}
+                # epoch analogue for the spatial-weight gate (train.py:250)
+                epoch = step * args.batch // 1000
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            # epoch analogue for the spatial-weight gate (train.py:250)
-            epoch = step * args.batch // 1000
             params, opt_state, metrics = step_fn(params, opt_state, batch, epoch)
             if step % args.log_every == 0:
                 logger.log(step, {k: float(v) for k, v in metrics.items()})
