@@ -38,6 +38,13 @@ def load_hyp_yaml(path: str) -> Tuple[Dict[str, float], Dict[str, float],
 
     with open(path) as f:
         hyp = yaml.safe_load(f) or {}
+    return map_hyp(hyp)
+
+
+def map_hyp(hyp: Dict[str, Any]) -> Tuple[Dict[str, float], Dict[str, float],
+                                          Dict[str, Any], Dict[str, Any]]:
+    """In-memory hyp dict -> the same kwargs split (used by --evolve,
+    where candidates never touch disk)."""
     opt = {dst: float(hyp[src]) for src, dst in _OPT_KEYS.items()
            if src in hyp}
     loss = {dst: float(hyp[src]) for src, dst in _LOSS_KEYS.items()
