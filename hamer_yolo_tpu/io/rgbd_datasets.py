@@ -109,6 +109,179 @@ def _transform_points_2d(pts: np.ndarray, M: np.ndarray) -> np.ndarray:
     return out
 
 
+AUG_MODES = ("rot", "com", "sc", "none")  # loader.py:1032 aug_modes
+
+
+def com_to_transform(com, size, dsize, paras) -> np.ndarray:
+    """Crop affine from center/cube without cropping (comToTransform
+    :303-338, the 'change by pengfeiren' centering variant)."""
+    from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import com_to_bounds
+
+    xstart, xend, ystart, yend, _, _ = com_to_bounds(com, size, paras)
+    trans = np.eye(3)
+    trans[0, 2] = -xstart
+    trans[1, 2] = -ystart
+    wb, hb = (xend - xstart), (yend - ystart)
+    if wb > hb:
+        scale = np.eye(3) * dsize[0] / float(wb)
+        sz = (dsize[0], hb * dsize[0] / wb)
+    else:
+        scale = np.eye(3) * dsize[1] / float(hb)
+        sz = (wb * dsize[1] / hb, dsize[1])
+    scale[2, 2] = 1
+    off = np.eye(3)
+    off[0, 2] = int(np.floor(dsize[0] / 2.0 - sz[0] / 2.0))
+    off[1, 2] = int(np.floor(dsize[1] / 2.0 - sz[1] / 2.0))
+    return off @ scale @ trans
+
+
+def recrop_hand(crop: np.ndarray, M: np.ndarray, Mnew_inv: np.ndarray,
+                target_size, paras, background: float = 0.0,
+                nv_val: float = 0.0, thresh_z: bool = True, com=None,
+                size=(250, 250, 250)) -> np.ndarray:
+    """recropHand:340-361 — warp an existing crop under a new crop
+    matrix (INTER_NEAREST, constant border, z re-threshold)."""
+    import cv2
+
+    warped = cv2.warpPerspective(crop, M @ Mnew_inv, tuple(target_size[:2]),
+                                 flags=cv2.INTER_NEAREST,
+                                 borderMode=cv2.BORDER_CONSTANT,
+                                 borderValue=float(background))
+    if thresh_z:
+        warped[warped < nv_val] = background
+        assert com is not None
+        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import com_to_bounds
+
+        _, _, _, _, zstart, zend = com_to_bounds(com, size, paras)
+        msk1 = np.logical_and(warped < zstart, warped != 0)
+        msk2 = np.logical_and(warped > zend, warped != 0)
+        warped[msk1] = zstart
+        warped[msk2] = 0.0
+    return warped
+
+
+def rotate_points_2d(pts: np.ndarray, center, angle_deg: float) -> np.ndarray:
+    """rotatePoints2D:122-133 on (N, 3) uvd rows (z untouched)."""
+    a = angle_deg * np.pi / 180.0
+    out = np.asarray(pts, np.float64).copy()
+    uv = out[:, :2] - np.asarray(center[:2])
+    rot = np.stack([uv[:, 0] * np.cos(a) - uv[:, 1] * np.sin(a),
+                    uv[:, 0] * np.sin(a) + uv[:, 1] * np.cos(a)], 1)
+    out[:, :2] = rot + np.asarray(center[:2])
+    return out
+
+
+def move_com(dpt, cube, com, off, joints3d, M, paras, pad_value=0.0,
+             thresh_z=True):
+    """moveCoM:363-402 — simulate a shifted center of mass."""
+    if np.allclose(off, 0.0):
+        return dpt, joints3d, com, M
+    com3d = joint_img_to_3d(np.asarray(com, np.float64), paras)
+    new_com = joint_3d_to_img(com3d + off, paras)
+    if np.allclose(com[2], 0.0) or np.allclose(new_com[2], 0.0):
+        return dpt, joints3d, com, M
+    Mnew = com_to_transform(new_com, cube, dpt.shape, paras)
+    nv = (np.min(dpt[dpt > 0]) - 1) if thresh_z and (dpt > 0).any() else -1.0
+    new_dpt = recrop_hand(dpt.astype(np.float32), Mnew, np.linalg.inv(M),
+                          dpt.shape, paras, background=pad_value, nv_val=nv,
+                          thresh_z=thresh_z, com=new_com, size=cube)
+    new_joints3d = joints3d + com3d - joint_img_to_3d(new_com, paras)
+    return new_dpt, new_joints3d, new_com, Mnew
+
+
+def rotate_hand(dpt, cube, com, rot, joints3d, paras, pad_value=0.0,
+                thresh_z=True):
+    """rotateHand:404-437 — in-plane rotation of the crop + labels."""
+    import cv2
+
+    if np.allclose(rot, 0.0):
+        return dpt, joints3d, rot
+    rot = np.mod(rot, 360)
+    Mr = cv2.getRotationMatrix2D((dpt.shape[1] // 2, dpt.shape[0] // 2),
+                                 -rot, 1)
+    new_dpt = cv2.warpAffine(dpt, Mr, (dpt.shape[1], dpt.shape[0]),
+                             flags=cv2.INTER_NEAREST,
+                             borderMode=cv2.BORDER_CONSTANT,
+                             borderValue=pad_value)
+    if thresh_z and (dpt > 0).any():
+        new_dpt[new_dpt < (np.min(dpt[dpt > 0]) - 1)] = 0
+    com3d = joint_img_to_3d(np.asarray(com, np.float64), paras)
+    joint_2d = joint_3d_to_img(joints3d + com3d, paras)
+    data_2d = rotate_points_2d(joint_2d, com[:2], rot)
+    new_joints3d = joint_img_to_3d(data_2d, paras) - com3d
+    return new_dpt, new_joints3d, rot
+
+
+def scale_hand(dpt, cube, com, sc, joints3d, M, paras, pad_value=0.0,
+               thresh_z=True):
+    """scaleHand:439-474 — virtual cube rescale (labels unchanged)."""
+    if np.allclose(sc, 1.0):
+        return dpt, joints3d, cube, M
+    new_cube = [s * sc for s in cube]
+    if np.allclose(com[2], 0.0):
+        return dpt, joints3d, new_cube, M
+    Mnew = com_to_transform(com, new_cube, dpt.shape, paras)
+    nv = (np.min(dpt[dpt > 0]) - 1) if thresh_z and (dpt > 0).any() else -1.0
+    new_dpt = recrop_hand(dpt.astype(np.float32), Mnew, np.linalg.inv(M),
+                          dpt.shape, paras, background=pad_value, nv_val=nv,
+                          thresh_z=thresh_z, com=com, size=cube)
+    return new_dpt, joints3d, new_cube, Mnew
+
+
+def rand_augment(rng: np.random.Generator, sigma_com: float = 10.0,
+                 sigma_sc: float = 0.2, rot_range: float = 180.0):
+    """rand_augment:475-500 (DexYCB aug_para [10, 0.2, 180]) with an
+    explicit Generator instead of the global random module."""
+    mode = int(rng.integers(0, len(AUG_MODES)))
+    off = rng.uniform(-1, 1, 3) * sigma_com
+    rot = float(rng.uniform(-rot_range, rot_range))
+    sc = abs(1.0 + float(rng.uniform(-1, 1)) * sigma_sc)
+    return mode, off, rot, sc
+
+
+def augment_crop(img, gt3dcrop, com, cube, M, mode, off, rot, sc, paras,
+                 rgb: bool = False):
+    """augmentCrop:548-594 (depth, z-thresholded + premax normalize) /
+    augmentCrop_RGB:501-546 (rgb=True: no z logic, no normalize).
+
+    Returns (img, joints3d_mm, cube, com, M, rot) with joints still in
+    UNNORMALIZED mm around the (possibly moved) center.
+    """
+    name = AUG_MODES[mode]
+    thresh_z = not rgb
+    premax = img.max()
+    cube = list(cube)
+    com = np.asarray(com, np.float64)
+    if not rgb and np.max(img) == 0:
+        new_img, new_joints = img, gt3dcrop
+    elif name == "com":
+        new_img, new_joints, com, M = move_com(
+            img.astype(np.float32), cube, com, off, gt3dcrop, M, paras,
+            pad_value=0, thresh_z=thresh_z)
+    elif name == "rot":
+        new_img, new_joints, rot = rotate_hand(
+            img.astype(np.float32), cube, com, rot, gt3dcrop, paras,
+            pad_value=0, thresh_z=thresh_z)
+    elif name == "sc":
+        new_img, new_joints, cube, M = scale_hand(
+            img.astype(np.float32), cube, com, sc, gt3dcrop, M, paras,
+            pad_value=0, thresh_z=thresh_z)
+    else:  # none
+        new_img, new_joints = img, gt3dcrop
+    if not rgb:
+        # reference normalize_img(premax, ...) — premax is the
+        # PRE-augmentation max (augmentCrop:566)
+        out = new_img.astype(np.float32).copy()
+        hi = com[2] + cube[2] / 2.0
+        lo = com[2] - cube[2] / 2.0
+        out[out == premax] = hi
+        out[out == 0] = hi
+        out[out >= hi] = hi
+        out[out <= lo] = lo
+        new_img = (out - com[2]) / (cube[2] / 2.0)
+    return new_img, new_joints, np.asarray(cube), com, M, rot
+
+
 @dataclass(frozen=True)
 class RGBDDatasetConfig:
     img_size: int = 128                 # config.py input_size
@@ -179,8 +352,19 @@ class RGBDDiskDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def load(self, idx: int) -> Dict[str, np.ndarray]:
-        """One sample in the trainer's batch schema (without batch dim)."""
+    def load(self, idx: int,
+             aug_rng: Optional[np.random.Generator] = None,
+             aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
+             ) -> Dict[str, np.ndarray]:
+        """One sample in the trainer's batch schema (without batch dim).
+
+        ``aug_rng`` switches to the reference TRAIN path (DexYCB
+        __getitem__ split=='train', loader.py:1141-1158): one of
+        rot/com/sc/none drawn per sample (rand_augment with
+        ``aug_para`` = (sigma_com, sigma_sc, rot_range)), applied
+        consistently to the depth crop (z-thresholded + premax
+        normalize), the RGB crop, and the labels. Requires joints.
+        """
         import cv2
 
         cfg = self.cfg
@@ -214,12 +398,29 @@ class RGBDDiskDataset:
             center_xyz = joint_img_to_3d(center_uvd, cam)
 
         depth_crop, M = crop_depth(depth, center_uvd, cube, (S, S), cam)
-        rgb_crop, _ = crop_rgb(rgb, center_uvd, cube, (S, S), cam)
-        img_d = normalize_img(depth_crop, center_xyz, cube)
-        com3d = joint_img_to_3d(center_uvd, cam)
+        rgb_crop, M_rgb = crop_rgb(rgb, center_uvd, cube, (S, S), cam)
 
-        if joints is not None:
-            xyz_gt = (joints - center_xyz) / (cube[2] / 2.0)
+        if aug_rng is not None:
+            if joints is None:
+                raise ValueError(f"{s.stem}: augmentation needs joints")
+            mode, off, rot, sc = rand_augment(aug_rng, *aug_para)
+            gt3dcrop = (joints - center_xyz).astype(np.float64)
+            img_d, cur_label, cube, com2d, M, _ = augment_crop(
+                depth_crop, gt3dcrop, center_uvd, cube, M,
+                mode, off, rot, sc, cam)
+            rgb_aug, _, _, _, _, _ = augment_crop(
+                rgb_crop, gt3dcrop, center_uvd, np.asarray(cfg.cube), M_rgb,
+                mode, off, rot, sc, cam, rgb=True)
+            rgb_crop = rgb_aug.astype(np.float32)
+            com3d = joint_img_to_3d(com2d, cam)
+            xyz_gt = cur_label / (cube[2] / 2.0)
+        else:
+            img_d = normalize_img(depth_crop, center_xyz, cube)
+            com3d = joint_img_to_3d(center_uvd, cam)
+            xyz_gt = None if joints is None \
+                else (joints - center_xyz) / (cube[2] / 2.0)
+
+        if xyz_gt is not None:
             # loader.py:1170-1173: project back through M, normalize
             uvd = _transform_points_2d(
                 joint_3d_to_img(xyz_gt * (cube[0] / 2.0) + com3d, cam), M)
@@ -245,16 +446,23 @@ class RGBDDiskDataset:
         }
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 0, drop_last: bool = False
+                seed: int = 0, drop_last: bool = False,
+                augment: bool = False,
+                aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Epoch of stacked fixed-shape batches; short batches wrap
-        (fixed shapes keep the jitted train step at one compile)."""
+        (fixed shapes keep the jitted train step at one compile).
+        ``augment=True`` draws a fresh rot/com/sc/none augmentation per
+        sample (train path)."""
+        rng = np.random.default_rng(seed)
         order = np.arange(len(self.samples))
         if shuffle:
-            np.random.default_rng(seed).shuffle(order)
+            rng.shuffle(order)
+        aug_rng = rng if augment else None
         n = len(order)
         steps = n // batch_size if drop_last else math.ceil(n / batch_size)
         for b in range(max(steps, 0)):
             idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
-            items = [self.load(i) for i in idx]
+            items = [self.load(i, aug_rng=aug_rng, aug_para=aug_para)
+                     for i in idx]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}

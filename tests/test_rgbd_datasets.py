@@ -159,3 +159,150 @@ class TestDiskDataset:
                 first = float(metrics["loss"])
             assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["loss"]) < first
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST_DIR),
+                    reason="reference fixtures not mounted")
+class TestAugmentOracle:
+    """move_com/rotate_hand/scale_hand/augment_crop vs the reference
+    loader class's own methods (loader.py:303-594) on a real fixture
+    depth crop."""
+
+    @pytest.fixture(scope="class")
+    def ref_loader(self):
+        import sys
+        import types
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import ref_pipeline_oracle as R
+
+        R.install_kpfusion_environment()
+        # loader.py imports pycocotools at module level (used only by the
+        # DexYCB/HO3D load_data paths, not the augment methods) — stub it.
+        if "pycocotools" not in sys.modules:
+            pc = types.ModuleType("pycocotools")
+            pcc = types.ModuleType("pycocotools.coco")
+            pcc.COCO = object
+            pc.coco = pcc
+            sys.modules["pycocotools"] = pc
+            sys.modules["pycocotools.coco"] = pcc
+        import importlib
+
+        mod = importlib.import_module(
+            "software.KeypointFusion.dataloader.loader")
+        ld = mod.loader.__new__(mod.loader)  # skip Dataset __init__
+        ld.paras = (906.96, 906.79, 956.75, 547.23)
+        ld.flip = 1
+        ld.aug_modes = ["rot", "com", "sc", "none"]
+        return ld
+
+    @pytest.fixture(scope="class")
+    def crop_fixture(self):
+        from hamer_yolo_tpu.io.rgbd_datasets import (
+            RGBDDatasetConfig, RGBDDiskDataset, joint_3d_to_img,
+        )
+        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import crop_depth
+
+        cfg = RGBDDatasetConfig()
+        ds = RGBDDiskDataset(REF_TEST_DIR, cfg)
+        s = [x for x in ds.samples if x.stem == "20"][0]
+        depth = __import__("hamer_yolo_tpu.io.rgbd_datasets",
+                           fromlist=["read_depth"]).read_depth(s.depth_path)
+        joints = np.loadtxt(s.joints_path, dtype=np.float32)[:21]
+        center_xyz = joints.mean(0)
+        center_uvd = joint_3d_to_img(center_xyz, cfg.cam_para)
+        crop, M = crop_depth(depth, center_uvd, np.asarray(cfg.cube),
+                             (cfg.img_size, cfg.img_size), cfg.cam_para)
+        gt3dcrop = (joints - center_xyz).astype(np.float64)
+        return dict(cfg=cfg, crop=crop, M=M, com=center_uvd,
+                    gt=gt3dcrop, cube=list(cfg.cube))
+
+    @pytest.mark.parametrize("mode,off,rot,sc", [
+        ("com", np.array([8.0, -6.0, 12.0]), 0.0, 1.0),
+        ("rot", np.zeros(3), 73.0, 1.0),
+        ("sc", np.zeros(3), 0.0, 1.17),
+        ("none", np.zeros(3), 0.0, 1.0),
+    ])
+    def test_augment_crop_matches_reference(self, ref_loader, crop_fixture,
+                                            mode, off, rot, sc):
+        from hamer_yolo_tpu.io.rgbd_datasets import AUG_MODES, augment_crop
+
+        f = crop_fixture
+        ref_img, _, ref_joints, ref_cube, ref_com, ref_M, ref_rot = \
+            ref_loader.augmentCrop(f["crop"].copy(), f["gt"].copy(),
+                                   np.asarray(f["com"]), list(f["cube"]),
+                                   f["M"].copy(), AUG_MODES.index(mode),
+                                   off.copy(), rot, sc,
+                                   ref_loader.paras)
+        got_img, got_joints, got_cube, got_com, got_M, got_rot = \
+            augment_crop(f["crop"].copy(), f["gt"].copy(),
+                         np.asarray(f["com"]), list(f["cube"]),
+                         f["M"].copy(), AUG_MODES.index(mode),
+                         off.copy(), rot, sc, ref_loader.paras)
+        np.testing.assert_allclose(got_img, ref_img, atol=1e-5,
+                                   err_msg=f"imgD {mode}")
+        np.testing.assert_allclose(got_joints, ref_joints, atol=1e-4)
+        np.testing.assert_allclose(got_cube, np.asarray(ref_cube), atol=1e-9)
+        np.testing.assert_allclose(got_com, np.asarray(ref_com), atol=1e-6)
+        np.testing.assert_allclose(got_M, ref_M, atol=1e-6)
+
+    @pytest.mark.parametrize("mode,off,rot,sc", [
+        ("com", np.array([-12.0, 9.0, -20.0]), 0.0, 1.0),
+        ("rot", np.zeros(3), -41.0, 1.0),
+        ("sc", np.zeros(3), 0.0, 0.86),
+    ])
+    def test_augment_crop_rgb_matches_reference(self, ref_loader,
+                                                crop_fixture, mode, off,
+                                                rot, sc):
+        from hamer_yolo_tpu.io.rgbd_datasets import AUG_MODES, augment_crop
+        from hamer_yolo_tpu.models.kpfusion_rgbd.runtime import crop_rgb
+
+        import cv2
+
+        f = crop_fixture
+        rgb = cv2.imread(os.path.join(REF_TEST_DIR, "20.png")).astype(
+            np.float32)
+        rgb_crop, M_rgb = crop_rgb(rgb, f["com"], np.asarray(f["cube"]),
+                                   (f["cfg"].img_size, f["cfg"].img_size),
+                                   ref_loader.paras)
+        ref_img, _, ref_joints, ref_cube, ref_com, ref_M, _ = \
+            ref_loader.augmentCrop_RGB(rgb_crop.copy(), f["gt"].copy(),
+                                       np.asarray(f["com"]),
+                                       list(f["cube"]), M_rgb.copy(),
+                                       AUG_MODES.index(mode), off.copy(),
+                                       rot, sc, ref_loader.paras)
+        got_img, got_joints, got_cube, got_com, got_M, _ = \
+            augment_crop(rgb_crop.copy(), f["gt"].copy(),
+                         np.asarray(f["com"]), list(f["cube"]),
+                         M_rgb.copy(), AUG_MODES.index(mode), off.copy(),
+                         rot, sc, ref_loader.paras, rgb=True)
+        np.testing.assert_allclose(got_img, np.asarray(ref_img), atol=1e-4)
+        np.testing.assert_allclose(got_joints, ref_joints, atol=1e-4)
+        np.testing.assert_allclose(got_M, ref_M, atol=1e-6)
+
+    def test_augmented_batch_trains(self):
+        """--augment end-to-end: an augmented disk batch feeds the tiny
+        train step."""
+        import jax
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.io.rgbd_datasets import (
+            RGBDDatasetConfig, RGBDDiskDataset,
+        )
+        from hamer_yolo_tpu.models.kpfusion_rgbd.model import KPFusionConfig
+        from hamer_yolo_tpu.training.train_kpfusion_rgbd import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+
+        ds = RGBDDiskDataset(REF_TEST_DIR,
+                             RGBDDatasetConfig(img_size=32, sample_num=64))
+        batch = next(ds.batches(2, shuffle=False, augment=True, seed=3))
+        assert all(np.isfinite(v).all() for v in batch.values())
+        mcfg = KPFusionConfig(img_size=32, feature_size=8, dim=32,
+                              sample_num=64, num_stages=1, heads=2)
+        tx = make_optimizer(lr=3e-4)
+        params, opt_state = init_train_state(jax.random.PRNGKey(0), mcfg, tx)
+        step = jax.jit(make_train_step(mcfg, tx))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, _, metrics = step(params, opt_state, jb, 0)
+        assert np.isfinite(float(metrics["loss"]))

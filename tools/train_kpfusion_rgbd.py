@@ -31,6 +31,10 @@ def main() -> int:
                    help="RGB-D sample dir (fixture layout); default synthetic")
     p.add_argument("--depth-fmt", default="auto",
                    choices=["auto", "u16", "nyu", "ho3d", "npy"])
+    p.add_argument("--augment", action="store_true",
+                   help="train-time rot/com/sc augmentation on --data "
+                        "samples (reference augmentCrop, aug_para "
+                        "[10, 0.2, 180])")
     p.add_argument("--devices", type=int, default=0)
     p.add_argument("--out", default="runs/kpfusion_rgbd")
     p.add_argument("--resume", default=None)
@@ -98,7 +102,8 @@ def main() -> int:
             epoch = 0
             while True:
                 yield from ((epoch, b) for b in ds.batches(
-                    args.batch, shuffle=True, seed=epoch))
+                    args.batch, shuffle=True, seed=epoch,
+                    augment=args.augment))
                 epoch += 1
 
         batch_iter = _epochs()
