@@ -186,6 +186,10 @@ class TestAugmentOracle:
             pc.coco = pcc
             sys.modules["pycocotools"] = pc
             sys.modules["pycocotools.coco"] = pcc
+        # loader.py does `from util import vis_tool` (flat in-repo pkg)
+        kpf_root = "/root/reference/rootnet/KeypointFusion"
+        if kpf_root not in sys.path:
+            sys.path.insert(0, kpf_root)
         import importlib
 
         mod = importlib.import_module(
