@@ -38,12 +38,22 @@ def build_library(timeout_s: int = 300) -> bool:
         return False
     if not (shutil.which("cmake") and shutil.which("ninja")):
         return False
+    # Serialize concurrent first-use builds (e.g. pytest-xdist workers)
+    # with an flock; the loser of the race finds the library built.
+    lock_path = os.path.join(src, ".build.lock")
     try:
-        subprocess.run(["cmake", "-B", os.path.join(src, "build"), "-S", src,
-                        "-G", "Ninja"], check=True, capture_output=True,
-                       timeout=timeout_s)
-        subprocess.run(["ninja", "-C", os.path.join(src, "build")],
-                       check=True, capture_output=True, timeout=timeout_s)
+        import fcntl
+
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if os.path.exists(_LIB_PATHS[0]):
+                return True
+            subprocess.run(["cmake", "-B", os.path.join(src, "build"),
+                            "-S", src, "-G", "Ninja"], check=True,
+                           capture_output=True, timeout=timeout_s)
+            subprocess.run(["ninja", "-C", os.path.join(src, "build")],
+                           check=True, capture_output=True,
+                           timeout=timeout_s)
     except Exception:
         return False
     return os.path.exists(_LIB_PATHS[0])

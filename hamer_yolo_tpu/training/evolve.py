@@ -14,6 +14,17 @@ reference seeds from time.time(), which is irreproducible); history
 lives under the run dir (no cwd-global evolve.txt, no gsutil bucket);
 results rows are (P, R, mAP@.5, mAP@.5:.95, box, obj, cls) exactly like
 the reference's 7-column layout so the file format round-trips.
+
+COST NOTE: each generation's loss gains / lr land as jit-time constants
+in a fresh train step, so every generation recompiles the train program
+(seconds on CPU; minutes/generation behind the TPU tunnel, and the
+persistent compile cache cannot hit across generations because the HLO
+constants differ). The reference has the same shape (fresh model +
+optimizer per generation); for long TPU evolutions, prefer small
+--steps or a CPU host. Hoisting the gains into traced scalars
+(optax.inject_hyperparams + loss-gain operands) would compile once but
+threads hyp plumbing through every loss — deliberately not done while
+--evolve is a parity/demo feature.
 """
 from __future__ import annotations
 

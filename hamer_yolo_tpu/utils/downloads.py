@@ -90,10 +90,17 @@ def attempt_download(name_or_path: str,
             # Reference attempt_download deletes a bad file and re-fetches
             # (google_utils.py: os.remove on failed check). Mirror that —
             # a corrupted cache entry must not permanently block
-            # resolution — but only remove files we own (the cache dirs);
-            # an explicit user path with a bad checksum still raises.
+            # resolution — but ONLY for files this resolver itself
+            # manages: the user cache dir and an explicit ``dest_dir``
+            # (its own download destinations). User-owned locations
+            # ($HYT_WEIGHTS, caller search dirs, explicit paths) raise
+            # instead of being deleted.
+            owned = [os.path.join(os.path.expanduser("~"), ".cache",
+                                  "hamer_yolo_tpu")]
+            if dest_dir:
+                owned.append(dest_dir)
             if os.path.dirname(os.path.abspath(found)) in (
-                    os.path.abspath(d) for d in _search_dirs(search)):
+                    os.path.abspath(d) for d in owned):
                 os.unlink(found)
                 found = None
             else:

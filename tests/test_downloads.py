@@ -109,10 +109,25 @@ class TestAttemptDownload:
         assert (tmp_path / "w.pt").read_bytes() == payload
 
     def test_corrupt_cache_entry_gate_closed_returns_none(self, tmp_path):
+        # dest_dir marks tmp_path as resolver-managed -> delete-eligible
         (tmp_path / "w.pt").write_bytes(b"corrupt")
         assert dl.attempt_download("w.pt", sha256_hex="0" * 64,
-                                   search=[str(tmp_path)]) is None
+                                   search=[str(tmp_path)],
+                                   dest_dir=str(tmp_path)) is None
         assert not (tmp_path / "w.pt").exists()  # bad entry removed
+
+    def test_user_owned_dir_never_deleted(self, tmp_path, monkeypatch):
+        # $HYT_WEIGHTS / caller search dirs are user-owned: a checksum
+        # mismatch raises and the file survives (no silent data loss).
+        (tmp_path / "w.pt").write_bytes(b"user weights")
+        monkeypatch.setenv("HYT_WEIGHTS", str(tmp_path))
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download("w.pt", sha256_hex="0" * 64)
+        assert (tmp_path / "w.pt").read_bytes() == b"user weights"
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download("w.pt", sha256_hex="0" * 64,
+                                search=[str(tmp_path)])
+        assert (tmp_path / "w.pt").exists()
 
     def test_known_assets_table(self):
         assert "yolov7.pt" in dl.KNOWN_ASSETS

@@ -29,17 +29,14 @@ def main() -> int:
                         "(test.py --save-json, test.py:167-176 schema)")
     args = p.parse_args()
 
-    import cv2
     import numpy as np
 
     import jax
-    import jax.numpy as jnp
 
     from hamer_yolo_tpu.core.checkpoint import load_checkpoint
-    from hamer_yolo_tpu.io.datasets import image_label_pairs, load_yolo_labels
-    from hamer_yolo_tpu.geometry.affine import letterbox_numpy
-    from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7, yolov7_forward
-    from hamer_yolo_tpu.ops.nms import non_max_suppression
+    from hamer_yolo_tpu.io.datasets import image_label_pairs
+    from hamer_yolo_tpu.models.yolov7 import YoloConfig, init_yolov7
+    from hamer_yolo_tpu.utils.detect_eval import eval_detector_images
     from hamer_yolo_tpu.utils.metrics import (
         ConfusionMatrix, ap_per_class, match_predictions,
     )
@@ -53,43 +50,22 @@ def main() -> int:
         print("warning: random-init weights (no checkpoint)")
         params = init_yolov7(jax.random.PRNGKey(0), cfg)
 
-    @jax.jit
-    def detect(p, img):
-        pred = yolov7_forward(p, img, cfg)
-        return non_max_suppression(pred, args.conf, args.iou, max_det=300)
-
     iou_thresholds = np.linspace(0.5, 0.95, 10)
     all_tp, all_conf, all_cls, all_target_cls = [], [], [], []
     jdict = []
     cm = ConfusionMatrix(args.nc)
 
     pairs = image_label_pairs(args.data, args.labels)
-    for img_path, lbl_path in pairs:
-        img = cv2.imread(img_path)
-        if img is None:
-            continue
-        h0, w0 = img.shape[:2]
-        padded, r, (dw, dh) = letterbox_numpy(img, args.img_size, auto=False)
-        x = jnp.asarray(padded[:, :, ::-1].astype(np.float32) / 255.0)[None]
-        nms = detect(params, x)
-        valid = np.asarray(nms.valid[0])
-        boxes = np.asarray(nms.boxes[0])[valid]
-        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - dw) / r
-        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - dh) / r
-        scores = np.asarray(nms.scores[0])[valid]
-        classes = np.asarray(nms.classes[0])[valid]
-
-        labels = load_yolo_labels(lbl_path)
-        gt_cls = labels[:, 0]
-        gt_boxes = np.stack([
-            (labels[:, 1] - labels[:, 3] / 2) * w0,
-            (labels[:, 2] - labels[:, 4] / 2) * h0,
-            (labels[:, 1] + labels[:, 3] / 2) * w0,
-            (labels[:, 2] + labels[:, 4] / 2) * h0,
-        ], axis=1) if len(labels) else np.zeros((0, 4))
+    # Shared per-image loop with train_yolo --evolve fitness
+    # (utils/detect_eval.eval_detector_images) — same letterbox geometry,
+    # NMS settings, and un-mapping by construction.
+    for rec in eval_detector_images(params, cfg, pairs, conf=args.conf,
+                                    iou=args.iou, img_size=args.img_size):
+        boxes, scores, classes = rec["boxes"], rec["scores"], rec["classes"]
+        gt_boxes, gt_cls = rec["gt_boxes"], rec["gt_cls"]
 
         if args.save_json is not None:
-            stem = os.path.splitext(os.path.basename(img_path))[0]
+            stem = os.path.splitext(os.path.basename(rec["img_path"]))[0]
             image_id = int(stem) if stem.isnumeric() else stem
             for bx, sc, cl in zip(boxes, scores, classes):
                 jdict.append({

@@ -110,60 +110,14 @@ def _train_loop(args, spec, cfg, opt_kwargs, loss_kwargs, data_kwargs,
 def _eval_map(args, cfg, spec, params, conf=0.001, iou=0.65):
     """COCO mAP over the labeled --data dir (test.py harness settings).
 
-    Returns (mP, mR, mAP@.5, mAP@.5:.95) — the fitness inputs.
+    Returns (mP, mR, mAP@.5, mAP@.5:.95) — the fitness inputs. Shared
+    loop with tools/eval_detector.py (utils/detect_eval.py).
     """
-    import cv2
-    import numpy as np
+    from hamer_yolo_tpu.io.datasets import image_label_pairs
+    from hamer_yolo_tpu.utils.detect_eval import detector_map
 
-    import jax
-    import jax.numpy as jnp
-
-    from hamer_yolo_tpu.geometry.affine import letterbox_numpy
-    from hamer_yolo_tpu.io.datasets import image_label_pairs, load_yolo_labels
-    from hamer_yolo_tpu.models.yolov7 import yolov7_forward
-    from hamer_yolo_tpu.ops.nms import non_max_suppression
-    from hamer_yolo_tpu.utils.metrics import ap_per_class, match_predictions
-
-    @jax.jit
-    def detect(p, img):
-        pred = yolov7_forward(p, img, cfg, spec=spec)
-        return non_max_suppression(pred, conf, iou, max_det=300)
-
-    iou_thresholds = np.linspace(0.5, 0.95, 10)
-    all_tp, all_conf, all_cls, all_tcls = [], [], [], []
-    for img_path, lbl_path in image_label_pairs(args.data, args.labels):
-        img = cv2.imread(img_path)
-        if img is None:
-            continue
-        h0, w0 = img.shape[:2]
-        padded, r, (dw, dh) = letterbox_numpy(img, args.img_size, auto=False)
-        x = jnp.asarray(padded[:, :, ::-1].astype(np.float32) / 255.0)[None]
-        nms = detect(params, x)
-        valid = np.asarray(nms.valid[0])
-        boxes = np.asarray(nms.boxes[0])[valid]
-        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - dw) / r
-        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - dh) / r
-        labels = load_yolo_labels(lbl_path)
-        gt_cls = labels[:, 0]
-        gt_boxes = np.stack([
-            (labels[:, 1] - labels[:, 3] / 2) * w0,
-            (labels[:, 2] - labels[:, 4] / 2) * h0,
-            (labels[:, 1] + labels[:, 3] / 2) * w0,
-            (labels[:, 2] + labels[:, 4] / 2) * h0,
-        ], axis=1) if len(labels) else np.zeros((0, 4))
-        classes = np.asarray(nms.classes[0])[valid]
-        all_tp.append(match_predictions(boxes, classes, gt_boxes, gt_cls,
-                                        iou_thresholds))
-        all_conf.append(np.asarray(nms.scores[0])[valid])
-        all_cls.append(classes)
-        all_tcls.append(gt_cls)
-    if not all_tp:
-        return 0.0, 0.0, 0.0, 0.0
-    res = ap_per_class(np.concatenate(all_tp), np.concatenate(all_conf),
-                       np.concatenate(all_cls), np.concatenate(all_tcls))
-    mp = float(np.mean(res["precision"])) if len(res["precision"]) else 0.0
-    mr = float(np.mean(res["recall"])) if len(res["recall"]) else 0.0
-    return mp, mr, float(res["map50"]), float(res["map"])
+    return detector_map(params, cfg, image_label_pairs(args.data, args.labels),
+                        spec=spec, conf=conf, iou=iou, img_size=args.img_size)
 
 
 def main() -> int:
