@@ -125,3 +125,80 @@ def rotmat_orthonormalize(rot: jax.Array) -> jax.Array:
         [jnp.ones(rot.shape[:-2] + (2,), rot.dtype), det[..., None]], axis=-1
     )
     return jnp.einsum("...ij,...j,...jk->...ik", u, d, vt)
+
+
+# --- Euler-angle conventions -------------------------------------------------
+# Parity target: the reference's KeypointFusion rotation-convention
+# library (rootnet/KeypointFusion/util/object_transform.py:74-107
+# ee_to_rotmat / rotmat_to_ee, which delegate to pytorch3d
+# euler_angles_to_matrix / matrix_to_euler_angles). Conventions are
+# 3-letter axis strings ("xyz" etc., case-insensitive, pytorch3d
+# intrinsic semantics: R = R_c0(a0) @ R_c1(a1) @ R_c2(a2)).
+
+def _axis_rotmat(axis: str, angle: jax.Array) -> jax.Array:
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+    if axis == "x":
+        rows = ((one, zero, zero), (zero, c, -s), (zero, s, c))
+    elif axis == "y":
+        rows = ((c, zero, s), (zero, one, zero), (-s, zero, c))
+    elif axis == "z":
+        rows = ((c, -s, zero), (s, c, zero), (zero, zero, one))
+    else:
+        raise ValueError(f"bad axis {axis!r}")
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def _check_convention(convention: str) -> str:
+    convention = convention.lower()
+    if sorted(convention) not in (["x", "y", "z"],) or len(convention) != 3:
+        # proper Euler sequences (e.g. zxz) are valid too: require three
+        # axes with no immediate repeats, like pytorch3d
+        if len(convention) != 3 or any(a not in "xyz" for a in convention) \
+                or convention[0] == convention[1] \
+                or convention[1] == convention[2]:
+            raise ValueError(f"bad euler convention {convention!r}")
+    return convention
+
+
+def ee_to_rotmat(euler: jax.Array, convention: str = "xyz") -> jax.Array:
+    """(..., 3) euler angles (radians) -> (..., 3, 3) rotation matrix."""
+    convention = _check_convention(convention)
+    mats = [_axis_rotmat(a, euler[..., i])
+            for i, a in enumerate(convention)]
+    return mats[0] @ mats[1] @ mats[2]
+
+
+def rotmat_to_ee(rot: jax.Array, convention: str = "xyz") -> jax.Array:
+    """(..., 3, 3) rotation matrix -> (..., 3) euler angles (radians).
+
+    Tait-Bryan sequences (all axes distinct); principal branch, matching
+    pytorch3d matrix_to_euler_angles / scipy intrinsic extraction. For a
+    convention (c0, c1, c2) with permutation sign s (+1 for xyz/yzx/zxy):
+
+        b = arcsin(s * R[i0, i2])
+        a = atan2(-s * R[i1, i2], R[i2, i2])
+        c = atan2(-s * R[i0, i1], R[i0, i0])
+    """
+    convention = _check_convention(convention)
+    if convention[0] == convention[2]:
+        raise NotImplementedError("proper Euler (repeated-axis) extraction "
+                                  "not needed by the reference")
+    i0 = "xyz".index(convention[0])
+    i1 = "xyz".index(convention[1])
+    i2 = "xyz".index(convention[2])
+    sign = 1.0 if convention in ("xyz", "yzx", "zxy") else -1.0
+    central = jnp.arcsin(jnp.clip(sign * rot[..., i0, i2], -1.0, 1.0))
+    first = jnp.arctan2(-sign * rot[..., i1, i2], rot[..., i2, i2])
+    third = jnp.arctan2(-sign * rot[..., i0, i1], rot[..., i0, i0])
+    return jnp.stack([first, central, third], axis=-1)
+
+
+def aa_to_ee(theta: jax.Array, convention: str = "xyz") -> jax.Array:
+    """axis-angle -> euler (object_transform.aa_to_ee:193-210)."""
+    return rotmat_to_ee(aa_to_rotmat(theta), convention)
+
+
+def ee_to_aa(euler: jax.Array, convention: str = "xyz") -> jax.Array:
+    """euler -> axis-angle (object_transform.ee_to_aa:232-249)."""
+    return rotmat_to_aa(ee_to_rotmat(euler, convention))

@@ -270,3 +270,46 @@ class TestFlip:
         assert buggy[1, 0, 0] == 1.0
         fixed = np.asarray(G.flip_keypoints3d(kp, jnp.array([0.0, 1.0])))
         assert fixed[0, 0, 0] == 1.0 and fixed[1, 0, 0] == -1.0
+
+
+class TestEuler:
+    """ee_to_rotmat / rotmat_to_ee / aa<->ee — parity surface of the
+    reference's KeypointFusion rotation-convention library
+    (util/object_transform.py:74-107, 193-249, pytorch3d intrinsic
+    semantics), pinned against scipy (capital-convention intrinsic ==
+    pytorch3d composition R = R_c0 @ R_c1 @ R_c2)."""
+
+    @pytest.mark.parametrize("conv", ["xyz", "xzy", "yxz", "yzx",
+                                      "zxy", "zyx"])
+    def test_matches_scipy_all_tait_bryan(self, conv, rng):
+        from hamer_yolo_tpu.geometry.rotations import (
+            ee_to_rotmat, rotmat_to_ee,
+        )
+
+        ang = rng.uniform(-1.2, 1.2, (32, 3)).astype(np.float64)
+        got = np.asarray(ee_to_rotmat(jnp.asarray(ang), conv))
+        want = R.from_euler(conv.upper(), ang).as_matrix()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        back = np.asarray(rotmat_to_ee(jnp.asarray(want), conv))
+        np.testing.assert_allclose(back, ang, atol=1e-6)
+
+    def test_aa_ee_roundtrip(self, rng):
+        from hamer_yolo_tpu.geometry.rotations import (
+            aa_to_ee, aa_to_rotmat, ee_to_aa, ee_to_rotmat,
+        )
+
+        aa = jnp.asarray(rng.uniform(-1.0, 1.0, (8, 3)))
+        ee = aa_to_ee(aa, "zyx")
+        np.testing.assert_allclose(np.asarray(ee_to_rotmat(ee, "zyx")),
+                                   np.asarray(aa_to_rotmat(aa)), atol=1e-5)
+        aa2 = ee_to_aa(ee, "zyx")
+        np.testing.assert_allclose(np.asarray(aa_to_rotmat(aa2)),
+                                   np.asarray(aa_to_rotmat(aa)), atol=1e-5)
+
+    def test_bad_convention_raises(self):
+        from hamer_yolo_tpu.geometry.rotations import ee_to_rotmat
+
+        with pytest.raises(ValueError):
+            ee_to_rotmat(jnp.zeros((3,)), "xxy")
+        with pytest.raises(ValueError):
+            ee_to_rotmat(jnp.zeros((3,)), "xw")

@@ -579,3 +579,113 @@ class TestSmoothL1Golden:
             ref = float(SmoothL1Loss()(torch.from_numpy(x), torch.from_numpy(y)))
             got = float(smooth_l1(jnp.asarray(x), jnp.asarray(y)))
             np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-8)
+
+
+class TestManoRegHead:
+    def test_forward_parity(self, kpf_env, rng):
+        """mano_regHead (model/mano_head.py:177-227) vs our
+        kpfusion_rgbd/mano_head on the same weights and the real
+        MANO_RIGHT.pkl (ManoLayer mano_root patched off the hardcoded
+        author path; ready_arguments chumpy-free like
+        test_reference_golden)."""
+        import importlib
+        import types
+
+        import torch
+        from scipy import sparse
+
+        mano_dir = os.path.join(R.REF, "rootnet/KeypointFusion/MANO")
+        dist_dir = os.path.join(R.REF, "rootnet/KeypointFusion/manopth")
+        if not os.path.isdir(mano_dir) or not os.path.isdir(dist_dir):
+            pytest.skip("manopth/MANO assets absent")
+
+        from hamer_yolo_tpu.core.mano_assets import load_mano_pkl
+
+        pkg = types.ModuleType("mp_root")
+        pkg.__path__ = [dist_dir]
+        sys.modules.setdefault("mp_root", pkg)
+        ml = importlib.import_module("mp_root.manopth.manolayer")
+
+        class _R:
+            def __init__(self, a):
+                self.r = a
+
+        def fake_ready_arguments(path, posekey4vposed="pose"):
+            d = load_mano_pkl(path)
+            parents = d["kintree_parents"].astype(np.int64)
+            kintree = np.stack([parents, np.arange(16)])
+            return {
+                # the head regresses 10 betas (shape_reg, mano_head.py
+                # :204) while this pkl carries 20 shape dirs — truncate
+                # to 10 on BOTH sides so the head parity is well-posed
+                "betas": _R(np.zeros(10, np.float32)),
+                "shapedirs": _R(d["shapedirs"][..., :10]),
+                "posedirs": _R(d["posedirs"]),
+                "v_template": _R(d["v_template"]),
+                "weights": _R(d["weights"]),
+                "J_regressor": sparse.csc_matrix(d["J_regressor"]),
+                "f": d["f"],
+                "kintree_table": kintree,
+                "hands_components": d["hands_components"],
+                "hands_mean": d["hands_mean"],
+                "hands_coeffs": d.get("hands_coeffs"),
+            }
+
+        orig_ra = ml.ready_arguments
+        ml.ready_arguments = fake_ready_arguments
+        # reference module imports `from manopth.manolayer import
+        # ManoLayer` — alias our loaded copy
+        manopth_pkg = types.ModuleType("manopth")
+        manopth_pkg.manolayer = ml
+        sys.modules.setdefault("manopth", manopth_pkg)
+        sys.modules.setdefault("manopth.manolayer", ml)
+        try:
+            mh = kpf_env.import_module("software.KeypointFusion.model.mano_head")
+            real_layer = ml.ManoLayer
+            mh.ManoLayer = lambda **kw: real_layer(
+                **{**kw, "mano_root": mano_dir})
+            torch.manual_seed(11)
+            ref_head = mh.mano_regHead(feature_size=64,
+                                       mano_neurons=[48, 32])
+            ref_head.eval()
+
+            feats = rng.normal(scale=0.5, size=(2, 64)).astype(np.float32)
+            with torch.no_grad():
+                ref_out = ref_head(torch.from_numpy(feats))
+        finally:
+            ml.ready_arguments = orig_ra
+
+        # convert the torch weights into our param layout
+        import jax
+        import jax.numpy as jnp
+
+        from hamer_yolo_tpu.models.kpfusion_rgbd.mano_head import (
+            ManoRegConfig, mano_reg_forward,
+        )
+        from hamer_yolo_tpu.models.mano import ManoModel
+
+        sd = {k: v.numpy() for k, v in ref_head.state_dict().items()}
+        params = {
+            "base": [{"w": jnp.asarray(sd[f"mano_base_layer.{i}.weight"].T),
+                      "b": jnp.asarray(sd[f"mano_base_layer.{i}.bias"])}
+                     for i in (0, 2)],
+            "pose_reg": {"w": jnp.asarray(sd["pose_reg.weight"].T),
+                         "b": jnp.asarray(sd["pose_reg.bias"])},
+            "shape_reg": {"w": jnp.asarray(sd["shape_reg.weight"].T),
+                          "b": jnp.asarray(sd["shape_reg.bias"])},
+        }
+        arrs = load_mano_pkl(os.path.join(mano_dir, "MANO_RIGHT.pkl"))
+        arrs["shapedirs"] = arrs["shapedirs"][..., :10]
+        model = ManoModel.from_arrays(arrs)
+        cfg = ManoRegConfig(feature_size=64, neurons=(48, 32))
+        got = jax.jit(lambda p, f: mano_reg_forward(p, f, model, cfg))(
+            params, jnp.asarray(feats))
+
+        np.testing.assert_allclose(np.asarray(got["mano_shape"]),
+                                   ref_out["mano_shape"].numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["mano_pose"]),
+                                   ref_out["mano_pose"].numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["verts3d"]),
+                                   ref_out["verts3d"].numpy(), atol=5e-2)
+        np.testing.assert_allclose(np.asarray(got["joints3d"]),
+                                   ref_out["joints3d"].numpy(), atol=5e-2)
