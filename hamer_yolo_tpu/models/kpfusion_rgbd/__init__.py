@@ -18,6 +18,9 @@ torch modules) on JAX/TPU:
 - model.py        Block_KPFusion + 2-stage KPFusion     [model/model.py:211-430]
 - centernet.py    centerNet detection head              [model/centerNet.py]
 - runtime.py      Model_RGBD-equivalent host pre/post   [Model_RGBD.py:30-460]
+- layers.py       CBAM / RGBDFusion / hourglass PoseNet [cbam.py,
+                  fusion_layer.py:40, hourglass.py:163]
+- mano_head.py    mano_regHead MANO-parameter head      [model/mano_head.py:177]
 """
 # model.py exports are re-exported lazily to keep partial builds importable
 try:  # noqa: SIM105
