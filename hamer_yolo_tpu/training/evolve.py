@@ -29,7 +29,7 @@ threads hyp plumbing through every loss — deliberately not done while
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ so the two can never drift apart on conf/iou settings or geometry.
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 
