@@ -296,6 +296,87 @@ class RGBDDatasetConfig:
     joint_num: int = 21
 
 
+def make_rgbd_sample(
+    rgb: np.ndarray,
+    depth: np.ndarray,
+    cam,
+    cube,
+    img_size: int,
+    sample_num: int,
+    joint_num: int = 21,
+    joints: Optional[np.ndarray] = None,
+    bbox=None,
+    com_bounds: Tuple[float, float] = (171.0, 1500.0),
+    aug_rng: Optional[np.random.Generator] = None,
+    aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
+) -> Dict[str, np.ndarray]:
+    """Shared crop/label/pcl pipeline (DexYCB/STB __getitem__ shape):
+    decoded frame + camera-space joints (mm) OR bbox -> the trainer's
+    sample schema. ``aug_rng`` switches to the reference TRAIN path
+    (augmentCrop applied consistently to depth/RGB/labels)."""
+    cube = np.asarray(cube, np.float32)
+    S = img_size
+    if joints is not None:
+        # eval-path center = joint mean (loader.py:1130-1132)
+        center_xyz = joints.mean(0)
+        center_uvd = joint_3d_to_img(center_xyz, cam)
+    else:
+        if bbox is None:
+            raise ValueError("make_rgbd_sample: no joints and no bbox")
+        center_uvd = get_center_from_bbx(depth, bbox, com_bounds[1],
+                                         com_bounds[0])
+        center_xyz = joint_img_to_3d(center_uvd, cam)
+
+    depth_crop, M = crop_depth(depth, center_uvd, cube, (S, S), cam)
+    rgb_crop, M_rgb = crop_rgb(rgb, center_uvd, cube, (S, S), cam)
+
+    if aug_rng is not None:
+        if joints is None:
+            raise ValueError("augmentation needs joints")
+        mode, off, rot, sc = rand_augment(aug_rng, *aug_para)
+        gt3dcrop = (joints - center_xyz).astype(np.float64)
+        cube0 = cube
+        img_d, cur_label, cube, com2d, M, _ = augment_crop(
+            depth_crop, gt3dcrop, center_uvd, cube, M,
+            mode, off, rot, sc, cam)
+        rgb_aug, _, _, _, _, _ = augment_crop(
+            rgb_crop, gt3dcrop, center_uvd, cube0, M_rgb,
+            mode, off, rot, sc, cam, rgb=True)
+        rgb_crop = rgb_aug.astype(np.float32)
+        com3d = joint_img_to_3d(com2d, cam)
+        xyz_gt = cur_label / (cube[2] / 2.0)
+    else:
+        img_d = normalize_img(depth_crop, center_xyz, cube)
+        com3d = joint_img_to_3d(center_uvd, cam)
+        xyz_gt = None if joints is None \
+            else (joints - center_xyz) / (cube[2] / 2.0)
+
+    if xyz_gt is not None:
+        # loader.py:1170-1173: project back through M, normalize
+        uvd = _transform_points_2d(
+            joint_3d_to_img(xyz_gt * (cube[0] / 2.0) + com3d, cam), M)
+        uvd[:, :2] = uvd[:, :2] / (S / 2.0) - 1.0
+        uvd[:, 2] = (uvd[:, 2] - com3d[2]) / (cube[0] / 2.0)
+    else:
+        xyz_gt = np.zeros((joint_num, 3), np.float32)
+        uvd = np.zeros((joint_num, 3), np.float32)
+
+    pcl = get_pcl(img_d, com3d, cube, M, cam)
+    pcl_sample = sample_pcl(pcl, sample_num)
+
+    return {
+        "img_rgb": rgb_crop.transpose(2, 0, 1) / 255.0,  # (3, S, S)
+        "img": img_d[None].astype(np.float32),           # (1, S, S)
+        "pcl": pcl_sample.astype(np.float32),
+        "uvd_gt": uvd.astype(np.float32),
+        "xyz_gt": xyz_gt.astype(np.float32),
+        "center": com3d.astype(np.float32),
+        "M": M.astype(np.float32),
+        "cube": np.asarray(cube, np.float32),
+        "cam_para": np.asarray(cam, np.float32),
+    }
+
+
 @dataclass
 class RGBDSample:
     stem: str
@@ -374,76 +455,24 @@ class RGBDDiskDataset:
             raise IOError(f"cannot read {s.rgb_path}")
         rgb = rgb.astype(np.float32)
         depth = read_depth(s.depth_path, cfg.depth_fmt)
-        cam = cfg.cam_para
-        cube = np.asarray(cfg.cube, np.float32)
-        S = cfg.img_size
 
         joints = None
+        bbox = None
         if s.joints_path is not None:
             joints = np.loadtxt(s.joints_path, dtype=np.float32)
             joints = joints.reshape(-1, 3)[: cfg.joint_num]
-        if joints is not None:
-            # DexYCB eval path: center = joint mean (loader.py:1130-1132)
-            center_xyz = joints.mean(0)
-            center_uvd = joint_3d_to_img(center_xyz, cam)
-        else:
-            if s.bbox_path is None:
-                raise ValueError(f"{s.stem}: no joints and no bbox")
+        elif s.bbox_path is not None:
             v = np.loadtxt(s.bbox_path).reshape(-1)[:4]
             H, W = depth.shape
             bbox = [v[0] * W - v[2] * W / 2, v[1] * H - v[3] * H / 2,
                     v[2] * W, v[3] * H]
-            center_uvd = get_center_from_bbx(depth, bbox, cfg.com_upper,
-                                             cfg.com_lower)
-            center_xyz = joint_img_to_3d(center_uvd, cam)
-
-        depth_crop, M = crop_depth(depth, center_uvd, cube, (S, S), cam)
-        rgb_crop, M_rgb = crop_rgb(rgb, center_uvd, cube, (S, S), cam)
-
-        if aug_rng is not None:
-            if joints is None:
-                raise ValueError(f"{s.stem}: augmentation needs joints")
-            mode, off, rot, sc = rand_augment(aug_rng, *aug_para)
-            gt3dcrop = (joints - center_xyz).astype(np.float64)
-            img_d, cur_label, cube, com2d, M, _ = augment_crop(
-                depth_crop, gt3dcrop, center_uvd, cube, M,
-                mode, off, rot, sc, cam)
-            rgb_aug, _, _, _, _, _ = augment_crop(
-                rgb_crop, gt3dcrop, center_uvd, np.asarray(cfg.cube), M_rgb,
-                mode, off, rot, sc, cam, rgb=True)
-            rgb_crop = rgb_aug.astype(np.float32)
-            com3d = joint_img_to_3d(com2d, cam)
-            xyz_gt = cur_label / (cube[2] / 2.0)
         else:
-            img_d = normalize_img(depth_crop, center_xyz, cube)
-            com3d = joint_img_to_3d(center_uvd, cam)
-            xyz_gt = None if joints is None \
-                else (joints - center_xyz) / (cube[2] / 2.0)
-
-        if xyz_gt is not None:
-            # loader.py:1170-1173: project back through M, normalize
-            uvd = _transform_points_2d(
-                joint_3d_to_img(xyz_gt * (cube[0] / 2.0) + com3d, cam), M)
-            uvd[:, :2] = uvd[:, :2] / (S / 2.0) - 1.0
-            uvd[:, 2] = (uvd[:, 2] - com3d[2]) / (cube[0] / 2.0)
-        else:
-            xyz_gt = np.zeros((cfg.joint_num, 3), np.float32)
-            uvd = np.zeros((cfg.joint_num, 3), np.float32)
-
-        pcl = get_pcl(img_d, com3d, cube, M, cam)
-        pcl_sample = sample_pcl(pcl, cfg.sample_num)
-
-        return {
-            "img_rgb": rgb_crop.transpose(2, 0, 1) / 255.0,  # (3, S, S)
-            "img": img_d[None].astype(np.float32),           # (1, S, S)
-            "pcl": pcl_sample.astype(np.float32),
-            "uvd_gt": uvd.astype(np.float32),
-            "xyz_gt": xyz_gt.astype(np.float32),
-            "center": com3d.astype(np.float32),
-            "M": M.astype(np.float32),
-            "cube": cube,
-            "cam_para": np.asarray(cam, np.float32),
-        }
+            raise ValueError(f"{s.stem}: no joints and no bbox")
+        return make_rgbd_sample(
+            rgb, depth, cfg.cam_para, cfg.cube, cfg.img_size,
+            cfg.sample_num, cfg.joint_num, joints=joints, bbox=bbox,
+            com_bounds=(cfg.com_lower, cfg.com_upper),
+            aug_rng=aug_rng, aug_para=aug_para)
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = False,
@@ -462,6 +491,153 @@ class RGBDDiskDataset:
         n = len(order)
         steps = n // batch_size if drop_last else math.ceil(n / batch_size)
         for b in range(max(steps, 0)):
+            idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
+            items = [self.load(i, aug_rng=aug_rng, aug_para=aug_para)
+                     for i in idx]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+# --- STB dataset format (dataloader/dataset_STB.py, preprocess.py) ----------
+
+# SK-camera intrinsics/extrinsics hardcoded in STB.__getitem__
+# (dataset_STB.py:65-73).
+STB_CAM = (607.92271, 607.88192, 314.78337, 236.42484)
+STB_SK_ROT = (0.00531, -0.01196, 0.00301)      # axis-angle
+STB_SK_TRANS = (-24.0381, -0.4563, -1.2326)    # mm
+STB_CUBE = (200.0, 200.0, 200.0)               # dataset_STB.py:32
+
+
+def read_depth_stb(path: str) -> np.ndarray:
+    """STB depth decode: R + G*256, already millimeters
+    (preprocess.read_depth_img:537-545, depth_scale 0.001 * 1000)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cannot read depth image {path}")
+    return (img[..., 2].astype(np.float32)
+            + img[..., 1].astype(np.float32) * 256.0)
+
+
+def stb_convert_kp(keypoints: np.ndarray) -> np.ndarray:
+    """preprocess.convert_kp:201-212: wrist stays, fingers reversed."""
+    order = np.array([0] + list(range(20, 0, -1)))
+    return keypoints[order]
+
+
+def stb_xyz_to_uvd(xyz: np.ndarray, K: np.ndarray, rot_mat: np.ndarray,
+                   T: np.ndarray) -> np.ndarray:
+    """preprocess.STB_xyz2uvd:40-48: project through the SK extrinsics,
+    keep the ORIGINAL camera z as the d column."""
+    uvd = (K @ (rot_mat.T @ (xyz.T - T.reshape(3, 1)))).T
+    uvd = uvd / uvd[:, 2:3]
+    return np.concatenate([uvd[:, :2], xyz[:, 2:3]], axis=1)
+
+
+def preprocess_stb(uvd: np.ndarray) -> np.ndarray:
+    """preprocess.preprocessSTB:267-277: convert_kp reorder + replace the
+    palm-center root with an extrapolated wrist
+    (wrist = j16 + 2*(j0 - j16))."""
+    uvd = stb_convert_kp(uvd)
+    wrist = uvd[16] + 2.0 * (uvd[0] - uvd[16])
+    return np.concatenate([wrist[None], uvd[1:]], axis=0)
+
+
+@dataclass
+class STBSample:
+    seq: str
+    frame: int
+    rgb_path: str
+    depth_path: str
+    joints_xyz: np.ndarray  # (21, 3) raw handPara column, mm
+
+
+def scan_stb_dir(root: str) -> List[STBSample]:
+    """Discover the STB layout (dataset_STB.py:44-60):
+    ``{root}/{seq}/SK_color_{i}.png`` + ``SK_depth_{i}.png`` with labels
+    in ``{root}/labels/{seq}_SK.mat`` (handPara (3, 21, N))."""
+    import scipy.io as sio
+
+    samples: List[STBSample] = []
+    labels_dir = os.path.join(root, "labels")
+    if not os.path.isdir(labels_dir):
+        return samples
+    for mat in sorted(os.listdir(labels_dir)):
+        if not mat.endswith("_SK.mat"):
+            continue
+        seq = mat[: -len("_SK.mat")]
+        seq_dir = os.path.join(root, seq)
+        if not os.path.isdir(seq_dir):
+            continue
+        hand_para = sio.loadmat(os.path.join(labels_dir, mat))["handPara"]
+        for i in range(hand_para.shape[2]):
+            rgb = os.path.join(seq_dir, f"SK_color_{i}.png")
+            dep = os.path.join(seq_dir, f"SK_depth_{i}.png")
+            if not (os.path.exists(rgb) and os.path.exists(dep)):
+                continue
+            samples.append(STBSample(
+                seq=seq, frame=i, rgb_path=rgb, depth_path=dep,
+                joints_xyz=hand_para[:, :, i].T.astype(np.float32)))
+    return samples
+
+
+class STBDataset:
+    """STB-format sample/batch producer (dataset_STB.py __getitem__):
+    SK depth decode, extrinsic projection + wrist-extrapolation label
+    preprocessing, then the shared metric-cube crop pipeline with the
+    STB 200 mm cube and SK intrinsics."""
+
+    def __init__(self, root: str, img_size: int = 128,
+                 sample_num: int = 1024):
+        import cv2
+
+        self.img_size = img_size
+        self.sample_num = sample_num
+        self.samples = scan_stb_dir(root)
+        if not self.samples:
+            raise FileNotFoundError(f"no STB samples under {root}")
+        self._rot_mat = cv2.Rodrigues(
+            np.asarray(STB_SK_ROT, np.float64))[0]
+        self._K = np.array([[STB_CAM[0], 0, STB_CAM[2]],
+                            [0, STB_CAM[1], STB_CAM[3]],
+                            [0, 0, 1]], np.float64)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, idx: int,
+             aug_rng: Optional[np.random.Generator] = None,
+             aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
+             ) -> Dict[str, np.ndarray]:
+        import cv2
+
+        s = self.samples[idx]
+        rgb = cv2.imread(s.rgb_path)
+        if rgb is None:
+            raise IOError(f"cannot read {s.rgb_path}")
+        depth = read_depth_stb(s.depth_path)
+        # labels: project + reorder + wrist fix, back to xyz in the SK
+        # camera (dataset_STB.py:78-84)
+        uvd = stb_xyz_to_uvd(s.joints_xyz.astype(np.float64), self._K,
+                             self._rot_mat, np.asarray(STB_SK_TRANS))
+        uvd = preprocess_stb(uvd)
+        joints = joint_img_to_3d(uvd.astype(np.float32), STB_CAM)
+        return make_rgbd_sample(
+            rgb.astype(np.float32), depth, STB_CAM, STB_CUBE,
+            self.img_size, self.sample_num, joints=joints,
+            aug_rng=aug_rng, aug_para=aug_para)
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                augment: bool = False,
+                aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        order = np.arange(len(self.samples))
+        if shuffle:
+            rng.shuffle(order)
+        aug_rng = rng if augment else None
+        n = len(order)
+        for b in range(max(math.ceil(n / batch_size), 0)):
             idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
             items = [self.load(i, aug_rng=aug_rng, aug_para=aug_para)
                      for i in idx]

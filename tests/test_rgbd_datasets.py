@@ -310,3 +310,102 @@ class TestAugmentOracle:
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         _, _, metrics = step(params, opt_state, jb, 0)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestSTBFormat:
+    """STB dataset format (dataloader/dataset_STB.py + preprocess.py):
+    depth decode, SK extrinsic projection, convert_kp + wrist fix, and
+    the shared pipeline on a synthesized mini STB tree."""
+
+    @pytest.fixture(scope="class")
+    def stb_root(self, tmp_path_factory):
+        import cv2
+        import scipy.io as sio
+
+        from hamer_yolo_tpu.io.rgbd_datasets import (
+            STB_CAM, STB_SK_ROT, STB_SK_TRANS,
+        )
+
+        root = tmp_path_factory.mktemp("stb")
+        (root / "labels").mkdir()
+        (root / "B1Counting").mkdir()
+        rng = np.random.default_rng(5)
+        K = np.array([[STB_CAM[0], 0, STB_CAM[2]],
+                      [0, STB_CAM[1], STB_CAM[3]], [0, 0, 1]])
+        R = cv2.Rodrigues(np.asarray(STB_SK_ROT))[0]
+        T = np.asarray(STB_SK_TRANS)
+        N = 2
+        hand_para = np.zeros((3, 21, N))
+        for i in range(N):
+            # joints clustered ~450 mm deep,近 image center in SK frame
+            center = np.array([20.0, -10.0, 450.0 + 30 * i])
+            joints = center + rng.uniform(-35, 35, (21, 3))
+            hand_para[:, :, i] = joints.T
+            # depth: blob at the hand's projected location
+            depth_mm = np.zeros((480, 640), np.float32)
+            uvd = (K @ (R.T @ (joints.T - T.reshape(3, 1)))).T
+            uv = (uvd[:, :2] / uvd[:, 2:3]).mean(0).astype(int)
+            u0, v0 = np.clip(uv[0], 60, 580), np.clip(uv[1], 60, 420)
+            depth_mm[v0 - 40:v0 + 40, u0 - 40:u0 + 40] = center[2]
+            enc = np.zeros((480, 640, 3), np.uint8)
+            d16 = depth_mm.astype(np.uint32)
+            enc[..., 2] = d16 % 256
+            enc[..., 1] = d16 // 256
+            cv2.imwrite(str(root / "B1Counting" / f"SK_depth_{i}.png"), enc)
+            rgbimg = rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+            cv2.imwrite(str(root / "B1Counting" / f"SK_color_{i}.png"),
+                        rgbimg)
+        sio.savemat(str(root / "labels" / "B1Counting_SK.mat"),
+                    {"handPara": hand_para})
+        return str(root)
+
+    def test_depth_decode_stb(self, tmp_path):
+        import cv2
+
+        from hamer_yolo_tpu.io.rgbd_datasets import read_depth_stb
+
+        d = np.array([[0, 700], [4000, 65000]], np.uint32)
+        enc = np.zeros((2, 2, 3), np.uint8)
+        enc[..., 2] = d % 256
+        enc[..., 1] = d // 256
+        p = str(tmp_path / "d.png")
+        cv2.imwrite(p, enc)
+        np.testing.assert_array_equal(read_depth_stb(p),
+                                      d.astype(np.float32))
+
+    def test_preprocess_stb_reorder_and_wrist(self):
+        from hamer_yolo_tpu.io.rgbd_datasets import preprocess_stb
+
+        uvd = np.arange(63, dtype=np.float64).reshape(21, 3)
+        out = preprocess_stb(uvd)
+        # convert_kp: index 0 stays, rest reversed -> reordered[16] = old 4
+        # wrist = j16 + 2*(j0 - j16) over the REORDERED array
+        reordered = uvd[np.array([0] + list(range(20, 0, -1)))]
+        want_wrist = reordered[16] + 2.0 * (reordered[0] - reordered[16])
+        np.testing.assert_allclose(out[0], want_wrist)
+        np.testing.assert_allclose(out[1:], reordered[1:])
+
+    def test_dataset_load_schema_and_roundtrip(self, stb_root):
+        from hamer_yolo_tpu.io.rgbd_datasets import STBDataset
+
+        ds = STBDataset(stb_root, img_size=64, sample_num=128)
+        assert len(ds) == 2
+        it = ds.load(0)
+        assert it["img_rgb"].shape == (3, 64, 64)
+        assert it["img"].shape == (1, 64, 64)
+        assert it["pcl"].shape == (128, 3)
+        assert it["uvd_gt"].shape == (21, 3)
+        for k, v in it.items():
+            assert np.isfinite(v).all(), k
+        np.testing.assert_allclose(it["cube"], [200, 200, 200])
+        np.testing.assert_allclose(it["xyz_gt"].mean(0), 0.0, atol=1e-6)
+        # label magnitudes sane for a 200mm cube around the joint mean
+        assert np.abs(it["xyz_gt"]).max() < 2.0
+
+    def test_augmented_stb_batch(self, stb_root):
+        from hamer_yolo_tpu.io.rgbd_datasets import STBDataset
+
+        ds = STBDataset(stb_root, img_size=32, sample_num=64)
+        b = next(ds.batches(2, shuffle=False, augment=True, seed=7))
+        assert b["img"].shape == (2, 1, 32, 32)
+        assert all(np.isfinite(v).all() for v in b.values())
