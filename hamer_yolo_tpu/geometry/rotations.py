@@ -150,14 +150,13 @@ def _axis_rotmat(axis: str, angle: jax.Array) -> jax.Array:
 
 
 def _check_convention(convention: str) -> str:
+    """Three axes from xyz with no immediate repeats (pytorch3d rule;
+    admits both Tait-Bryan xyz... and proper-Euler zxz... sequences)."""
     convention = convention.lower()
-    if sorted(convention) not in (["x", "y", "z"],) or len(convention) != 3:
-        # proper Euler sequences (e.g. zxz) are valid too: require three
-        # axes with no immediate repeats, like pytorch3d
-        if len(convention) != 3 or any(a not in "xyz" for a in convention) \
-                or convention[0] == convention[1] \
-                or convention[1] == convention[2]:
-            raise ValueError(f"bad euler convention {convention!r}")
+    if (len(convention) != 3 or any(a not in "xyz" for a in convention)
+            or convention[0] == convention[1]
+            or convention[1] == convention[2]):
+        raise ValueError(f"bad euler convention {convention!r}")
     return convention
 
 

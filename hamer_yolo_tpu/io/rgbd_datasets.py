@@ -483,18 +483,29 @@ class RGBDDiskDataset:
         (fixed shapes keep the jitted train step at one compile).
         ``augment=True`` draws a fresh rot/com/sc/none augmentation per
         sample (train path)."""
-        rng = np.random.default_rng(seed)
-        order = np.arange(len(self.samples))
-        if shuffle:
-            rng.shuffle(order)
-        aug_rng = rng if augment else None
-        n = len(order)
-        steps = n // batch_size if drop_last else math.ceil(n / batch_size)
-        for b in range(max(steps, 0)):
-            idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
-            items = [self.load(i, aug_rng=aug_rng, aug_para=aug_para)
-                     for i in idx]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        yield from _iter_batches(self, batch_size, shuffle, seed, drop_last,
+                                 augment, aug_para)
+
+
+def _iter_batches(dataset, batch_size: int, shuffle: bool, seed: int,
+                  drop_last: bool, augment: bool,
+                  aug_para: Tuple[float, float, float]
+                  ) -> Iterator[Dict[str, np.ndarray]]:
+    """Shared epoch iterator over any dataset with ``samples`` +
+    ``load(idx, aug_rng=, aug_para=)``: seeded shuffle, wrap-around fill
+    of the short final batch (or drop_last), stacked fixed-shape dicts."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset.samples))
+    if shuffle:
+        rng.shuffle(order)
+    aug_rng = rng if augment else None
+    n = len(order)
+    steps = n // batch_size if drop_last else math.ceil(n / batch_size)
+    for b in range(steps):
+        idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
+        items = [dataset.load(i, aug_rng=aug_rng, aug_para=aug_para)
+                 for i in idx]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
 # --- STB dataset format (dataloader/dataset_STB.py, preprocess.py) ----------
@@ -617,28 +628,33 @@ class STBDataset:
             raise IOError(f"cannot read {s.rgb_path}")
         depth = read_depth_stb(s.depth_path)
         # labels: project + reorder + wrist fix, back to xyz in the SK
-        # camera (dataset_STB.py:78-84)
+        # camera (dataset_STB.py:78-84). NOTE the reference's uvd2xyz
+        # (preprocess.py:16-23) unpacks fx for BOTH axes — fy is never
+        # used; replicate that quirk here for label-exactness.
         uvd = stb_xyz_to_uvd(s.joints_xyz.astype(np.float64), self._K,
                              self._rot_mat, np.asarray(STB_SK_TRANS))
         uvd = preprocess_stb(uvd)
-        joints = joint_img_to_3d(uvd.astype(np.float32), STB_CAM)
-        return make_rgbd_sample(
+        fx, _, cx, cy = STB_CAM
+        joints = joint_img_to_3d(uvd.astype(np.float32), (fx, fx, cx, cy))
+        item = make_rgbd_sample(
             rgb.astype(np.float32), depth, STB_CAM, STB_CUBE,
             self.img_size, self.sample_num, joints=joints,
             aug_rng=aug_rng, aug_para=aug_para)
+        if aug_rng is not None:
+            # STB-specific train-time RGB color jitter
+            # (dataset_STB.py:108-115, color_factor 0.2): per-channel
+            # uniform scales applied after the geometric augment, before
+            # normalization. item["img_rgb"] is (3, S, S) in [0, 1].
+            c = 0.2
+            scale = aug_rng.uniform(1.0 - c, 1.0 + c, 3)
+            item["img_rgb"] = np.clip(
+                item["img_rgb"] * scale[:, None, None], 0.0, 1.0
+            ).astype(np.float32)
+        return item
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                augment: bool = False,
+                drop_last: bool = False, augment: bool = False,
                 aug_para: Tuple[float, float, float] = (10.0, 0.2, 180.0),
                 ) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.default_rng(seed)
-        order = np.arange(len(self.samples))
-        if shuffle:
-            rng.shuffle(order)
-        aug_rng = rng if augment else None
-        n = len(order)
-        for b in range(max(math.ceil(n / batch_size), 0)):
-            idx = [order[(b * batch_size + i) % n] for i in range(batch_size)]
-            items = [self.load(i, aug_rng=aug_rng, aug_para=aug_para)
-                     for i in idx]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        yield from _iter_batches(self, batch_size, shuffle, seed, drop_last,
+                                 augment, aug_para)

@@ -634,14 +634,20 @@ class TestManoRegHead:
         orig_ra = ml.ready_arguments
         ml.ready_arguments = fake_ready_arguments
         # reference module imports `from manopth.manolayer import
-        # ManoLayer` — alias our loaded copy
+        # ManoLayer` — alias our loaded copy (removed again below so no
+        # fake module leaks into later tests)
         manopth_pkg = types.ModuleType("manopth")
         manopth_pkg.manolayer = ml
+        added_mods = [m for m in ("manopth", "manopth.manolayer")
+                      if m not in sys.modules]
         sys.modules.setdefault("manopth", manopth_pkg)
         sys.modules.setdefault("manopth.manolayer", ml)
+        mh = None
+        orig_layer = None
         try:
             mh = kpf_env.import_module("software.KeypointFusion.model.mano_head")
             real_layer = ml.ManoLayer
+            orig_layer = mh.ManoLayer
             mh.ManoLayer = lambda **kw: real_layer(
                 **{**kw, "mano_root": mano_dir})
             torch.manual_seed(11)
@@ -654,6 +660,10 @@ class TestManoRegHead:
                 ref_out = ref_head(torch.from_numpy(feats))
         finally:
             ml.ready_arguments = orig_ra
+            if mh is not None and orig_layer is not None:
+                mh.ManoLayer = orig_layer
+            for m in added_mods:
+                sys.modules.pop(m, None)
 
         # convert the torch weights into our param layout
         import jax
