@@ -31,6 +31,11 @@ def main() -> int:
                    help="RGB-D sample dir (fixture layout); default synthetic")
     p.add_argument("--depth-fmt", default="auto",
                    choices=["auto", "u16", "nyu", "ho3d", "npy"])
+    p.add_argument("--data-format", default="fixture",
+                   choices=["fixture", "stb"],
+                   help="fixture = {stem}.png + {stem}_d.png + {stem}.txt "
+                        "dirs; stb = STB tree ({seq}/SK_color_i.png + "
+                        "labels/{seq}_SK.mat)")
     p.add_argument("--augment", action="store_true",
                    help="train-time rot/com/sc augmentation on --data "
                         "samples (reference augmentCrop, aug_para "
@@ -87,16 +92,23 @@ def main() -> int:
 
     batch_iter = None
     if args.data:
-        from hamer_yolo_tpu.io.rgbd_datasets import (
-            RGBDDatasetConfig, RGBDDiskDataset,
-        )
+        if args.data_format == "stb":
+            from hamer_yolo_tpu.io.rgbd_datasets import STBDataset
 
-        ds = RGBDDiskDataset(
-            args.data,
-            RGBDDatasetConfig(img_size=cfg.img_size,
-                              sample_num=cfg.sample_num,
-                              depth_fmt=args.depth_fmt))
-        print(f"data: {len(ds)} labeled sample(s) from {args.data}")
+            ds = STBDataset(args.data, img_size=cfg.img_size,
+                            sample_num=cfg.sample_num)
+        else:
+            from hamer_yolo_tpu.io.rgbd_datasets import (
+                RGBDDatasetConfig, RGBDDiskDataset,
+            )
+
+            ds = RGBDDiskDataset(
+                args.data,
+                RGBDDatasetConfig(img_size=cfg.img_size,
+                                  sample_num=cfg.sample_num,
+                                  depth_fmt=args.depth_fmt))
+        print(f"data: {len(ds)} labeled sample(s) from {args.data} "
+              f"({args.data_format})")
 
         def _epochs():
             epoch = 0
