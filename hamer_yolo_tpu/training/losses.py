@@ -142,10 +142,15 @@ def _level_candidates(raw, targets, anc_px, stride, nc, anchor_t, g, lvl, L, na,
         [[0.0, 0.0], [g, 0.0], [0.0, g], [-g, 0.0], [0.0, -g]], raw.dtype
     )  # (5, 2); cell = floor(xy - off)
     offs = jnp.broadcast_to(base_offs[None, None], (B, T, 5, 2))
+    # The l/m (far-side) masks mirror the reference's `(gxi % 1. < g)`
+    # with gxi = grid_size - xy: that modulo is ALSO satisfied at
+    # fx == 0.0 exactly (cell-corner centers), where it duplicates the
+    # center cell — reproduce it verbatim, not as `fx > 1 - g`.
+    inv_x, inv_y = W - cx, H - cy
     active = jnp.stack([
         jnp.ones_like(fx, bool),
         (fx < g) & (cx > 1.0), (fy < g) & (cy > 1.0),
-        (fx > 1.0 - g) & (cx < W - 1.0), (fy > 1.0 - g) & (cy < H - 1.0),
+        (inv_x % 1.0 < g) & (inv_x > 1.0), (inv_y % 1.0 < g) & (inv_y > 1.0),
     ], axis=2)  # (B, T, 5)
 
     cells = jnp.floor(t_xy[:, :, None, :] - offs).astype(jnp.int32)  # (B, T, 5, 2)
@@ -414,10 +419,16 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
     order = jnp.argsort(cost, axis=-1)
     ranks = jnp.argsort(order, axis=-1)
     select = (ranks < dyn_k[..., None]) & mask
-    # per-COLUMN conflict: lowest-cost gt keeps the candidate
-    sel_cost = jnp.where(select, cost, BIG)
-    col_min = sel_cost.min(axis=1, keepdims=True)
-    select = select & (sel_cost <= col_min)
+    # per-COLUMN conflict: the reference reassigns a column selected by
+    # >1 gts to the gt with the GLOBALLY lowest cost — argmin over ALL
+    # gt rows, selectors or not (loss.py:755-758) — so a contested
+    # column can land on a gt that never picked it.  Columns with a
+    # single selector are left untouched.
+    conflict = jnp.sum(select, axis=1, keepdims=True) > 1  # (B, 1, C)
+    row_argmin = jnp.argmin(cost, axis=1)                  # (B, C) first-min
+    winner = jnp.swapaxes(
+        jax.nn.one_hot(row_argmin, cost.shape[1], dtype=bool), 1, 2)
+    select = jnp.where(conflict, winner, select)
     sel_f = select.astype(jnp.float32)                  # (B, T, Ctot)
 
     # ---- per-level losses over selected (gt, candidate) pairs -------------
@@ -482,12 +493,19 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
                + anc_id[:, None, :] * (H_l * W_l)
                + l["cell"][..., 1].astype(jnp.int32)[:, None, :] * W_l
                + l["cell"][..., 0].astype(jnp.int32)[:, None, :])  # (B,T,C)
-        iou_det = jnp.clip(jax.lax.stop_gradient(ciou), 0.0) * sl
-        obj_target = jax.ops.segment_max(
-            iou_det.reshape(-1), jnp.broadcast_to(cid, sl.shape).reshape(-1),
-            num_segments=B * na * H_l * W_l,
+        # duplicate tobj writes (two selected columns sharing a cell)
+        # resolve last-write-wins in the reference's emit order: the
+        # level pool is (offset-group, anchor, source-target)-ordered
+        c_idx = jnp.arange(C)
+        t_src = c_idx // (5 * na)
+        off_i = (c_idx % (5 * na)) // na
+        a_i = c_idx % na
+        pri_col = jnp.broadcast_to(
+            (off_i * (na * T) + a_i * T + t_src + 1)[None, None, :], sl.shape)
+        obj_target = _last_write_obj_target(
+            jnp.clip(jax.lax.stop_gradient(ciou), 0.0), sl > 0, pri_col,
+            jnp.broadcast_to(cid, sl.shape), B * na * H_l * W_l,
         ).reshape(B, na, H_l, W_l)
-        obj_target = jnp.maximum(obj_target, 0.0)
         obj_map = d["m"][..., l["obj_idx"]]              # (B, na, H, W)
         total_obj += bce_logits(obj_map, obj_target).mean() * balance[d["lvl"]]
 
@@ -498,6 +516,34 @@ def _simota_pooled_losses(per_level, targets, strides, nc, head, bin_count,
                           * sl[..., None]).sum() / (n_den * nc)
         off += C
     return total_box, total_obj, total_cls
+
+
+def _last_write_obj_target(iou_clamped, match, pri, flat_idx, num_segments):
+    """tobj with the reference's duplicate-write semantics.
+
+    torch's `tobj[b, a, gj, gi] = iou` with duplicate indices keeps the
+    LAST write (CPU order: offset-group-major, then anchor, then target
+    — the order build_targets emits candidates).  `pri` encodes that
+    order (+1, 0 = unmatched); the per-cell winner is the matched
+    candidate with the highest priority, and its clamped IoU is the
+    objectness target.
+    """
+    pri_m = jnp.where(match, pri, 0).reshape(-1)
+    seg_pri = jax.ops.segment_max(pri_m, flat_idx.reshape(-1),
+                                  num_segments=num_segments)
+    win = match & (pri == seg_pri[flat_idx])
+    return jax.ops.segment_sum(
+        jnp.where(win, iou_clamped, 0.0).reshape(-1), flat_idx.reshape(-1),
+        num_segments=num_segments)
+
+
+def _candidate_priority(T, na, shape):
+    """Write-order priority over a (B, T, 5, na) candidate grid."""
+    t_idx = jnp.arange(T)[None, :, None, None]
+    off_idx = jnp.arange(5)[None, None, :, None]
+    a_idx = jnp.arange(na)[None, None, None, :]
+    return jnp.broadcast_to(
+        off_idx * (na * T) + a_idx * T + t_idx + 1, shape)
 
 
 def _accumulate_losses(per_level, nc, balance, B):
@@ -511,16 +557,16 @@ def _accumulate_losses(per_level, nc, balance, B):
         n_match = jnp.maximum(match_f.sum(), 1.0)
         total_box += ((1.0 - ciou) * match_f).sum() / n_match
 
-        # objectness target: IoU at matched locations (scatter-free segment max)
+        # objectness target: IoU at matched cells, duplicate writes
+        # resolved last-write-wins exactly as the reference's scatter
         lvl_flat = (d["bidx"] * (na_ * H * W)
                     + jnp.arange(na_)[None, None, None, :] * (H * W)
                     + d["cells_y"][..., None] * W + d["cells_x"][..., None])
-        iou_det = jnp.clip(jax.lax.stop_gradient(ciou), 0.0) * match_f
-        obj_target = jax.ops.segment_max(
-            iou_det.reshape(-1), lvl_flat.reshape(-1),
-            num_segments=B * na_ * H * W, indices_are_sorted=False,
-        ).reshape(B, na_, H, W)
-        obj_target = jnp.maximum(obj_target, 0.0)  # -inf for empty segments
+        T_ = match_f.shape[1]
+        pri = _candidate_priority(T_, na_, match_f.shape)
+        obj_target = _last_write_obj_target(
+            jnp.clip(jax.lax.stop_gradient(ciou), 0.0), match_f > 0, pri,
+            lvl_flat, B * na_ * H * W).reshape(B, na_, H, W)
         obj_loss = bce_logits(m[..., obj_idx], obj_target).mean()
         total_obj += obj_loss * balance[lvl]
 
