@@ -3,6 +3,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
@@ -48,12 +49,20 @@ def build_library(timeout_s: int = 300) -> bool:
             fcntl.flock(lock, fcntl.LOCK_EX)
             if os.path.exists(_LIB_PATHS[0]):
                 return True
+            print("hamer_yolo_tpu: building native C++ library (first "
+                  "use; cmake+ninja, may take a few minutes)...",
+                  file=sys.stderr, flush=True)
             subprocess.run(["cmake", "-B", os.path.join(src, "build"),
                             "-S", src, "-G", "Ninja"], check=True,
                            capture_output=True, timeout=timeout_s)
             subprocess.run(["ninja", "-C", os.path.join(src, "build")],
                            check=True, capture_output=True,
                            timeout=timeout_s)
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"").decode(errors="replace")[-2000:]
+        print(f"hamer_yolo_tpu: native build failed ({e.cmd[0]}); "
+              f"stderr tail:\n{tail}", file=sys.stderr, flush=True)
+        return False
     except Exception:
         return False
     return os.path.exists(_LIB_PATHS[0])

@@ -315,6 +315,15 @@ def make_rgbd_sample(
     sample schema. ``aug_rng`` switches to the reference TRAIN path
     (augmentCrop applied consistently to depth/RGB/labels)."""
     cube = np.asarray(cube, np.float32)
+    # Label normalization faithfully mirrors the reference's own axis mix
+    # (loader.py divides xyz by cube[2]/2 but re-projects uvd with
+    # cube[0]/2) — harmless only while cubes are cubic in x/z, which all
+    # shipped configs are (250^3, STB 200^3). Guard so an anisotropic
+    # cube can't silently corrupt labels.
+    if cube[0] != cube[2]:
+        raise ValueError(
+            f"make_rgbd_sample requires cube[0] == cube[2] (got {cube}): "
+            "the reference's label normalization mixes those axes")
     S = img_size
     if joints is not None:
         # eval-path center = joint mean (loader.py:1130-1132)

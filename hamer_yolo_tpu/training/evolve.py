@@ -111,11 +111,18 @@ def mutate_hyp(
         pick = rng.choice(n, p=w / w.sum())           # weighted 'single'
         parent = x[pick]
         g = np.array([META[k][0] for k in keys])
+        if mp <= 0 or sigma <= 0:
+            raise ValueError(
+                f"mutate_hyp needs mp > 0 and sigma > 0 (got mp={mp}, "
+                f"sigma={sigma}): the retry-until-changed loop below "
+                "could never terminate")
         ng = len(keys)
         v = np.ones(ng)
-        while (v == 1).all():  # mutate until a change occurs
+        for _ in range(100):  # mutate until a change occurs (bounded)
             v = (g * (rng.random(ng) < mp) * rng.standard_normal(ng)
                  * rng.random() * sigma + 1).clip(0.3, 3.0)
+            if not (v == 1).all():
+                break
         for i, k in enumerate(keys):
             hyp[k] = float(parent[i + N_RESULT_COLS] * v[i])
     for k in keys:  # constrain to limits + significant digits

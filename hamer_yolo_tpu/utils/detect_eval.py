@@ -68,6 +68,11 @@ def eval_detector_images(
         boxes = np.asarray(nms.boxes[0])[valid]
         boxes[:, [0, 2]] = (boxes[:, [0, 2]] - dw) / r
         boxes[:, [1, 3]] = (boxes[:, [1, 3]] - dh) / r
+        # reference test.py applies clip_coords (general.py) before
+        # matching / COCO json: boxes crossing the letterbox edge must
+        # not extend past the original frame
+        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w0)
+        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h0)
         labels = load_yolo_labels(lbl_path)
         gt_cls = labels[:, 0] if len(labels) else np.zeros((0,))
         gt_boxes = np.stack([

@@ -99,8 +99,16 @@ def attempt_download(name_or_path: str,
                                   "hamer_yolo_tpu")]
             if dest_dir:
                 owned.append(dest_dir)
-            if os.path.dirname(os.path.abspath(found)) in (
+            refetchable = (
+                (url or KNOWN_ASSETS.get(os.path.basename(name_or_path)))
+                is not None
+                and (allow_download
+                     or os.environ.get("HYT_ALLOW_DOWNLOAD") == "1"))
+            if refetchable and os.path.dirname(os.path.abspath(found)) in (
                     os.path.abspath(d) for d in owned):
+                # Delete the corrupt cached copy only when a replacement
+                # can actually be fetched below; otherwise the (corrupt)
+                # file is the only copy — keep it and raise.
                 os.unlink(found)
                 found = None
             else:

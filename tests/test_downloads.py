@@ -108,13 +108,28 @@ class TestAttemptDownload:
         assert got == str(tmp_path / "w.pt")
         assert (tmp_path / "w.pt").read_bytes() == payload
 
-    def test_corrupt_cache_entry_gate_closed_returns_none(self, tmp_path):
-        # dest_dir marks tmp_path as resolver-managed -> delete-eligible
+    def test_corrupt_cache_entry_gate_closed_raises_and_survives(
+            self, tmp_path):
+        # With the download gate closed (or no URL) a re-fetch is
+        # impossible, so even a resolver-managed corrupt entry is KEPT
+        # (it is the only copy) and the mismatch raises. Deletion only
+        # happens when a replacement will actually be downloaded
+        # (test_corrupt_cache_entry_deleted_and_refetched).
         (tmp_path / "w.pt").write_bytes(b"corrupt")
-        assert dl.attempt_download("w.pt", sha256_hex="0" * 64,
-                                   search=[str(tmp_path)],
-                                   dest_dir=str(tmp_path)) is None
-        assert not (tmp_path / "w.pt").exists()  # bad entry removed
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download("w.pt", sha256_hex="0" * 64,
+                                search=[str(tmp_path)],
+                                dest_dir=str(tmp_path))
+        assert (tmp_path / "w.pt").exists()  # only copy preserved
+        # gate open but the name has no URL at all -> same posture
+        (tmp_path / "definitely-not-a-known-asset.pt").write_bytes(b"corrupt")
+        with pytest.raises(ValueError, match="checksum"):
+            dl.attempt_download("definitely-not-a-known-asset.pt",
+                                sha256_hex="0" * 64,
+                                search=[str(tmp_path)],
+                                dest_dir=str(tmp_path),
+                                allow_download=True)
+        assert (tmp_path / "definitely-not-a-known-asset.pt").exists()
 
     def test_user_owned_dir_never_deleted(self, tmp_path, monkeypatch):
         # $HYT_WEIGHTS / caller search dirs are user-owned: a checksum
