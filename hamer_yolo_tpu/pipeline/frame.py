@@ -49,10 +49,14 @@ class PipelineConfig:
     right_class: int = 1       # cls==1 -> right (yolo/detector.py:144-148)
     crop_size: int = 256
     use_depth_refine: bool = False  # d_infer.py behavior when True
-    tta: bool = False  # 3-scale+flip detector TTA (reference default ON,
-    #                    config/yolo_config.py:6 — off here by default;
-    #                    measured 1.87x detector cost on v5e, 2.25 -> 4.21
-    #                    ms/img b32, assets/ab_tta_r03.log)
+    tta: bool = False  # 3-scale+flip detector TTA. The reference's config
+    #                    sets augment=True (config/yolo_config.py:6) but
+    #                    TracedModel.forward DROPS the flag at runtime
+    #                    (torch_utils.py:371-374), so the reference never
+    #                    executes TTA — off-by-default here IS the
+    #                    effective reference behavior. Measured 1.87x
+    #                    detector cost on v5e when on (2.25 -> 4.21 ms/img
+    #                    b32, assets/ab_tta_r03.log).
     yolo: YoloConfig = field(default_factory=lambda: YoloConfig(nc=3))
     hamer: HamerConfig = field(default_factory=HamerConfig)
     sar: SarConfig = field(default_factory=SarConfig)

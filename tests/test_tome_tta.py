@@ -1,5 +1,6 @@
 """ToMe token merging + detector TTA tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -100,3 +101,70 @@ class TestTTA:
         o = np.asarray(jax.jit(lambda p, x: yolov7_forward_tta(p, x, cfg))(params, sym))
         # branch 2 (flipped, de-flipped) xy must live in [approx 0, 64+]
         assert np.isfinite(o).all()
+
+    def test_tta_value_parity_vs_reference(self):
+        """VALUE parity vs the reference's non-traced
+        Model.forward(augment=True) (yolo.py:589-605) on a small cfg.
+
+        (The reference's shipped pipeline never executes this path —
+        TracedModel.forward drops the augment flag, torch_utils.py:371 —
+        but our --augment option exposes it to users, so it gets the same
+        oracle bar as everything else.)"""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import ref_pipeline_oracle as R
+
+        if not R.reference_available():
+            pytest.skip("reference not mounted")
+        import torch
+
+        env = R.install_reference_environment()
+        cfg_dict = {
+            "nc": 3,
+            "depth_multiple": 1.0,
+            "width_multiple": 1.0,
+            "anchors": [[12, 16, 19, 36, 40, 28],
+                        [36, 75, 76, 55, 72, 146],
+                        [142, 110, 192, 243, 459, 401]],
+            "backbone": [
+                [-1, 1, "Conv", [16, 3, 2]],
+                [-1, 1, "Conv", [32, 3, 2]],
+                [-1, 1, "Conv", [48, 3, 2]],   # P3
+                [-1, 1, "Conv", [64, 3, 2]],   # P4
+                [-1, 1, "Conv", [80, 3, 2]],   # P5
+            ],
+            "head": [
+                [[2, 3, 4], 1, "IDetect", [3, "anchors"]],
+            ],
+        }
+        torch.manual_seed(0)
+        import copy
+
+        model = env["yolo_models"].Model(copy.deepcopy(cfg_dict), ch=3, nc=3)
+        model.eval()
+        x_np = np.random.default_rng(1).uniform(
+            0, 1, (1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref_out, _ = model(torch.from_numpy(
+                x_np.transpose(0, 3, 1, 2).copy()), augment=True)
+
+        from hamer_yolo_tpu.core.convert import convert_yolov7_state_dict
+        from hamer_yolo_tpu.models.yolov7.yaml_spec import spec_from_yaml
+
+        spec, ycfg = spec_from_yaml(copy.deepcopy(cfg_dict), nc=3)
+        import dataclasses
+
+        ycfg = dataclasses.replace(ycfg, compute_dtype="float32")
+        sd = {k: np.asarray(v.detach().numpy())
+              for k, v in model.state_dict().items()}
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_yolov7_state_dict(sd, spec=spec))
+        got = np.asarray(yolov7_forward_tta(params, jnp.asarray(x_np),
+                                            ycfg, spec=spec))
+        assert got.shape == tuple(ref_out.shape)
+        # scale-1 branch is resize-free -> tight; scaled branches go
+        # through bilinear resize where torch/XLA differ by float LSBs
+        np.testing.assert_allclose(got, ref_out.numpy(), atol=2e-4,
+                                   rtol=1e-4)
