@@ -26,16 +26,16 @@ _MANO_FROM_AA_CACHE: dict = {}
 
 
 def _mano_from_aa_fn(mano_model: ManoModel):
-    """Jitted (theta, betas, cam_t) -> world vertices, cached per model."""
+    """Jitted (theta, betas) -> model-frame vertices, cached per model."""
     key = id(mano_model)
     if key not in _MANO_FROM_AA_CACHE:
         @jax.jit
-        def fn(theta, betas, cam_t):
+        def fn(theta, betas):
             rotmats = aa_to_rotmat(theta.reshape(16, 3))[None]
             out = mano_forward_rotmat(
                 mano_model, rotmats[:, :1], rotmats[:, 1:], betas[None]
             )
-            return out.vertices[0] + cam_t
+            return out.vertices[0]
 
         _MANO_FROM_AA_CACHE[key] = fn
     return _MANO_FROM_AA_CACHE[key]
@@ -51,15 +51,15 @@ def reconstruct_hand_mesh(
         _mano_from_aa_fn(mano_model)(
             jnp.asarray(hand["theta"], jnp.float32),
             jnp.asarray(hand["betas"], jnp.float32),
-            jnp.asarray(hand["cam_t"], jnp.float32),
         )
-    )
+    ).copy()
     is_right = bool(hand["is_right"])
     if not is_right:
-        # Mirror about the camera axis, translation included
-        # (infer.py:1402-1405 negates world-frame x).
-        verts = verts.copy()
+        # Mirror the MODEL-frame x BEFORE the camera translation
+        # (infer.py:1413-1418: vertices[:,0] negated, then += cam_t with
+        # tx unchanged) — mirroring after translation would flip tx too.
         verts[:, 0] *= -1.0
+    verts += np.asarray(hand["cam_t"], np.float32)
     faces = mano_faces_for_side(np.asarray(mano_model.faces), is_right, watertight)
     return {"vertices": verts, "faces": faces}
 
@@ -70,10 +70,13 @@ def reconstruct_and_save_obj(
     obj_path: str,
     watertight: bool = True,
 ) -> Optional[Dict[str, np.ndarray]]:
-    """Both hands of one frame -> single concatenated OBJ file."""
+    """Both hands of one frame -> single concatenated OBJ file.
+
+    Hand order matches the reference scene build (infer.py:1353:
+    right first, then left)."""
     hands = [
         reconstruct_hand_mesh(mano_model, results[side], watertight)
-        for side in ("left", "right")
+        for side in ("right", "left")
         if results.get(side) is not None
     ]
     if not hands:

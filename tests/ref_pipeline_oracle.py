@@ -751,6 +751,177 @@ def install_kpfusion_environment():
         load_model=lambda *a, **k: None)
 
 
+def install_pointnet_zoo_environment():
+    """Make the reference's pointNet MODEL ZOO importable on CPU.
+
+    Extends the kpfusion stubs: pointnet2_utils gains torch
+    implementations of the remaining _ext ops (furthest_point_sample,
+    gather_operation, three_nn, three_interpolate, GroupAll — same
+    semantics as the numpy oracles in tests/test_pointnet.py), then the
+    reference's OWN pointnet2_modules.py / point2_ssg_cls.py /
+    point2_ssg_sem.py / DGCNN.py are imported unmodified. Returns the
+    zoo modules.
+    """
+    install_kpfusion_environment()
+    if "_zoo" in _env:
+        return _env["_zoo"]
+
+    import torch
+
+    pn_base = "software.KeypointFusion.pointNet"
+    utils_mod = sys.modules[pn_base + ".pointnet2_ops_lib.pointnet2_ops"
+                            + ".pointnet2_utils"]
+
+    def _sqdist(a, b):
+        # exact diff^2 form (matches ops/pointnet.pairwise_sqdist, NOT
+        # the mm-based cdist which differs in float rounding)
+        diff = a[:, :, None, :] - b[:, None, :, :]
+        return (diff * diff).sum(-1)
+
+    def furthest_point_sample(xyz, npoint):
+        B, N, _ = xyz.shape
+        idx = torch.zeros(B, npoint, dtype=torch.long)
+        dist = torch.full((B, N), 1e10)
+        last = torch.zeros(B, dtype=torch.long)
+        for i in range(npoint):
+            idx[:, i] = last
+            sel = xyz[torch.arange(B), last][:, None]
+            d = ((xyz - sel) ** 2).sum(-1)
+            dist = torch.minimum(dist, d)
+            last = dist.argmax(-1)
+        return idx.int()
+
+    def gather_operation(features, idx):
+        B, C, _ = features.shape
+        S = idx.shape[1]
+        return torch.gather(
+            features, 2, idx.long().unsqueeze(1).expand(B, C, S))
+
+    def three_nn(unknown, known):
+        d2 = _sqdist(unknown, known)
+        dist2, idx = torch.topk(d2, 3, dim=-1, largest=False)
+        return torch.sqrt(torch.clamp(dist2, min=0.0)), idx.int()
+
+    def three_interpolate(feats, idx, weight):
+        B, C, _ = feats.shape
+        n = idx.shape[1]
+        gathered = torch.gather(
+            feats.unsqueeze(2).expand(B, C, n, feats.shape[2]), 3,
+            idx.long().unsqueeze(1).expand(B, C, n, 3))
+        return (gathered * weight.unsqueeze(1)).sum(-1)
+
+    class GroupAll(torch.nn.Module):
+        def __init__(self, use_xyz=True):
+            super().__init__()
+            self.use_xyz = use_xyz
+
+        def forward(self, xyz, new_xyz, features=None):
+            grouped_xyz = xyz.transpose(1, 2).unsqueeze(2)  # (B,3,1,N)
+            if features is not None:
+                grouped_features = features.unsqueeze(2)
+                if self.use_xyz:
+                    return torch.cat([grouped_xyz, grouped_features], dim=1)
+                return grouped_features
+            return grouped_xyz
+
+    utils_mod.furthest_point_sample = furthest_point_sample
+    utils_mod.gather_operation = gather_operation
+    utils_mod.three_nn = three_nn
+    utils_mod.three_interpolate = three_interpolate
+    utils_mod.GroupAll = GroupAll
+
+    pdir = os.path.join(REF, "rootnet", "KeypointFusion", "pointNet")
+
+    def _load(modname, fname):
+        spec = importlib.util.spec_from_file_location(
+            modname, os.path.join(pdir, fname))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[modname] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # the reference's own SA/FP module file (build_shared_mlp etc.)
+    modules_mod = _load("pointnet2_ops.pointnet2_modules",
+                        os.path.join("pointnet2_ops_lib", "pointnet2_ops",
+                                     "pointnet2_modules.py"))
+    ops_pkg = _new_module("pointnet2_ops")
+    ops_pkg.pointnet2_modules = modules_mod
+    ops_pkg.pointnet2_utils = utils_mod
+    sys.modules["pointnet2_ops.pointnet2_utils"] = utils_mod
+
+    # `pointNet` package alias (point2_ssg_sem imports through it)
+    pkg = types.ModuleType("pointNet")
+    pkg.__path__ = [pdir]
+    sys.modules["pointNet"] = pkg
+
+    cls_mod = _load("pointNet.point2_ssg_cls", "point2_ssg_cls.py")
+    pkg.point2_ssg_cls = cls_mod
+    sem_mod = _load("pointNet.point2_ssg_sem", "point2_ssg_sem.py")
+    dgcnn_mod = _load("pointNet.DGCNN", "DGCNN.py")
+
+    # get_graph_feature hard-codes device('cuda') (DGCNN.py:39); rebind
+    # a faithful CPU copy of the same math (knn -> flat gather -> cat)
+    def get_graph_feature_cpu(x, k=20, idx=None, dim9=False):
+        batch_size = x.size(0)
+        num_points = x.size(2)
+        x = x.view(batch_size, -1, num_points)
+        if idx is None:
+            idx = dgcnn_mod.knn(x if not dim9 else x[:, 6:], k=k)
+        idx_base = torch.arange(
+            0, batch_size, device=x.device).view(-1, 1, 1) * num_points
+        idx = (idx + idx_base).view(-1)
+        _, num_dims, _ = x.size()
+        x = x.transpose(2, 1).contiguous()
+        feature = x.view(batch_size * num_points, -1)[idx, :]
+        feature = feature.view(batch_size, num_points, k, num_dims)
+        x = x.view(batch_size, num_points, 1, num_dims).repeat(1, 1, k, 1)
+        return torch.cat((feature - x, x), dim=3).permute(
+            0, 3, 1, 2).contiguous()
+
+    dgcnn_mod.get_graph_feature = get_graph_feature_cpu
+
+    # the second utils flavor (pure torch, pointNet/pointnet2_utils.py)
+    # and the part-seg / MSG-large models built on it
+    utils2_mod = _load("pointNet.pointnet2_utils", "pointnet2_utils.py")
+    pkg.pointnet2_utils = utils2_mod
+    part_mod = _load("pointNet.pointnet2_part_seg_ssg",
+                     "pointnet2_part_seg_ssg.py")
+
+    _env["_zoo"] = dict(cls=cls_mod, sem=sem_mod, dgcnn=dgcnn_mod,
+                        part=part_mod, utils2=utils2_mod)
+    return _env["_zoo"]
+
+
+class pinned_fps_start:
+    """Pin the yanx27 farthest_point_sample's torch.randint seed draw
+    (pointNet/pointnet2_utils.py:75) to index 0 — the CUDA kernel's (and
+    our ops/pointnet) deterministic convention — for oracle runs."""
+
+    def __enter__(self):
+        import torch
+
+        self._orig = torch.randint
+
+        def zero_randint(low, high=None, size=None, **kw):
+            if size is None:  # randint(high, size) form
+                low, high, size = 0, low, high
+            kw.setdefault("dtype", torch.long)
+            device = kw.pop("device", None)
+            t = torch.zeros(size, dtype=kw["dtype"])
+            return t.to(device) if device is not None else t
+
+        import torch as _t
+
+        _t.randint = zero_randint
+        return self
+
+    def __exit__(self, *exc):
+        import torch
+
+        torch.randint = self._orig
+        return False
+
+
 def load_model_rgbd_module():
     """Import the reference's Model_RGBD.py (Model_RGBD.py:1-680).
 
@@ -1007,4 +1178,165 @@ def run_reference_pipeline(ckpts: dict, input_dir: str, output_dir: str,
         if f.endswith(".npy"):
             results[f[:-4]] = np.load(os.path.join(output_dir, f),
                                       allow_pickle=True).item()
+    return results
+
+
+class _redirect_load_hamer:
+    """Context manager: re-bind a reference infer-style module's
+    load_hamer to the same logic minus the hard-coded checkpoint path
+    (models/__init__.py:45)."""
+
+    def __init__(self, infer_mod):
+        self.mod = infer_mod
+
+    def __enter__(self):
+        env = install_reference_environment()
+
+        def load_hamer_redirected(checkpoint_path):
+            from hamer.configs import get_config  # type: ignore
+
+            model_cfg = str(Path(checkpoint_path).parent.parent
+                            / "model_config.yaml")
+            cfg = get_config(model_cfg, update_cachedir=False)
+            if cfg.MODEL.BACKBONE.TYPE == "vit" and \
+                    "BBOX_SHAPE" not in cfg.MODEL:
+                cfg.defrost()
+                cfg.MODEL.BBOX_SHAPE = [192, 256]
+                cfg.freeze()
+            model = env["hamer_models"].HAMER.load_from_checkpoint(
+                checkpoint_path, strict=False, cfg=cfg)
+            return model, cfg
+
+        self.orig = self.mod.load_hamer
+        self.mod.load_hamer = load_hamer_redirected
+        return self.mod
+
+    def __exit__(self, *exc):
+        self.mod.load_hamer = self.orig
+        return False
+
+
+def run_reference_mask_pipeline(ckpts: dict, input_dir: str, mask_dir: str,
+                                output_dir: str,
+                                intrinsics_path: str) -> dict:
+    """Execute process_batch_manopara_with_mask (infer.py:1099-1220):
+    bbox from mask pixels == 3, detector bypassed, right hand only."""
+    env = install_reference_environment()
+    infer = env["infer"]
+    env["hamer_opt"].ckpt_path = ckpts["hamer"]
+    env["hamer_opt"].use_onnx = False
+    os.environ["HYT_MEAN_PARAMS_NPZ"] = ckpts["mean_params"]
+    with _redirect_load_hamer(infer):
+        infer.process_batch_manopara_with_mask(
+            input_dir, mask_dir, output_dir, intrinsics_path)
+    results = {}
+    for f in sorted(os.listdir(output_dir)):
+        if f.endswith(".npy"):
+            results[f[:-4]] = np.load(os.path.join(output_dir, f),
+                                      allow_pickle=True).item()
+    return results
+
+
+def install_d_infer():
+    """Load the reference's depth-refined CLI module (hamer/d_infer.py)."""
+    install_reference_environment()
+    if "d_infer" not in _env:
+        spec = importlib.util.spec_from_file_location(
+            "ref_d_infer", os.path.join(REF, "hamer", "d_infer.py"))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_d_infer"] = mod
+        spec.loader.exec_module(mod)
+        _env["d_infer"] = mod
+    return _env["d_infer"]
+
+
+def _write_obj_file(path, vertices, faces):
+    with open(path, "w") as f:
+        for v in vertices:
+            f.write(f"v {v[0]:.8f} {v[1]:.8f} {v[2]:.8f}\n")
+        for tri in faces:
+            f.write(f"f {int(tri[0]) + 1} {int(tri[1]) + 1} "
+                    f"{int(tri[2]) + 1}\n")
+
+
+def read_obj_file(path):
+    """Parse v/f lines -> (vertices (N,3) f64, faces (M,3) int 0-based)."""
+    vs, fs = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                vs.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                fs.append([int(p.split("/")[0]) - 1 for p in parts[1:4]])
+    return np.asarray(vs, np.float64), np.asarray(fs, np.int64)
+
+
+def _upgrade_trimesh_stub():
+    """Swap the inert trimesh stub for a minimal FUNCTIONAL one so the
+    reference's reconstruct_and_save_obj_with_wrapper (infer.py:1321)
+    writes real OBJ files (Trimesh + util.concatenate + .export)."""
+    tm = sys.modules.get("trimesh")
+    if tm is None:
+        tm = _new_module("trimesh")
+    # __dict__ check, NOT getattr: the inert stub's PEP 562 catch-all
+    # returns a truthy object for ANY attribute
+    if "_hyt_functional" in tm.__dict__:
+        return tm
+
+    class _Visual:
+        def __init__(self):
+            self.vertex_colors = None
+
+    class Trimesh:
+        def __init__(self, vertices, faces, process=False):
+            self.vertices = np.asarray(vertices, np.float64)
+            self.faces = np.asarray(faces, np.int64)
+            self.visual = _Visual()
+
+        def export(self, path):
+            _write_obj_file(path, self.vertices, self.faces)
+
+    def concatenate(meshes):
+        vs, fs, off = [], [], 0
+        for m in meshes:
+            vs.append(m.vertices)
+            fs.append(m.faces + off)
+            off += len(m.vertices)
+        return Trimesh(np.concatenate(vs, 0), np.concatenate(fs, 0))
+
+    util = types.ModuleType("trimesh.util")
+    util.concatenate = concatenate
+    tm.Trimesh = Trimesh
+    tm.util = util
+    tm._hyt_functional = True
+    sys.modules["trimesh.util"] = util
+    return tm
+
+
+def run_reference_reconstruct(npy_dir: str, obj_dir: str) -> dict:
+    """Execute reconstruct_and_save_obj_with_wrapper (infer.py:1321-1436)
+    on saved npy dicts; returns {stem: (vertices, faces)} parsed from the
+    OBJ files it writes (via the functional trimesh stub)."""
+    import torch
+
+    env = install_reference_environment()
+    _upgrade_trimesh_stub()
+    infer = env["infer"]
+
+    from hamer.models.mano_wrapper import MANO  # type: ignore
+
+    class _FakeHamer:
+        pass
+
+    fh = _FakeHamer()
+    fh.device = torch.device("cpu")
+    fh.mano = MANO()
+    infer.reconstruct_and_save_obj_with_wrapper(npy_dir, obj_dir, fh)
+    results = {}
+    for f in sorted(os.listdir(obj_dir)):
+        if f.endswith(".obj"):
+            results[f[:-4]] = read_obj_file(os.path.join(obj_dir, f))
     return results

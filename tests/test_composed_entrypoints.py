@@ -1,0 +1,345 @@
+"""Composed reference oracles for the remaining three CLI entry points.
+
+test_pipeline_parity.py covers the default path (process_batch_manopara).
+This file closes the other reference entry points (VERDICT r04 item 2):
+
+  (a) mask variant — the reference's own process_batch_manopara_with_mask
+      (/root/reference/hamer/infer.py:1099-1220: bbox from mask pixels
+      == 3, detector bypassed, right-hand only) vs
+      runner.process_masked_dir on a synthesized mask;
+  (b) depth-refined composition — the reference's d_infer flow
+      (estimate_from_rgb(..., depth_refine=sar depth), d_infer.py:1276,
+      forcing tz in custom_cam_crop_to_full) vs use_depth_refine=True;
+  (c) OBJ reconstruction — the reference's own
+      reconstruct_and_save_obj_with_wrapper (infer.py:1321-1436) run on
+      the SAME npy dicts, OBJ files parsed and compared vertex/face
+      table against pipeline/reconstruct.reconstruct_and_save_obj
+      (watertight=False; the +14 closure faces are the documented
+      PARITY.md deviation).
+
+All runs use the same random-weight native checkpoints as
+test_pipeline_parity (module-scoped, built once here).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ref_pipeline_oracle as R  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not R.reference_available(),
+                                reason="reference not mounted")
+
+TEST_IMAGE = os.path.join(R.REF, "hamer", "example_data", "test1.jpg")
+K_REAL = np.array([[906.96, 0.0, 960.0],
+                   [0.0, 906.79, 540.0],
+                   [0.0, 0.0, 1.0]], np.float32)
+# integral bbox over the right-hand area of the 640x448 frame; the mask
+# path derives it from pixel indices so both sides consume exact ints
+MASK_BOX = (210, 140, 330, 270)  # x1, y1, x2, y2
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    """Checkpoints + 640x448 input dir + mask + intrinsics file."""
+    import cv2
+
+    base = tmp_path_factory.mktemp("composed")
+    input_dir = base / "input"
+    input_dir.mkdir()
+    img_full = cv2.imread(TEST_IMAGE)
+    img_640 = cv2.resize(img_full, (640, 448), interpolation=cv2.INTER_AREA)
+    cv2.imwrite(str(input_dir / "test1.png"), img_640)
+
+    mask_dir = base / "masks"
+    mask_dir.mkdir()
+    mask = np.zeros((448, 640), np.uint8)
+    x1, y1, x2, y2 = MASK_BOX
+    mask[y1:y2 + 1, x1:x2 + 1] = 3
+    np.save(str(mask_dir / "test1.npy"), mask)
+
+    cam_txt = base / "cam_K.txt"
+    np.savetxt(str(cam_txt), K_REAL, "%12.6f")
+
+    ck = R.make_checkpoints(str(base), seed=0,
+                            calibration_image=str(input_dir / "test1.png"))
+    img = cv2.imread(str(input_dir / "test1.png"))
+    return dict(base=base, ck=ck, input_dir=str(input_dir),
+                mask_dir=str(mask_dir), cam_txt=str(cam_txt), img=img)
+
+
+@pytest.fixture(scope="module")
+def our_stack(setup):
+    """Converted params + mano + f32 pipeline config (built once)."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.convert import convert_pipeline_checkpoints
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
+
+    ck = setup["ck"]
+    mano = ManoModel.from_arrays(load_mano_model("right"))
+    params = convert_pipeline_checkpoints(
+        ck["yolo"], ck["hamer"], ck["sar"],
+        template=np.asarray(mano.v_template))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    base = PipelineConfig(max_hands=4)
+    cfg = replace(
+        base,
+        conf_thres=ck["conf_thres"],
+        yolo=replace(base.yolo, nc=3, compute_dtype="float32"),
+        hamer=replace(base.hamer,
+                      vit=replace(base.hamer.vit, compute_dtype="float32")),
+        sar=replace(base.sar, compute_dtype="float32"),
+    )
+    return dict(params=params, mano=mano, cfg=cfg)
+
+
+def _assert_hand_close(got, want, ctx, atols=(("betas", 2e-3),
+                                              ("theta", 2e-3),
+                                              ("pose_hand", 2e-3),
+                                              ("pose_global", 2e-3),
+                                              ("cam_t", 5e-3))):
+    assert (got is None) == (want is None), ctx
+    if want is None:
+        return
+    for key, atol in atols:
+        np.testing.assert_allclose(np.asarray(got[key], np.float64),
+                                   np.asarray(want[key], np.float64),
+                                   atol=atol, err_msg=f"{ctx}.{key}")
+    assert bool(got["is_right"]) == bool(want["is_right"]), ctx
+
+
+class TestComposedMaskVariant:
+    @pytest.fixture(scope="class")
+    def runs(self, setup, our_stack):
+        ref_out = setup["base"] / "mask_refout"
+        ref_out.mkdir()
+        ref = R.run_reference_mask_pipeline(
+            setup["ck"], setup["input_dir"], setup["mask_dir"],
+            str(ref_out), setup["cam_txt"])
+
+        from hamer_yolo_tpu.pipeline.runner import process_masked_dir
+
+        our_out = setup["base"] / "mask_ourout"
+        our_out.mkdir()
+        stats = process_masked_dir(
+            setup["input_dir"], setup["mask_dir"], str(our_out),
+            our_stack["params"], our_stack["mano"], our_stack["cfg"],
+            intrinsics_path=setup["cam_txt"])
+        ours = {f[:-4]: np.load(os.path.join(str(our_out), f),
+                                allow_pickle=True).item()
+                for f in sorted(os.listdir(str(our_out)))
+                if f.endswith(".npy")}
+        return dict(ref=ref, ours=ours, stats=stats,
+                    our_out=str(our_out), ref_out=str(ref_out))
+
+    def test_bbox_derivation_matches(self, setup):
+        from hamer_yolo_tpu.pipeline.sar_mesh import bbox_from_mask
+
+        env = R.install_reference_environment()
+        mask_path = os.path.join(setup["mask_dir"], "test1.npy")
+        ref_box = env["infer"].get_bbox_from_npy(mask_path, target_val=3)
+        our_box = bbox_from_mask(np.load(mask_path), 3)
+        assert ref_box == our_box == [float(MASK_BOX[0]), float(MASK_BOX[1]),
+                                      float(MASK_BOX[2]), float(MASK_BOX[3])]
+
+    def test_npy_dicts_match(self, runs):
+        assert "test1" in runs["ref"] and "test1" in runs["ours"]
+        want = runs["ref"]["test1"]
+        got = runs["ours"]["test1"]
+        assert want["left"] is None  # mask path is right-hand only
+        # axis-angle atol 5e-3 (not the composed default 2e-3): the
+        # Rodrigues decomposition amplifies torch-vs-XLA rotmat float
+        # noise ~2x for this crop (worst element 3.9e-3 over 48; betas /
+        # cam_t hold the tight bound)
+        _assert_hand_close(got["right"], want["right"], "mask.right",
+                           atols=(("betas", 2e-3), ("theta", 5e-3),
+                                  ("pose_hand", 5e-3), ("pose_global", 5e-3),
+                                  ("cam_t", 5e-3)))
+        assert got["left"] is None
+
+    def test_stats(self, runs):
+        assert runs["stats"].frames == 1
+        assert runs["stats"].skipped == 0
+
+
+class TestComposedDepthRefine:
+    """d_infer composition: SAR depth forces tz in the camera lift."""
+
+    @pytest.fixture(scope="class")
+    def runs(self, setup, our_stack):
+        import cv2  # noqa: F401
+
+        import jax
+        import jax.numpy as jnp
+
+        env = R.install_reference_environment()
+        d_infer = R.install_d_infer()
+        ck = setup["ck"]
+        env["hamer_opt"].ckpt_path = ck["hamer"]
+        env["hamer_opt"].use_onnx = False
+        env["rgb_opt"].checkpoint = ck["sar"]
+        os.environ["HYT_MEAN_PARAMS_NPZ"] = ck["mean_params"]
+
+        img = setup["img"]
+        bbox = ["right", [float(MASK_BOX[0]), float(MASK_BOX[1]),
+                          float(MASK_BOX[2]), float(MASK_BOX[3])]]
+        sar = env["model_rgb"].get_model()
+        depth_pred = sar.estimate_root_depth_custom(img, K_REAL, bbox[1])
+        with R._redirect_load_hamer(d_infer):
+            hamer_d = d_infer.hamer_inference(env["hamer_opt"])
+        output, _params = hamer_d.estimate_from_rgb(
+            img, [bbox], K_REAL, depth_refine=depth_pred)
+        cam_t_ref = output["pred_cam_t_full"].detach().cpu().numpy().squeeze()
+
+        mano_params = output["pred_mano_params"]
+        betas_ref = mano_params["betas"].detach().cpu().numpy().squeeze()
+        hand_mats = mano_params["hand_pose"].detach().cpu().numpy().squeeze()
+        hand_aa_ref = env["infer"].matrix_to_axis_angle(hand_mats)
+        go_mat = mano_params["global_orient"].detach().cpu().numpy().squeeze()
+        if go_mat.ndim == 3:
+            go_mat = go_mat[0]
+        import cv2 as _cv2
+
+        go_aa_ref, _ = _cv2.Rodrigues(go_mat)
+        go_aa_ref = go_aa_ref.flatten()
+
+        # ours: same pinned box through infer_frame_with_boxes with
+        # use_depth_refine=True (single jit, sar depth -> tz)
+        from dataclasses import replace
+
+        from hamer_yolo_tpu.pipeline.frame import infer_frame_with_boxes
+
+        cfg = replace(our_stack["cfg"], use_depth_refine=True)
+        mano = our_stack["mano"]
+        params = our_stack["params"]
+        S = cfg.max_hands
+        boxes = np.zeros((S, 4), np.float32)
+        boxes[0] = bbox[1]
+        valid = np.zeros((S,), np.float32)
+        valid[0] = 1.0
+        is_right = np.ones((S,), np.float32)
+        h, w = img.shape[:2]
+        padded = np.zeros((448, 640, 3), np.float32)
+        padded[:h, :w] = img
+        out = jax.jit(
+            lambda p, im, b, ir, v, hw, K: infer_frame_with_boxes(
+                p, mano, im, b, ir, v, hw, K, cfg)
+        )(params, jnp.asarray(padded), jnp.asarray(boxes),
+          jnp.asarray(is_right), jnp.asarray(valid),
+          jnp.asarray([h, w], jnp.float32), jnp.asarray(K_REAL))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return dict(depth_pred=float(depth_pred), cam_t_ref=cam_t_ref,
+                    betas_ref=betas_ref, hand_aa_ref=hand_aa_ref,
+                    go_aa_ref=go_aa_ref, ours=out)
+
+    def test_root_depth_matches(self, runs):
+        np.testing.assert_allclose(float(runs["ours"]["root_depth"][0]),
+                                   runs["depth_pred"], atol=2e-3)
+
+    def test_tz_forced_to_depth(self, runs):
+        # the whole point of d_infer: tz == RootNet depth on BOTH sides
+        assert abs(runs["cam_t_ref"][2] - runs["depth_pred"]) < 1e-6
+        np.testing.assert_allclose(float(runs["ours"]["cam_t"][0][2]),
+                                   runs["depth_pred"], atol=2e-3)
+
+    def test_cam_t_matches(self, runs):
+        np.testing.assert_allclose(runs["ours"]["cam_t"][0],
+                                   runs["cam_t_ref"], atol=5e-3)
+
+    def test_mano_params_match(self, runs):
+        np.testing.assert_allclose(runs["ours"]["betas"][0],
+                                   runs["betas_ref"], atol=2e-3)
+        # aa atol 5e-3: the Rodrigues decomposition amplifies rotmat
+        # float noise ~2x on this crop (same worst joint as the mask
+        # test — 3.9e-3 on one of 45 elements)
+        np.testing.assert_allclose(runs["ours"]["pose_hand"][0],
+                                   runs["hand_aa_ref"], atol=5e-3)
+        np.testing.assert_allclose(runs["ours"]["pose_global"][0],
+                                   runs["go_aa_ref"], atol=5e-3)
+
+
+class TestComposedObjReconstruction:
+    """reconstruct_and_save_obj_with_wrapper vs pipeline/reconstruct on
+    the SAME npy dicts (two hands incl. a left, exercising mirror +
+    winding + scene order)."""
+
+    @pytest.fixture(scope="class")
+    def runs(self, setup, tmp_path_factory):
+        base = tmp_path_factory.mktemp("obj")
+        npy_dir = base / "npy"
+        npy_dir.mkdir()
+        rng = np.random.default_rng(7)
+
+        def hand(is_right):
+            return {
+                "betas": rng.normal(scale=0.5, size=10).astype(np.float32),
+                "pose_global": 0.3 * rng.normal(size=3).astype(np.float32),
+                "pose_hand": 0.2 * rng.normal(size=45).astype(np.float32),
+                "cam_t": np.array([0.08 if is_right else -0.05,
+                                   0.02, 0.55], np.float32),
+                "is_right": is_right,
+            }
+
+        frames = {
+            "both": {"right": hand(True), "left": hand(False)},
+            "left_only": {"right": None, "left": hand(False)},
+        }
+        for name, d in frames.items():
+            for side in ("left", "right"):
+                if d[side] is not None:
+                    d[side]["theta"] = np.concatenate(
+                        [d[side]["pose_global"], d[side]["pose_hand"]])
+            np.save(str(npy_dir / f"{name}.npy"),
+                    {k: ({kk: vv for kk, vv in v.items()}
+                         if v is not None else None)
+                     for k, v in d.items()})
+
+        ref_obj = base / "ref_obj"
+        ref_obj.mkdir()
+        ref = R.run_reference_reconstruct(str(npy_dir), str(ref_obj))
+
+        from hamer_yolo_tpu.core.mano_assets import load_mano_model
+        from hamer_yolo_tpu.models.mano import ManoModel
+        from hamer_yolo_tpu.pipeline.reconstruct import reconstruct_and_save_obj
+
+        mano = ManoModel.from_arrays(load_mano_model("right"))
+        our_obj = base / "our_obj"
+        our_obj.mkdir()
+        ours = {}
+        for name, d in frames.items():
+            path = str(our_obj / f"{name}.obj")
+            reconstruct_and_save_obj(mano, d, path, watertight=False)
+            ours[name] = R.read_obj_file(path)
+        return dict(ref=ref, ours=ours)
+
+    @pytest.mark.parametrize("name", ["both", "left_only"])
+    def test_vertices_match(self, runs, name):
+        v_ref, _ = runs["ref"][name]
+        v_ours, _ = runs["ours"][name]
+        assert v_ref.shape == v_ours.shape
+        err_mm = np.linalg.norm(v_ref - v_ours, axis=-1) * 1000.0
+        assert err_mm.max() < 0.1, f"{name}: max {err_mm.max():.4f} mm"
+
+    @pytest.mark.parametrize("name", ["both", "left_only"])
+    def test_faces_match_exactly(self, runs, name):
+        _, f_ref = runs["ref"][name]
+        _, f_ours = runs["ours"][name]
+        np.testing.assert_array_equal(f_ours, f_ref)
+
+    def test_left_mirror_includes_positive_tx(self, runs):
+        # regression pin for the mirror-before-translate algebra: the
+        # left-only mesh's mean x must equal -mean(model x) + tx, i.e.
+        # the translation survives the mirror unmirrored
+        v_ref, _ = runs["ref"]["left_only"]
+        v_ours, _ = runs["ours"]["left_only"]
+        np.testing.assert_allclose(v_ours[:, 0].mean(), v_ref[:, 0].mean(),
+                                   atol=1e-4)

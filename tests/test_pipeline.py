@@ -261,10 +261,11 @@ class TestIO:
         assert os.path.exists(path)
         txt = open(path).read()
         assert txt.count("\nv ") == 2 * 778
-        # left-hand verts mirrored: x of left block negative of a
-        # right-hand run with same params
+        # reference scene order (infer.py:1353): right block first, then
+        # left; left-hand verts mirrored BEFORE cam_t (tx=0 here so the
+        # x of the left block is the negative of the right-hand run)
         right_only = reconstruct_and_save_obj(mano, {"left": None, "right": hand},
                                               str(tmp_path / "r.obj"))
         np.testing.assert_allclose(
-            mesh["vertices"][:778, 0], -right_only["vertices"][:, 0], atol=1e-5
+            mesh["vertices"][778:, 0], -right_only["vertices"][:, 0], atol=1e-5
         )
