@@ -806,3 +806,173 @@ def _convert_sar_head(sd: Dict[str, np.ndarray], template: np.ndarray) -> Dict[s
                          "b": g("gbbmr.mesh2pose_dm.bias")},
         "soft_heatmap": {"beta": g("gbbmr.soft_heatmap.beta.weight")[:, 0, 0, 0]},
     }
+
+
+# ---------------------------------------------------------------------------
+# pointNet model zoo (rootnet/KeypointFusion/pointNet/) — BN-folded
+# converters feeding the reference-exact forwards in models/pointnet2.py
+# ---------------------------------------------------------------------------
+
+def _fold_bn_into_linear(w, bn_g, bn_b, bn_m, bn_v,
+                         eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """torch 1x1-conv/linear weight (out, in[, 1[, 1]]) + eval-mode BN ->
+    our {"w" (in, out), "b"}: y = gamma*(Wx - mean)/sqrt(var+eps) + beta
+    is an affine of Wx, foldable per output channel."""
+    w = np.asarray(w, np.float32).reshape(np.asarray(w).shape[0], -1)
+    scale = np.asarray(bn_g, np.float32) / np.sqrt(
+        np.asarray(bn_v, np.float32) + eps)
+    return {"w": np.ascontiguousarray((w * scale[:, None]).T),
+            "b": (np.asarray(bn_b, np.float32)
+                  - np.asarray(bn_m, np.float32) * scale)}
+
+
+def _fold_bn_seq(sd: Dict[str, np.ndarray], prefix: str,
+                 conv_idx, bn_idx) -> Dict[str, np.ndarray]:
+    return _fold_bn_into_linear(
+        sd[f"{prefix}.{conv_idx}.weight"], sd[f"{prefix}.{bn_idx}.weight"],
+        sd[f"{prefix}.{bn_idx}.bias"], sd[f"{prefix}.{bn_idx}.running_mean"],
+        sd[f"{prefix}.{bn_idx}.running_var"])
+
+
+def _shared_mlp_from_sd(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """build_shared_mlp Sequential (Conv2d@3j, BN@3j+1, ReLU) -> mlp stack."""
+    layers = []
+    j = 0
+    while f"{prefix}.{3 * j}.weight" in sd:
+        layers.append(_fold_bn_seq(sd, prefix, 3 * j, 3 * j + 1))
+        j += 1
+    if not layers:
+        raise KeyError(f"no shared-mlp layers under {prefix}")
+    return {"layers": layers}
+
+
+def _plain_linear(sd: Dict[str, np.ndarray], key: str) -> Dict[str, np.ndarray]:
+    w = np.asarray(sd[f"{key}.weight"], np.float32)
+    p = {"w": np.ascontiguousarray(w.reshape(w.shape[0], -1).T)}
+    if f"{key}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{key}.bias"], np.float32)
+    return p
+
+
+def convert_pointnet2_cls_ssg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PointNet2ClassificationSSG state dict (point2_ssg_cls.py:50-92) ->
+    params for models/pointnet2.ref_cls_ssg_forward."""
+    sas = [_shared_mlp_from_sd(sd, f"SA_modules.{i}.mlps.0")
+           for i in range(3)]
+    fc = [
+        _fold_bn_seq(sd, "fc_layer", 0, 1),
+        _fold_bn_seq(sd, "fc_layer", 3, 4),
+        _plain_linear(sd, "fc_layer.7"),
+    ]
+    return {"sa": sas, "fc": fc}
+
+
+def convert_pointnet2_sem_seg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PointNet2SemSegSSG state dict (point2_ssg_sem.py:8-60) -> params
+    for models/pointnet2.ref_sem_seg_forward."""
+    sas = [_shared_mlp_from_sd(sd, f"SA_modules.{i}.mlps.0")
+           for i in range(4)]
+    fps = []
+    # C1 = skip (unknow_feats) channels per FP level: input feats 6,
+    # then the SA output dims
+    dense_dims = (6, 64, 128, 256)
+    for i in range(4):
+        mlp = _shared_mlp_from_sd(sd, f"FP_modules.{i}.mlp")
+        # reference FP concatenates [interpolated(C2), skip(C1)]
+        # (pointnet2_modules.py:200-203); our feature_propagation uses
+        # [skip(C1), interpolated(C2)] — rotate the first layer's input
+        # rows so the folded weights see our order
+        w = mlp["layers"][0]["w"]
+        c1 = dense_dims[i]
+        c2 = w.shape[0] - c1
+        mlp["layers"][0]["w"] = np.ascontiguousarray(
+            np.concatenate([w[c2:], w[:c2]], axis=0))
+        fps.append(mlp)
+    head = [_fold_bn_seq(sd, "fc_lyaer", 0, 1), _plain_linear(sd, "fc_lyaer.4")]
+    return {"sa": sas, "fp": fps, "head": head}
+
+
+def convert_dgcnn_semseg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """DGCNN_semseg state dict (DGCNN.py:231-270) -> params for
+    models/pointnet2.ref_dgcnn_semseg_forward."""
+    def seq(names):
+        return {"layers": [_fold_bn_seq(sd, n, 0, 1) for n in names]}
+
+    return {
+        "conv12": seq(["conv1", "conv2"]),
+        "conv34": seq(["conv3", "conv4"]),
+        "conv5": seq(["conv5"]),
+        "conv6": seq(["conv6"]),
+        "conv7": seq(["conv7"]),
+        "conv8": seq(["conv8"]),
+        "conv9": _plain_linear(sd, "conv9"),
+        "finals": [_plain_linear(sd, f"finals.{j}") for j in range(3)],
+    }
+
+
+def _fold_bn_biased(w, conv_b, bn_g, bn_b, bn_m, bn_v,
+                    eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """Conv-with-bias + eval BN fold: b' = beta + (b - mean)*scale."""
+    w = np.asarray(w, np.float32).reshape(np.asarray(w).shape[0], -1)
+    scale = np.asarray(bn_g, np.float32) / np.sqrt(
+        np.asarray(bn_v, np.float32) + eps)
+    b = np.zeros(w.shape[0], np.float32) if conv_b is None \
+        else np.asarray(conv_b, np.float32)
+    return {"w": np.ascontiguousarray((w * scale[:, None]).T),
+            "b": (np.asarray(bn_b, np.float32)
+                  + (b - np.asarray(bn_m, np.float32)) * scale)}
+
+
+def _yanx_mlp(sd: Dict[str, np.ndarray], conv_prefix: str,
+              bn_prefix: str) -> Dict[str, Any]:
+    """mlp_convs.{j} (biased Conv) + mlp_bns.{j} ModuleList pair ->
+    folded mlp stack (pointNet/pointnet2_utils.py flavor)."""
+    layers = []
+    j = 0
+    while f"{conv_prefix}.{j}.weight" in sd:
+        layers.append(_fold_bn_biased(
+            sd[f"{conv_prefix}.{j}.weight"],
+            sd.get(f"{conv_prefix}.{j}.bias"),
+            sd[f"{bn_prefix}.{j}.weight"], sd[f"{bn_prefix}.{j}.bias"],
+            sd[f"{bn_prefix}.{j}.running_mean"],
+            sd[f"{bn_prefix}.{j}.running_var"]))
+        j += 1
+    if not layers:
+        raise KeyError(f"no layers under {conv_prefix}")
+    return {"layers": layers}
+
+
+def convert_pointnet2_part_seg_ref(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PointNet2 part-seg state dict (pointnet2_part_seg_ssg.py:7-21) ->
+    params for models/pointnet2.ref_part_seg_forward."""
+    out = {}
+    for name in ("sa1", "sa2", "sa3"):
+        out[name] = _yanx_mlp(sd, f"{name}.mlp_convs", f"{name}.mlp_bns")
+    for name in ("fp1", "fp2", "fp3"):
+        out[name] = _yanx_mlp(sd, f"{name}.mlp_convs", f"{name}.mlp_bns")
+    out["fc"] = _fold_bn_biased(
+        sd["conv1.weight"], sd.get("conv1.bias"), sd["bn1.weight"],
+        sd["bn1.bias"], sd["bn1.running_mean"], sd["bn1.running_var"])
+    out["head"] = _plain_linear(sd, "conv2")
+    return out
+
+
+def convert_pointnet2_msg_large(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PointNet2_MSG_large state dict (pointnet2_part_seg_ssg.py:81-106)
+    -> params for models/pointnet2.ref_msg_large_forward."""
+    sas = []
+    for i in range(1, 5):
+        scales = []
+        s = 0
+        while f"sa{i}.conv_blocks.{s}.0.weight" in sd:
+            scales.append(_yanx_mlp(sd, f"sa{i}.conv_blocks.{s}",
+                                    f"sa{i}.bn_blocks.{s}"))
+            s += 1
+        sas.append({"scales": scales})
+    fps = [_yanx_mlp(sd, f"fp{i}.mlp_convs", f"fp{i}.mlp_bns")
+           for i in range(1, 5)]
+    fc = _fold_bn_biased(
+        sd["conv1.weight"], sd.get("conv1.bias"), sd["bn1.weight"],
+        sd["bn1.bias"], sd["bn1.running_mean"], sd["bn1.running_var"])
+    finals = [_plain_linear(sd, f"finals.{j}") for j in range(3)]
+    return {"sa": sas, "fp": fps, "fc": fc, "finals": finals}

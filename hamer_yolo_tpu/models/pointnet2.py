@@ -70,10 +70,16 @@ def fp_init(key, in_dim: int, mlp: Tuple[int, ...]) -> Params:
 
 def feature_propagation(p: Params, xyz_dense: jax.Array, xyz_sparse: jax.Array,
                         feats_dense: Optional[jax.Array],
-                        feats_sparse: jax.Array) -> jax.Array:
-    """Upsample sparse features onto the dense point set (FP layer)."""
+                        feats_sparse: jax.Array,
+                        sq_weights: bool = False) -> jax.Array:
+    """Upsample sparse features onto the dense point set (FP layer).
+
+    sq_weights=True uses inverse SQUARED-distance weights — the
+    reference's second utils flavor (pointNet/pointnet2_utils.py:296-303
+    skips the sqrt) vs the CUDA modules flavor (sqrt'd,
+    pointnet2_ops/pointnet2_modules.py:170-175)."""
     d, idx = pn.three_nn(xyz_dense, xyz_sparse)
-    w = pn.interpolation_weights(d)
+    w = pn.interpolation_weights(d * d if sq_weights else d)
     interp = pn.three_interpolate(feats_sparse, idx, w)
     if feats_dense is not None:
         interp = jnp.concatenate([feats_dense, interp], axis=-1)
@@ -378,6 +384,210 @@ def init_pointnet2_msg_sem(key, in_dim: int = 0,
     heads = [nn.linear_init(keys[2 * n + 1 + j], 128, d)
              for j, d in enumerate(head_dims)]
     return {"sa": sas, "fp": fps, "fc": fc, "heads": heads}
+
+
+# --- reference-exact zoo forwards ------------------------------------------
+# Oracle-parity variants of the vendored zoo's EXACT architectures
+# (rootnet/KeypointFusion/pointNet/): BN is folded into the linear
+# weights at conversion time (core/convert.convert_pointnet2_*), so
+# these pure stacks reproduce the torch eval forward value-for-value
+# (tests/test_pointnet2_models.py oracle classes).
+
+# PointNet2ClassificationSSG (point2_ssg_cls.py:50-116): SA(512, r0.2,
+# ns64, mlp 3+3->64->64->128) -> SA(128, r0.4, ns64) -> group-all ->
+# fc 1024->512->256->40. Input cloud (B, N, 6): xyz + 3 features.
+CLS_SSG_REF_CFGS = (SAConfig(512, 0.2, 64, ()), SAConfig(128, 0.4, 64, ()))
+
+
+def ref_cls_ssg_forward(p: Params, pc: jax.Array) -> jax.Array:
+    """(B, N, 6) -> (B, 40) logits (reference eval forward, BN folded)."""
+    xyz, feats = pc[..., :3], pc[..., 3:]
+    x, f = xyz, feats
+    for sp, cfg in zip(p["sa"][:-1], CLS_SSG_REF_CFGS):
+        x, f = set_abstraction(sp, x, f, cfg)
+    g = global_sa(p["sa"][-1], x, f)
+    h = jax.nn.relu(nn.linear(p["fc"][0], g))
+    h = jax.nn.relu(nn.linear(p["fc"][1], h))
+    return nn.linear(p["fc"][2], h)
+
+
+# PointNet2SemSegSSG (point2_ssg_sem.py:8-86): 4 SA + 4 FP + conv1d
+# head. Input cloud (B, N, 9): xyz + 6 features.
+SEM_SSG_REF_CFGS = (SAConfig(1024, 0.1, 32, ()), SAConfig(256, 0.2, 32, ()),
+                    SAConfig(64, 0.4, 32, ()), SAConfig(16, 0.8, 32, ()))
+
+
+def ref_sem_seg_forward(p: Params, pc: jax.Array) -> jax.Array:
+    """(B, N, 9) -> (B, N, 13) per-point logits."""
+    xyz, feats = pc[..., :3], pc[..., 3:]
+    xs, fs = [xyz], [feats]
+    for sp, cfg in zip(p["sa"], SEM_SSG_REF_CFGS):
+        x, f = set_abstraction(sp, xs[-1], fs[-1], cfg)
+        xs.append(x)
+        fs.append(f)
+    for i in range(len(p["sa"]) - 1, -1, -1):
+        fs[i] = feature_propagation(p["fp"][i], xs[i], xs[i + 1],
+                                    fs[i], fs[i + 1])
+    h = jax.nn.relu(nn.linear(p["head"][0], fs[0]))
+    return nn.linear(p["head"][1], h)
+
+
+def _leaky_mlp_stack(p: Params, x: jax.Array) -> jax.Array:
+    for layer in p["layers"]:
+        x = jax.nn.leaky_relu(nn.linear(layer, x), 0.2)
+    return x
+
+
+def _knn_ref(x: jax.Array, k: int) -> jax.Array:
+    """DGCNN.knn (DGCNN.py:20-26) in the reference's EXACT mm-based
+    arithmetic (-xx - 2x.x^T - xx^T, topk largest): the float rounding
+    of the mm form can order near-ties differently than the diff^2
+    form, and parity means matching the arithmetic. x: (B, N, C)."""
+    inner = -2.0 * (x @ jnp.swapaxes(x, 1, 2))
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)
+    neg_d = -xx - inner - jnp.swapaxes(xx, 1, 2)
+    _, idx = jax.lax.top_k(neg_d, k)
+    return idx.astype(jnp.int32)
+
+
+def _graph_feature_ref(feats: jax.Array, graph_src: jax.Array, k: int,
+                       idx: Optional[jax.Array] = None) -> jax.Array:
+    """get_graph_feature (DGCNN.py:28-56): cat([x_j - x_i, x_i])."""
+    if idx is None:
+        idx = _knn_ref(graph_src, k)
+    nbr = pn.group_points(feats, idx)
+    ctr = feats[:, :, None, :]
+    return jnp.concatenate(
+        [nbr - ctr, jnp.broadcast_to(ctr, nbr.shape)], axis=-1)
+
+
+def ref_dgcnn_semseg_forward(p: Params, pc: jax.Array, k: int = 40,
+                             stage1_idx: Optional[jax.Array] = None):
+    """DGCNN_semseg.forward (DGCNN.py:231-309): cloud -> per-point head
+    cat (B, N, 5*J).
+
+    Stage-1 graph is built on channels 6: (dim9=True); later graphs on
+    the running features. Leaky-ReLU 0.2 everywhere; conv9 and the
+    per-head finals are affine only.
+
+    NOTE on the reference's actual usage (its own smoke main,
+    DGCNN.py:389-391, feeds a (B, 3, N) cloud): channels 6: are then an
+    EMPTY slice, all pairwise distances are zero, and torch.topk's tie
+    order — implementation-defined — picks the stage-1 neighbor sets.
+    ``stage1_idx`` lets a caller pin that graph (e.g. to the torch run's
+    own pick, as the oracle test does); unset, ties resolve to the
+    lowest indices (jax.lax.top_k stable order)."""
+    x = _graph_feature_ref(pc, pc[..., 6:], k, idx=stage1_idx)
+    x = _leaky_mlp_stack(p["conv12"], x)
+    x1 = jnp.max(x, axis=2)
+    x = _graph_feature_ref(x1, x1, k)
+    x = _leaky_mlp_stack(p["conv34"], x)
+    x2 = jnp.max(x, axis=2)
+    x = _graph_feature_ref(x2, x2, k)
+    x = _leaky_mlp_stack(p["conv5"], x)
+    x3 = jnp.max(x, axis=2)
+    cat = jnp.concatenate([x1, x2, x3], axis=-1)
+    emb = _leaky_mlp_stack(p["conv6"], cat)                 # (B, N, emb)
+    g = jnp.max(emb, axis=1, keepdims=True)
+    gN = jnp.broadcast_to(g, (emb.shape[0], emb.shape[1], g.shape[-1]))
+    h = jnp.concatenate([gN, x1, x2, x3], axis=-1)
+    h = _leaky_mlp_stack(p["conv7"], h)
+    h = _leaky_mlp_stack(p["conv8"], h)
+    pf = nn.linear(p["conv9"], h)
+    return jnp.concatenate([nn.linear(head, pf) for head in p["finals"]],
+                           axis=-1)
+
+
+# PointNet2 part-seg (pointnet2_part_seg_ssg.py:7-40) and
+# PointNet2_MSG_large (:81-128) use the SECOND utils flavor
+# (pointNet/pointnet2_utils.py, pure torch): squared-distance FP
+# weights, skip-first FP concat, MSG grouping with feats BEFORE rel-xyz,
+# and FPS seeded by torch.randint (pinned to start-0 in the oracle).
+
+def joint2pcloffset_ref(joint: jax.Array, pcl: jax.Array,
+                        kernel_size: float) -> jax.Array:
+    """joint2pcloffset (pointnet2_part_seg_ssg.py:131-148):
+    (B, J, 3), (B, N, 3) -> (B, N, 4J) [unit offsets * mask, closeness].
+    """
+    B, J, _ = joint.shape
+    N = pcl.shape[1]
+    offset = joint[:, :, None, :] - pcl[:, None, :, :]      # (B, J, N, 3)
+    dis = jnp.sqrt(jnp.sum(offset * offset, axis=-1))       # (B, J, N)
+    offset_norm = offset / dis[..., None]
+    on = jnp.transpose(offset_norm, (0, 1, 3, 2)).reshape(B, J * 3, N)
+    closeness = (kernel_size - dis) / kernel_size
+    mask = (closeness >= 0).astype(pcl.dtype)
+    closeness = closeness * mask
+    mask3 = jnp.repeat(mask[:, :, None, :], 3, axis=2).reshape(B, J * 3, N)
+    out = jnp.concatenate([on * mask3, closeness], axis=1)  # (B, 4J, N)
+    return jnp.transpose(out, (0, 2, 1))
+
+
+PART_REF_SA1 = SAConfig(512, 0.2, 32, ())
+PART_REF_SA2 = SAConfig(128, 0.4, 64, ())
+
+
+def ref_part_seg_forward(p: Params, xyz: jax.Array, joint: jax.Array,
+                         kernel_size: float = 0.8) -> jax.Array:
+    """PointNet2.forward (pointnet2_part_seg_ssg.py:22-40):
+    (B, N, 3) cloud + (B, J, 3) joints -> (B, N, num_classes)."""
+    feat = joint2pcloffset_ref(joint, xyz, kernel_size)
+    l0 = jnp.concatenate([xyz, feat], axis=-1)
+    x1, f1 = set_abstraction(p["sa1"], xyz, l0, PART_REF_SA1)
+    x2, f2 = set_abstraction(p["sa2"], x1, f1, PART_REF_SA2)
+    g = global_sa(p["sa3"], x2, f2)
+    u2 = global_feature_propagation(p["fp3"], f2, g)
+    u1 = feature_propagation(p["fp2"], x1, x2, f1, u2, sq_weights=True)
+    u0 = feature_propagation(p["fp1"], xyz, x1,
+                             jnp.concatenate([xyz, l0], axis=-1), u1,
+                             sq_weights=True)
+    h = jax.nn.relu(nn.linear(p["fc"], u0))
+    return nn.linear(p["head"], h)
+
+
+MSG_LARGE_LEVELS = (
+    MSGConfig(512, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64))),
+    MSGConfig(256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128))),
+    MSGConfig(64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256))),
+    MSGConfig(16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512))),
+)
+
+
+def _set_abstraction_msg_ref(p: Params, xyz: jax.Array, feats: jax.Array,
+                             cfg: MSGConfig) -> Tuple[jax.Array, jax.Array]:
+    """yanx27 PointNetSetAbstractionMsg: grouped = cat([feats, rel_xyz])
+    — feats FIRST (pointnet2_utils.py:247), the opposite of the CUDA
+    QueryAndGroup order."""
+    idx = pn.furthest_point_sampling(xyz, cfg.npoint)
+    new_xyz = pn.gather_points(xyz, idx)
+    outs = []
+    for sp, radius, nsample in zip(p["scales"], cfg.radii, cfg.nsamples):
+        bidx = pn.ball_query(new_xyz, xyz, radius, nsample)
+        rel = pn.group_points(xyz, bidx) - new_xyz[:, :, None, :]
+        gf = pn.group_points(feats, bidx)
+        grouped = jnp.concatenate([gf, rel], axis=-1)
+        outs.append(jnp.max(_mlp_stack(sp, grouped), axis=2))
+    return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+def ref_msg_large_forward(p: Params, xyz: jax.Array) -> jax.Array:
+    """PointNet2_MSG_large.forward (pointnet2_part_seg_ssg.py:107-128):
+    (B, N, 3) -> (B, N, 5J) per-point head concat (the KPFusion-style
+    offsets/closeness/weights heads)."""
+    xs, fs = [xyz], [xyz]
+    for sp, cfg in zip(p["sa"], MSG_LARGE_LEVELS):
+        x, f = _set_abstraction_msg_ref(sp, xs[-1], fs[-1], cfg)
+        xs.append(x)
+        fs.append(f)
+    up = fs[4]
+    for i in range(3, 0, -1):
+        up = feature_propagation(p["fp"][i], xs[i], xs[i + 1], fs[i], up,
+                                 sq_weights=True)
+    up = feature_propagation(p["fp"][0], xs[0], xs[1], None, up,
+                             sq_weights=True)
+    h = jax.nn.relu(nn.linear(p["fc"], up))
+    return jnp.concatenate([nn.linear(head, h) for head in p["finals"]],
+                           axis=-1)
 
 
 def pointnet2_msg_sem_forward(p: Params, xyz: jax.Array,

@@ -141,3 +141,188 @@ class TestMSGAndPartSeg:
                                            (1, 256, 21)]
         for o in outs:
             assert np.isfinite(np.asarray(o)).all()
+
+
+# ---------------------------------------------------------------------------
+# Forward-VALUE oracles against the reference's own zoo (VERDICT r04 #3):
+# the reference model files run unmodified on CPU with pointnet2_ops._ext
+# stubbed by torch ops matching the CUDA semantics (oracle-tested in
+# tests/test_pointnet.py); our BN-folded converted params must reproduce
+# the eval forward.
+# ---------------------------------------------------------------------------
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ref_pipeline_oracle as R  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def zoo():
+    if not R.reference_available():
+        pytest.skip("reference not mounted")
+    return R.install_pointnet_zoo_environment()
+
+
+def _sd(model):
+    return {k: np.asarray(v.detach().numpy())
+            for k, v in model.state_dict().items()}
+
+
+class TestZooForwardOracles:
+    def test_pointnet2_cls_ssg_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointnet2_cls_ssg
+        from hamer_yolo_tpu.models.pointnet2 import ref_cls_ssg_forward
+
+        torch.manual_seed(0)
+        model = zoo["cls"].PointNet2ClassificationSSG()
+        # liven BN running stats so folding is non-trivial
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(
+                    rng.normal(scale=0.5, size=(4, 600, 6)).astype(np.float32))
+                model(warm)
+        model.eval()
+
+        pc = rng.normal(scale=0.5, size=(2, 600, 6)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(pc.copy())).numpy()
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointnet2_cls_ssg(_sd(model)))
+        got = np.asarray(ref_cls_ssg_forward(params, jnp.asarray(pc)))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+    def test_pointnet2_sem_seg_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointnet2_sem_seg
+        from hamer_yolo_tpu.models.pointnet2 import ref_sem_seg_forward
+
+        torch.manual_seed(1)
+        model = zoo["sem"].PointNet2SemSegSSG()
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(
+                    rng.normal(scale=0.5, size=(2, 1200, 9)).astype(np.float32))
+                model(warm)
+        model.eval()
+
+        pc = rng.normal(scale=0.5, size=(2, 1200, 9)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(pc.copy())).numpy()  # (B, 13, N)
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointnet2_sem_seg(_sd(model)))
+        got = np.asarray(ref_sem_seg_forward(params, jnp.asarray(pc)))
+        np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 1)),
+                                   atol=5e-4, rtol=1e-4)
+
+    def test_dgcnn_semseg_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_dgcnn_semseg
+        from hamer_yolo_tpu.models.pointnet2 import ref_dgcnn_semseg_forward
+
+        torch.manual_seed(2)
+        model = zoo["dgcnn"].DGCNN_semseg(joint_num=21, k=20)
+        # the reference's own smoke main (DGCNN.py:389-391) feeds a
+        # (B, 3, N) cloud: dim9=True then knns over x[:, 6:], an EMPTY
+        # slice -> all-zero distances -> the stage-1 graph degenerates
+        # to neighbors 0..k-1 for every point (tie order, stable in
+        # both torch.topk and jax.lax.top_k). Oracle reproduces that
+        # real behavior, degenerate graph included.
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(
+                    rng.normal(scale=0.5, size=(2, 3, 128)).astype(np.float32))
+                model(warm)
+        model.eval()
+
+        pc = rng.normal(scale=0.5, size=(2, 3, 128)).astype(np.float32)
+        with torch.no_grad():
+            out = model(torch.from_numpy(pc.copy()))
+            # the degenerate stage-1 graph's neighbor SETS are torch
+            # topk tie-order, implementation-defined: pin the torch
+            # run's own pick into our forward (everything downstream is
+            # then a real value-parity check)
+            idx1 = zoo["dgcnn"].knn(
+                torch.from_numpy(pc.copy())[:, 6:], k=20).numpy()
+        pcl_ref, result_ref = out[0]  # [[pcl (B,N,9), result (B,N,5J)]]
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_dgcnn_semseg(_sd(model)))
+        got = np.asarray(ref_dgcnn_semseg_forward(
+            params, jnp.asarray(np.transpose(pc, (0, 2, 1))), k=20,
+            stage1_idx=jnp.asarray(idx1.astype(np.int32))))
+        assert got.shape == tuple(result_ref.shape)
+        np.testing.assert_allclose(got, result_ref.numpy(), atol=5e-4,
+                                   rtol=1e-4)
+
+    def test_part_seg_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointnet2_part_seg_ref
+        from hamer_yolo_tpu.models.pointnet2 import ref_part_seg_forward
+
+        torch.manual_seed(3)
+        J = 21
+        # in_channel counts the point-feature channels beyond rel-xyz:
+        # l0_points = cat(xyz(3), joint2pcloffset(4J)) -> 3 + 4*21 = 87
+        model = zoo["part"].PointNet2(num_classes=J, in_channel=3 + 4 * J)
+        joints = rng.normal(scale=0.4, size=(2, J, 3)).astype(np.float32)
+        with R.pinned_fps_start():
+            model.train()
+            with torch.no_grad():
+                for _ in range(2):
+                    warm = torch.from_numpy(rng.normal(
+                        scale=0.5, size=(2, 900, 3)).astype(np.float32))
+                    model(warm, torch.from_numpy(joints.copy()))
+            model.eval()
+            pc = rng.normal(scale=0.5, size=(2, 900, 3)).astype(np.float32)
+            with torch.no_grad():
+                ref = model(torch.from_numpy(pc.copy()),
+                            torch.from_numpy(joints.copy()))[0].numpy()
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointnet2_part_seg_ref(_sd(model)))
+        got = np.asarray(ref_part_seg_forward(
+            params, jnp.asarray(pc), jnp.asarray(joints)))
+        np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+    def test_msg_large_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointnet2_msg_large
+        from hamer_yolo_tpu.models.pointnet2 import ref_msg_large_forward
+
+        torch.manual_seed(4)
+        model = zoo["part"].PointNet2_MSG_large(joint_num=21)
+        with R.pinned_fps_start():
+            model.train()
+            with torch.no_grad():
+                for _ in range(2):
+                    warm = torch.from_numpy(rng.normal(
+                        scale=0.5, size=(2, 3, 1024)).astype(np.float32))
+                    model(warm)
+            model.eval()
+            pc = rng.normal(scale=0.5, size=(2, 3, 1024)).astype(np.float32)
+            with torch.no_grad():
+                out = model(torch.from_numpy(pc.copy()))
+        _pcl_ref, result_ref = out[0]
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointnet2_msg_large(_sd(model)))
+        got = np.asarray(ref_msg_large_forward(
+            params, jnp.asarray(np.transpose(pc, (0, 2, 1)))))
+        assert got.shape == tuple(result_ref.shape)
+        np.testing.assert_allclose(got, result_ref.numpy(), atol=5e-4,
+                                   rtol=1e-4)
