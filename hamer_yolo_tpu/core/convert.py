@@ -976,3 +976,127 @@ def convert_pointnet2_msg_large(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         sd["bn1.bias"], sd["bn1.running_mean"], sd["bn1.running_var"])
     finals = [_plain_linear(sd, f"finals.{j}") for j in range(3)]
     return {"sa": sas, "fp": fps, "fc": fc, "finals": finals}
+
+
+def _cbr(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    """pointMLP ConvBNReLU1D `net` Sequential (conv@0 biased, BN@1)."""
+    return _fold_bn_biased(
+        sd[f"{prefix}.net.0.weight"], sd.get(f"{prefix}.net.0.bias"),
+        sd[f"{prefix}.net.1.weight"], sd[f"{prefix}.net.1.bias"],
+        sd[f"{prefix}.net.1.running_mean"], sd[f"{prefix}.net.1.running_var"])
+
+
+def _res1d(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """ConvBNReLURes1D, groups=1 (net1 conv+BN+act, net2 conv+BN)."""
+    return {
+        "net1": _fold_bn_biased(
+            sd[f"{prefix}.net1.0.weight"], sd.get(f"{prefix}.net1.0.bias"),
+            sd[f"{prefix}.net1.1.weight"], sd[f"{prefix}.net1.1.bias"],
+            sd[f"{prefix}.net1.1.running_mean"],
+            sd[f"{prefix}.net1.1.running_var"]),
+        "net2": _fold_bn_biased(
+            sd[f"{prefix}.net2.0.weight"], sd.get(f"{prefix}.net2.0.bias"),
+            sd[f"{prefix}.net2.1.weight"], sd[f"{prefix}.net2.1.bias"],
+            sd[f"{prefix}.net2.1.running_mean"],
+            sd[f"{prefix}.net2.1.running_var"]),
+    }
+
+
+def _res_seq(sd: Dict[str, np.ndarray], prefix: str):
+    blocks = []
+    j = 0
+    while f"{prefix}.{j}.net1.0.weight" in sd:
+        blocks.append(_res1d(sd, f"{prefix}.{j}"))
+        j += 1
+    return blocks
+
+
+def convert_pointmlp(sd: Dict[str, np.ndarray],
+                     n_stages: int = 4) -> Dict[str, Any]:
+    """PointMLP state dict (pointMLP.py:334-410) -> params for
+    models/pointnet2.ref_pointmlp_forward (BN folded, groups=1)."""
+    out = {
+        "groupers": [
+            {"alpha": np.asarray(sd[f"local_grouper_list.{i}.affine_alpha"],
+                                 np.float32),
+             "beta": np.asarray(sd[f"local_grouper_list.{i}.affine_beta"],
+                                np.float32)}
+            for i in range(n_stages)
+        ],
+        "pre": [
+            {"transfer": _cbr(sd, f"pre_blocks_list.{i}.transfer"),
+             "blocks": _res_seq(sd, f"pre_blocks_list.{i}.operation")}
+            for i in range(n_stages)
+        ],
+        "pos": [_res_seq(sd, f"pos_blocks_list.{i}.operation")
+                for i in range(n_stages)],
+        "decode": [
+            {"fuse": _cbr(sd, f"decode_list.{i}.fuse"),
+             "extraction": _res_seq(sd, f"decode_list.{i}.extraction.operation")}
+            for i in range(n_stages)
+        ],
+        "gmp_map": [_cbr(sd, f"gmp_map_list.{i}")
+                    for i in range(n_stages + 1)],
+        "gmp_end": _cbr(sd, "gmp_map_end"),
+        "conv": _fold_bn_biased(
+            sd["conv.0.weight"], sd.get("conv.0.bias"), sd["conv.1.weight"],
+            sd["conv.1.bias"], sd["conv.1.running_mean"],
+            sd["conv.1.running_var"]),
+        "finals": [_plain_linear(sd, f"finals.{j}") for j in range(3)],
+    }
+    if "embedding.net.0.weight" in sd:  # absent in PointMLP_refine
+        out["embedding"] = _cbr(sd, "embedding")
+    return out
+
+
+def convert_dgcnn_pointnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PointNet state dict (DGCNN.py:58-77) -> params for
+    models/pointnet2.ref_pointnet_cls_forward (plain convs + separate
+    bn{i} registrations, BN folded)."""
+    convs = [
+        _fold_bn_into_linear(
+            sd[f"conv{i}.weight"], sd[f"bn{i}.weight"], sd[f"bn{i}.bias"],
+            sd[f"bn{i}.running_mean"], sd[f"bn{i}.running_var"])
+        for i in range(1, 6)
+    ]
+    fc1 = _fold_bn_into_linear(
+        sd["linear1.weight"], sd["bn6.weight"], sd["bn6.bias"],
+        sd["bn6.running_mean"], sd["bn6.running_var"])
+    return {"convs": {"layers": convs}, "fc1": fc1,
+            "fc2": _plain_linear(sd, "linear2")}
+
+
+def convert_dgcnn_partseg(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """DGCNN_partseg state dict (DGCNN.py:137-185) -> params for
+    models/pointnet2.ref_dgcnn_partseg_forward."""
+    def seq(names):
+        return {"layers": [_fold_bn_seq(sd, n, 0, 1) for n in names]}
+
+    tnet_prefix = "transform_net"
+    tnet = {
+        "conv12": seq([f"{tnet_prefix}.conv1", f"{tnet_prefix}.conv2"]),
+        "conv3": seq([f"{tnet_prefix}.conv3"]),
+        # linear1/linear2 are bias-free; their BNs are the REASSIGNED
+        # bn3 (512) and bn4 (256) module attributes (DGCNN.py:110-112 —
+        # the 1024 BN lives inside the conv3 Sequential)
+        "fc1": _fold_bn_into_linear(
+            sd[f"{tnet_prefix}.linear1.weight"], sd[f"{tnet_prefix}.bn3.weight"],
+            sd[f"{tnet_prefix}.bn3.bias"], sd[f"{tnet_prefix}.bn3.running_mean"],
+            sd[f"{tnet_prefix}.bn3.running_var"]),
+        "fc2": _fold_bn_into_linear(
+            sd[f"{tnet_prefix}.linear2.weight"], sd[f"{tnet_prefix}.bn4.weight"],
+            sd[f"{tnet_prefix}.bn4.bias"], sd[f"{tnet_prefix}.bn4.running_mean"],
+            sd[f"{tnet_prefix}.bn4.running_var"]),
+        "transform": _plain_linear(sd, f"{tnet_prefix}.transform"),
+    }
+    return {
+        "tnet": tnet,
+        "conv12": seq(["conv1", "conv2"]),
+        "conv34": seq(["conv3", "conv4"]),
+        "conv5": seq(["conv5"]),
+        "conv6": seq(["conv6"]),
+        "conv8": seq(["conv8"]),
+        "conv9": seq(["conv9"]),
+        "conv10": seq(["conv10"]),
+        "conv11": _plain_linear(sd, "conv11"),
+    }

@@ -590,6 +590,175 @@ def ref_msg_large_forward(p: Params, xyz: jax.Array) -> jax.Array:
                            axis=-1)
 
 
+def ref_pointnet_cls_forward(p: Params, pc: jax.Array) -> jax.Array:
+    """PointNet (DGCNN.py:58-88): 5 conv-BN-relu, global max, fc head.
+    (B, N, 3) -> (B, 40) logits; dropout eval-inert, BN folded."""
+    h = _mlp_stack(p["convs"], pc)
+    g = jnp.max(h, axis=1)
+    h = jax.nn.relu(nn.linear(p["fc1"], g))
+    return nn.linear(p["fc2"], h)
+
+
+def ref_transform_net(p: Params, x0: jax.Array) -> jax.Array:
+    """Transform_Net (DGCNN.py:90-135): (B, N, k, 6) graph features ->
+    (B, 3, 3) learned alignment."""
+    h = _leaky_mlp_stack(p["conv12"], x0)
+    h = jnp.max(h, axis=2)                        # over k
+    h = _leaky_mlp_stack(p["conv3"], h)
+    g = jnp.max(h, axis=1)                        # over N
+    g = jax.nn.leaky_relu(nn.linear(p["fc1"], g), 0.2)
+    g = jax.nn.leaky_relu(nn.linear(p["fc2"], g), 0.2)
+    t = nn.linear(p["transform"], g)
+    return t.reshape(t.shape[0], 3, 3)
+
+
+def ref_dgcnn_partseg_forward(p: Params, pc: jax.Array,
+                              k: int = 40) -> jax.Array:
+    """DGCNN_partseg.forward (DGCNN.py:137-226): (B, N, 3) ->
+    (B, N, seg_num_all). Transform-net alignment, then the 3-stage
+    edge-conv trunk with a global embedding broadcast."""
+    x0 = _graph_feature_ref(pc, pc, k)
+    t = ref_transform_net(p["tnet"], x0)
+    x = jnp.einsum("bnd,bde->bne", pc, t)
+    h = _graph_feature_ref(x, x, k)
+    h = _leaky_mlp_stack(p["conv12"], h)
+    x1 = jnp.max(h, axis=2)
+    h = _graph_feature_ref(x1, x1, k)
+    h = _leaky_mlp_stack(p["conv34"], h)
+    x2 = jnp.max(h, axis=2)
+    h = _graph_feature_ref(x2, x2, k)
+    h = _leaky_mlp_stack(p["conv5"], h)
+    x3 = jnp.max(h, axis=2)
+    emb = _leaky_mlp_stack(p["conv6"],
+                           jnp.concatenate([x1, x2, x3], axis=-1))
+    g = jnp.max(emb, axis=1, keepdims=True)
+    gN = jnp.broadcast_to(g, (emb.shape[0], emb.shape[1], g.shape[-1]))
+    h = jnp.concatenate([gN, x1, x2, x3], axis=-1)
+    h = _leaky_mlp_stack(p["conv8"], h)
+    h = _leaky_mlp_stack(p["conv9"], h)
+    h = _leaky_mlp_stack(p["conv10"], h)
+    return nn.linear(p["conv11"], h)
+
+
+# pointMLP (pointMLP.py:334-451): the full joint-regression PointMLP —
+# embedding -> 4x (LocalGrouper anchor-normalized knn grouping +
+# PreExtraction residual MLPs + max-pool + PosExtraction) -> 4 FP
+# decoders -> global-max-pool context -> conv head + 3 finals.
+# ConvBNReLU/ConvBNReLURes1D BN folded at conversion
+# (core/convert.convert_pointmlp).
+
+def _res_block_ref(p: Params, x: jax.Array) -> jax.Array:
+    """ConvBNReLURes1D, groups=1 (pointMLP.py:197-226):
+    relu(net2(relu(net1(x))) + x), BN folded."""
+    h = jax.nn.relu(nn.linear(p["net1"], x))
+    return jax.nn.relu(nn.linear(p["net2"], h) + x)
+
+
+def _res_stack_ref(blocks, x: jax.Array) -> jax.Array:
+    for b in blocks:
+        x = _res_block_ref(b, x)
+    return x
+
+
+def _local_grouper_ref(p: Params, xyz: jax.Array, feats: jax.Array,
+                       groups: int, k: int):
+    """LocalGrouper, use_xyz=True normalize='anchor' (pointMLP.py:128-180).
+
+    knn_point uses topk(sorted=False) — an unordered neighbor SET; all
+    downstream use is max-pooled over k, so our sorted top_k is
+    equivalent. std is torch.std's UNBIASED (n-1) over the whole
+    (B, -1) flatten per batch element."""
+    fps_idx = pn.furthest_point_sampling(xyz, groups)
+    new_xyz = pn.gather_points(xyz, fps_idx)
+    new_points = pn.gather_points(feats, fps_idx)
+    d2 = pn.pairwise_sqdist(new_xyz, xyz)
+    _, idx = jax.lax.top_k(-d2, k)
+    idx = idx.astype(jnp.int32)
+    grouped = jnp.concatenate(
+        [pn.group_points(feats, idx), pn.group_points(xyz, idx)], axis=-1)
+    anchor = jnp.concatenate([new_points, new_xyz], axis=-1)[:, :, None, :]
+    B = xyz.shape[0]
+    centered = grouped - anchor
+    flat = centered.reshape(B, -1)
+    n = flat.shape[1]
+    var = jnp.sum((flat - flat.mean(axis=1, keepdims=True)) ** 2,
+                  axis=1) / (n - 1)
+    std = jnp.sqrt(var)[:, None, None, None]
+    normed = p["alpha"] * (centered / (std + 1e-5)) + p["beta"]
+    anchor_rep = jnp.broadcast_to(
+        new_points[:, :, None, :],
+        new_points.shape[:2] + (k, new_points.shape[-1]))
+    return new_xyz, jnp.concatenate([normed, anchor_rep], axis=-1)
+
+
+def _fp_pointmlp_ref(p: Params, xyz_dense, xyz_sparse, skip, up) -> jax.Array:
+    """pointMLP PointNetFeaturePropagation (pointMLP.py:278-324):
+    squared-dist 3nn interp, cat([skip, interp]), fuse conv, res blocks."""
+    d, idx = pn.three_nn(xyz_dense, xyz_sparse)
+    w = pn.interpolation_weights(d * d)
+    interp = pn.three_interpolate(up, idx, w)
+    h = jnp.concatenate([skip, interp], axis=-1)
+    h = jax.nn.relu(nn.linear(p["fuse"], h))
+    return _res_stack_ref(p["extraction"], h)
+
+
+POINTMLP_REDUCERS = (4, 4, 4, 4)
+POINTMLP_K = (16, 16, 16, 16)
+
+
+def ref_pointmlp_forward(p: Params, xyz: jax.Array,
+                         points: int = 1024) -> jax.Array:
+    """PointMLP.forward (pointMLP.py:412-451): (B, N, 3) -> (B, N, 5J).
+
+    ``points`` must match the constructor's `points` (the per-stage
+    group counts are derived from it, not from the runtime N)."""
+    x = jax.nn.relu(nn.linear(p["embedding"], xyz))     # (B, N, embed)
+    return _pointmlp_trunk(p, xyz, x, points)
+
+
+def ref_pointmlp_refine_forward(p: Params, xyz: jax.Array, feats: jax.Array,
+                                points: int = 1024) -> jax.Array:
+    """PointMLP_refine.forward (pointMLP.py:529-563): identical trunk,
+    PRE-EMBEDDED per-point features (B, N, embed) instead of the
+    embedding conv."""
+    return _pointmlp_trunk(p, xyz, feats, points)
+
+
+def _pointmlp_trunk(p: Params, xyz: jax.Array, x: jax.Array,
+                    points: int) -> jax.Array:
+    xyz_list, x_list = [xyz], [x]
+    anchor_points = points
+    cur_xyz = xyz
+    for i, (reduce, k) in enumerate(zip(POINTMLP_REDUCERS, POINTMLP_K)):
+        anchor_points //= reduce
+        cur_xyz, grouped = _local_grouper_ref(
+            p["groupers"][i], cur_xyz, x_list[-1], anchor_points, k)
+        # PreExtraction: transfer + res blocks per (group, k), max over k
+        h = jax.nn.relu(nn.linear(p["pre"][i]["transfer"], grouped))
+        h = _res_stack_ref(p["pre"][i]["blocks"], h)
+        h = jnp.max(h, axis=2)                          # (B, g, out)
+        h = _res_stack_ref(p["pos"][i], h)
+        xyz_list.append(cur_xyz)
+        x_list.append(h)
+    xyz_rev = xyz_list[::-1]
+    x_rev = x_list[::-1]
+    h = x_rev[0]
+    for i, dp in enumerate(p["decode"]):
+        h = _fp_pointmlp_ref(dp, xyz_rev[i + 1], xyz_rev[i],
+                             x_rev[i + 1], h)
+    gmps = []
+    for gp, xl in zip(p["gmp_map"], x_rev):
+        gmps.append(jnp.max(jax.nn.relu(nn.linear(gp, xl)), axis=1))
+    gctx = jax.nn.relu(nn.linear(p["gmp_end"],
+                                 jnp.concatenate(gmps, axis=-1)))  # (B, gmp)
+    gctx = jnp.broadcast_to(gctx[:, None, :],
+                            (h.shape[0], h.shape[1], gctx.shape[-1]))
+    h = jnp.concatenate([h, gctx], axis=-1)
+    pf = jax.nn.relu(nn.linear(p["conv"], h))
+    return jnp.concatenate([nn.linear(head, pf) for head in p["finals"]],
+                           axis=-1)
+
+
 def pointnet2_msg_sem_forward(p: Params, xyz: jax.Array,
                               feats: Optional[jax.Array] = None,
                               levels: Tuple[MSGConfig, ...] = MSG_SEM_LEVELS

@@ -887,8 +887,11 @@ def install_pointnet_zoo_environment():
     part_mod = _load("pointNet.pointnet2_part_seg_ssg",
                      "pointnet2_part_seg_ssg.py")
 
+    pointmlp_mod = _load("pointNet.pointMLP", "pointMLP.py")
+
     _env["_zoo"] = dict(cls=cls_mod, sem=sem_mod, dgcnn=dgcnn_mod,
-                        part=part_mod, utils2=utils2_mod)
+                        part=part_mod, utils2=utils2_mod,
+                        pointmlp=pointmlp_mod)
     return _env["_zoo"]
 
 

@@ -326,3 +326,118 @@ class TestZooForwardOracles:
         assert got.shape == tuple(result_ref.shape)
         np.testing.assert_allclose(got, result_ref.numpy(), atol=5e-4,
                                    rtol=1e-4)
+
+    def test_pointmlp_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointmlp
+        from hamer_yolo_tpu.models.pointnet2 import ref_pointmlp_forward
+
+        torch.manual_seed(5)
+        model = zoo["pointmlp"].pointMLP(joint_num=21)
+        N = 1024  # must equal the constructor's `points` (group counts)
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(rng.normal(
+                    scale=0.5, size=(2, 3, N)).astype(np.float32))
+                model(warm)
+        model.eval()
+        pc = rng.normal(scale=0.5, size=(2, 3, N)).astype(np.float32)
+        with torch.no_grad():
+            out = model(torch.from_numpy(pc.copy()))
+        _pcl_ref, result_ref = out[0]
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointmlp(_sd(model)))
+        got = np.asarray(ref_pointmlp_forward(
+            params, jnp.asarray(np.transpose(pc, (0, 2, 1))), points=N))
+        assert got.shape == tuple(result_ref.shape)
+        np.testing.assert_allclose(got, result_ref.numpy(), atol=1e-3,
+                                   rtol=1e-4)
+
+    def test_pointnet_cls_value_parity(self, zoo, rng):
+        import types
+
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_dgcnn_pointnet
+        from hamer_yolo_tpu.models.pointnet2 import ref_pointnet_cls_forward
+
+        torch.manual_seed(6)
+        args = types.SimpleNamespace(emb_dims=1024)
+        model = zoo["dgcnn"].PointNet(args, output_channels=40)
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(rng.normal(
+                    scale=0.5, size=(4, 3, 256)).astype(np.float32))
+                model(warm)
+        model.eval()
+        pc = rng.normal(scale=0.5, size=(4, 3, 256)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(pc.copy())).numpy()
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_dgcnn_pointnet(_sd(model)))
+        got = np.asarray(ref_pointnet_cls_forward(
+            params, jnp.asarray(np.transpose(pc, (0, 2, 1)))))
+        np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+    def test_dgcnn_partseg_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_dgcnn_partseg
+        from hamer_yolo_tpu.models.pointnet2 import ref_dgcnn_partseg_forward
+
+        torch.manual_seed(7)
+        model = zoo["dgcnn"].DGCNN_partseg(seg_num_all=8, k=20)
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                warm = torch.from_numpy(rng.normal(
+                    scale=0.5, size=(2, 3, 160)).astype(np.float32))
+                model(warm)
+        model.eval()
+        pc = rng.normal(scale=0.5, size=(2, 3, 160)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(pc.copy())).numpy()  # (B, seg, N)
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_dgcnn_partseg(_sd(model)))
+        got = np.asarray(ref_dgcnn_partseg_forward(
+            params, jnp.asarray(np.transpose(pc, (0, 2, 1))), k=20))
+        np.testing.assert_allclose(got, np.transpose(ref, (0, 2, 1)),
+                                   atol=1e-3, rtol=1e-4)
+
+    def test_pointmlp_refine_value_parity(self, zoo, rng):
+        import torch
+
+        from hamer_yolo_tpu.core.convert import convert_pointmlp
+        from hamer_yolo_tpu.models.pointnet2 import ref_pointmlp_refine_forward
+
+        torch.manual_seed(8)
+        model = zoo["pointmlp"].PointMLP_refine(joint_num=21, points=1024,
+                                                embed_dim=64)
+        N = 1024
+        model.train()
+        with torch.no_grad():
+            for _ in range(2):
+                wx = torch.from_numpy(rng.normal(
+                    scale=0.5, size=(2, N, 3)).astype(np.float32))
+                wf = torch.from_numpy(rng.normal(
+                    scale=0.5, size=(2, 64, N)).astype(np.float32))
+                model(wx, wf)
+        model.eval()
+        xyz = rng.normal(scale=0.5, size=(2, N, 3)).astype(np.float32)
+        feats = rng.normal(scale=0.5, size=(2, 64, N)).astype(np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(xyz.copy()),
+                        torch.from_numpy(feats.copy())).numpy()
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_pointmlp(_sd(model)))
+        got = np.asarray(ref_pointmlp_refine_forward(
+            params, jnp.asarray(xyz),
+            jnp.asarray(np.transpose(feats, (0, 2, 1))), points=N))
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
