@@ -176,7 +176,9 @@ def process_image_dir(
                 stats.skipped += 1
                 continue
             Ki = K if K is not None else _default_intrinsics(image.shape)
-            chunk.append((name, image.astype(np.float32), Ki))
+            # keep cv2's uint8: BatchedPipeline uploads it as-is (4x
+            # fewer H2D bytes) and casts on-device, bit-identically
+            chunk.append((name, image, Ki))
             if len(chunk) == batch_size:
                 flush()
         flush()

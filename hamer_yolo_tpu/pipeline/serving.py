@@ -64,6 +64,9 @@ class BatchedPipeline:
         def fn(p, images, hws, Ks):
             # Stage-batched program (natively batched detector trunk+NMS;
             # same outputs as vmap(infer_frame), ~22 ms/b128 faster).
+            # uint8 frames are cast on-device: the H2D upload then moves
+            # 4x fewer bytes through the tunnel (exact for 0..255).
+            images = images.astype(jnp.float32)
             return infer_frames(p, mano, images, hws, Ks, pcfg,
                                 attn_impl=attn_impl)
 
@@ -81,6 +84,7 @@ class BatchedPipeline:
 
         @jax.jit
         def fn_tracked(p, images, kp2d, is_right, valid, hws, Ks):
+            images = images.astype(jnp.float32)
             return infer_frames_tracked(p, mano, images, kp2d, is_right,
                                         valid, hws, Ks, pcfg,
                                         attn_impl=attn_impl,
@@ -89,12 +93,19 @@ class BatchedPipeline:
         self._fn_tracked = fn_tracked
 
     def _pad_frames(self, frames: List[np.ndarray], K: np.ndarray):
-        """Bucket-pad a frame list to (images, hws, Ks) batch arrays."""
+        """Bucket-pad a frame list to (images, hws, Ks) batch arrays.
+
+        All-uint8 frame lists stay uint8 through the upload (the jitted
+        program casts on-device): 4x fewer H2D bytes over the tunnel —
+        the binding constraint of the pipelined stream path — with
+        bit-identical outputs (0..255 casts exactly)."""
         n = len(frames)
         hmax = max(f.shape[0] for f in frames)
         wmax = max(f.shape[1] for f in frames)
         bh, bw = self.bucket_hw or pick_bucket(hmax, wmax)
-        images = np.zeros((self.batch_size, bh, bw, 3), np.float32)
+        dtype = np.uint8 if all(f.dtype == np.uint8 for f in frames) \
+            else np.float32
+        images = np.zeros((self.batch_size, bh, bw, 3), dtype)
         hws = np.zeros((self.batch_size, 2), np.float32)
         for i, f in enumerate(frames[: self.batch_size]):
             images[i, : f.shape[0], : f.shape[1]] = f

@@ -56,6 +56,31 @@ class TestServing:
         assert outs[1]["boxes"].shape[0] == 2
         assert pipe.last_stats.frames == 6
 
+    def test_uint8_upload_bit_identical(self, rng):
+        """All-uint8 frame lists upload as uint8 (4x fewer H2D bytes
+        through the tunnel) and the on-device cast reproduces the f32
+        path bit-for-bit (0..255 is exact in f32)."""
+        cfg = tiny_cfg()
+        try:
+            mano = ManoModel.from_arrays(load_mano_model("right"))
+        except Exception:
+            mano = ManoModel.from_arrays(synthetic_mano_model())
+        params = init_pipeline_params(jax.random.PRNGKey(0), mano,
+                                      yolo_cfg=cfg.yolo, hamer_cfg=cfg.hamer,
+                                      sar_cfg=cfg.sar)
+        pipe = BatchedPipeline(params, mano, cfg, batch_size=2,
+                               bucket_hw=(128, 128))
+        frames_u8 = [rng.integers(0, 255, (100, 120, 3)).astype(np.uint8)
+                     for _ in range(2)]
+        K = np.array([[200.0, 0, 60], [0, 200.0, 50], [0, 0, 1]], np.float32)
+        imgs_u8, _, _ = pipe._pad_frames(frames_u8, K)
+        assert imgs_u8.dtype == np.uint8
+        out_u8 = pipe.process_batch(frames_u8, K)
+        out_f32 = pipe.process_batch(
+            [f.astype(np.float32) for f in frames_u8], K)
+        for k in ("boxes", "vertices", "cam_t", "betas"):
+            np.testing.assert_array_equal(out_u8[k], out_f32[k], err_msg=k)
+
 
 class TestServingMesh:
     def test_data_parallel_serving(self, rng):
