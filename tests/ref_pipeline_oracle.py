@@ -1184,6 +1184,65 @@ def run_reference_pipeline(ckpts: dict, input_dir: str, output_dir: str,
     return results
 
 
+def shared_pipeline_checkpoints(tmp_path_factory):
+    """Session-cached 640x448 test frame + native random-weight
+    checkpoints (seed 0) + our converted params — built ONCE and reused
+    by every composed-oracle module (suite-time hygiene: the full-size
+    HAMER random init + conversion costs minutes)."""
+    if "_shared_ck" in _env:
+        return _env["_shared_ck"]
+    import cv2
+
+    base = tmp_path_factory.mktemp("shared_ck")
+    input_dir = base / "input"
+    input_dir.mkdir()
+    img_full = cv2.imread(os.path.join(REF, "hamer", "example_data",
+                                       "test1.jpg"))
+    img_640 = cv2.resize(img_full, (640, 448), interpolation=cv2.INTER_AREA)
+    cv2.imwrite(str(input_dir / "test1.png"), img_640)
+    ck = make_checkpoints(str(base), seed=0,
+                          calibration_image=str(input_dir / "test1.png"))
+    _env["_shared_ck"] = dict(base=base, ck=ck, input_dir=str(input_dir),
+                              img=cv2.imread(str(input_dir / "test1.png")))
+    return _env["_shared_ck"]
+
+
+def shared_converted_stack():
+    """Our converted params + mano + f32 PipelineConfig for the shared
+    checkpoints (cached alongside them)."""
+    if "_shared_stack" in _env:
+        return _env["_shared_stack"]
+    if "_shared_ck" not in _env:
+        raise RuntimeError("call shared_pipeline_checkpoints first")
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from hamer_yolo_tpu.core.convert import convert_pipeline_checkpoints
+    from hamer_yolo_tpu.core.mano_assets import load_mano_model
+    from hamer_yolo_tpu.models.mano import ManoModel
+    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
+
+    ck = _env["_shared_ck"]["ck"]
+    mano = ManoModel.from_arrays(load_mano_model("right"))
+    params = convert_pipeline_checkpoints(
+        ck["yolo"], ck["hamer"], ck["sar"],
+        template=np.asarray(mano.v_template))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    base = PipelineConfig(max_hands=4)
+    cfg = replace(
+        base,
+        conf_thres=ck["conf_thres"],
+        yolo=replace(base.yolo, nc=3, compute_dtype="float32"),
+        hamer=replace(base.hamer,
+                      vit=replace(base.hamer.vit, compute_dtype="float32")),
+        sar=replace(base.sar, compute_dtype="float32"),
+    )
+    _env["_shared_stack"] = dict(params=params, mano=mano, cfg=cfg)
+    return _env["_shared_stack"]
+
+
 class _redirect_load_hamer:
     """Context manager: re-bind a reference infer-style module's
     load_hamer to the same logic minus the hard-coded checkpoint path

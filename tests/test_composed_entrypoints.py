@@ -44,16 +44,12 @@ MASK_BOX = (210, 140, 330, 270)  # x1, y1, x2, y2
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
-    """Checkpoints + 640x448 input dir + mask + intrinsics file."""
-    import cv2
+    """Shared checkpoints + 640x448 frame, plus this module's mask +
+    intrinsics file (checkpoints cached session-wide, see
+    ref_pipeline_oracle.shared_pipeline_checkpoints)."""
+    shared = R.shared_pipeline_checkpoints(tmp_path_factory)
 
     base = tmp_path_factory.mktemp("composed")
-    input_dir = base / "input"
-    input_dir.mkdir()
-    img_full = cv2.imread(TEST_IMAGE)
-    img_640 = cv2.resize(img_full, (640, 448), interpolation=cv2.INTER_AREA)
-    cv2.imwrite(str(input_dir / "test1.png"), img_640)
-
     mask_dir = base / "masks"
     mask_dir.mkdir()
     mask = np.zeros((448, 640), np.uint8)
@@ -64,42 +60,15 @@ def setup(tmp_path_factory):
     cam_txt = base / "cam_K.txt"
     np.savetxt(str(cam_txt), K_REAL, "%12.6f")
 
-    ck = R.make_checkpoints(str(base), seed=0,
-                            calibration_image=str(input_dir / "test1.png"))
-    img = cv2.imread(str(input_dir / "test1.png"))
-    return dict(base=base, ck=ck, input_dir=str(input_dir),
-                mask_dir=str(mask_dir), cam_txt=str(cam_txt), img=img)
+    return dict(base=base, ck=shared["ck"], input_dir=shared["input_dir"],
+                mask_dir=str(mask_dir), cam_txt=str(cam_txt),
+                img=shared["img"])
 
 
 @pytest.fixture(scope="module")
 def our_stack(setup):
-    """Converted params + mano + f32 pipeline config (built once)."""
-    from dataclasses import replace
-
-    import jax
-    import jax.numpy as jnp
-
-    from hamer_yolo_tpu.core.convert import convert_pipeline_checkpoints
-    from hamer_yolo_tpu.core.mano_assets import load_mano_model
-    from hamer_yolo_tpu.models.mano import ManoModel
-    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
-
-    ck = setup["ck"]
-    mano = ManoModel.from_arrays(load_mano_model("right"))
-    params = convert_pipeline_checkpoints(
-        ck["yolo"], ck["hamer"], ck["sar"],
-        template=np.asarray(mano.v_template))
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    base = PipelineConfig(max_hands=4)
-    cfg = replace(
-        base,
-        conf_thres=ck["conf_thres"],
-        yolo=replace(base.yolo, nc=3, compute_dtype="float32"),
-        hamer=replace(base.hamer,
-                      vit=replace(base.hamer.vit, compute_dtype="float32")),
-        sar=replace(base.sar, compute_dtype="float32"),
-    )
-    return dict(params=params, mano=mano, cfg=cfg)
+    """Converted params + mano + f32 pipeline config (session-cached)."""
+    return R.shared_converted_stack()
 
 
 def _assert_hand_close(got, want, ctx, atols=(("betas", 2e-3),

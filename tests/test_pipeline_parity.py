@@ -53,27 +53,19 @@ def oracle(tmp_path_factory):
     dedicated letterbox golden tests (test_reference_golden2 / test_ops);
     THIS test pins the composition and the converter bit-path.
     """
-    import cv2
-
+    shared = R.shared_pipeline_checkpoints(tmp_path_factory)
+    ck = shared["ck"]
+    input_dir = shared["input_dir"]
+    img = shared["img"]
     base = tmp_path_factory.mktemp("refpipe")
-
-    input_dir = base / "input"
-    input_dir.mkdir()
-    img_full = cv2.imread(TEST_IMAGE)
-    img_640 = cv2.resize(img_full, (640, 448), interpolation=cv2.INTER_AREA)
-    cv2.imwrite(str(input_dir / "test1.png"), img_640)
-
-    ck = R.make_checkpoints(str(base), seed=0,
-                            calibration_image=str(input_dir / "test1.png"))
     out_dir = base / "refout"
     out_dir.mkdir()
 
-    res = R.run_reference_pipeline(ck, str(input_dir), str(out_dir), K_REAL,
+    res = R.run_reference_pipeline(ck, input_dir, str(out_dir), K_REAL,
                                    conf_thres=ck["conf_thres"])
 
     # per-detection oracles (the composed npy only keeps last-per-side)
     env = R.install_reference_environment()
-    img = cv2.imread(str(input_dir / "test1.png"))
     detector = env["detector_mod"].Detector(env["yolo_opt"])
     _, dets_list = detector.detect(img)
     dets = dets_list[0]
@@ -85,34 +77,15 @@ def oracle(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def ours(oracle):
-    """Our pipeline on the converted checkpoints, f32, single jit."""
-    from dataclasses import replace
-
+    """Our pipeline on the converted checkpoints, f32, single jit
+    (params/mano/cfg session-cached alongside the checkpoints)."""
     import jax
     import jax.numpy as jnp
 
-    from hamer_yolo_tpu.core.convert import convert_pipeline_checkpoints
-    from hamer_yolo_tpu.core.mano_assets import load_mano_model
-    from hamer_yolo_tpu.models.mano import ManoModel
-    from hamer_yolo_tpu.pipeline.frame import PipelineConfig
     from hamer_yolo_tpu.pipeline.runner import FrameProgram
 
-    ck = oracle["ck"]
-    mano = ManoModel.from_arrays(load_mano_model("right"))
-    params = convert_pipeline_checkpoints(
-        ck["yolo"], ck["hamer"], ck["sar"],
-        template=np.asarray(mano.v_template))
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-
-    base = PipelineConfig(max_hands=4)
-    cfg = replace(
-        base,
-        conf_thres=ck["conf_thres"],
-        yolo=replace(base.yolo, nc=3, compute_dtype="float32"),
-        hamer=replace(base.hamer,
-                      vit=replace(base.hamer.vit, compute_dtype="float32")),
-        sar=replace(base.sar, compute_dtype="float32"),
-    )
+    stack = R.shared_converted_stack()
+    params, mano, cfg = stack["params"], stack["mano"], stack["cfg"]
     prog = FrameProgram(params, mano, cfg)
     out = prog(oracle["img"].astype(np.float32), K_REAL)
 
