@@ -153,3 +153,20 @@ class TestFullsizeDryrun:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip_fullsize(len(jax.devices()))
+
+
+class TestShardedInference:
+    def test_composed_inference_program_sharded(self):
+        """The dryrun's phase 2 (VERDICT r04 #6) as suite coverage: the
+        COMPOSED serving program (infer_frames) batch-sharded over a
+        DPxTP mesh compiles + executes with finite outputs."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry_infer", os.path.join(os.path.dirname(__file__),
+                                              "..", "__graft_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mesh = make_mesh(n_data=4, n_model=2)
+        mod._dryrun_inference_phase(mesh, 4, mod._mano_model())
