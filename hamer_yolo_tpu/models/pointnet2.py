@@ -77,9 +77,13 @@ def feature_propagation(p: Params, xyz_dense: jax.Array, xyz_sparse: jax.Array,
     sq_weights=True uses inverse SQUARED-distance weights — the
     reference's second utils flavor (pointNet/pointnet2_utils.py:296-303
     skips the sqrt) vs the CUDA modules flavor (sqrt'd,
-    pointnet2_ops/pointnet2_modules.py:170-175)."""
-    d, idx = pn.three_nn(xyz_dense, xyz_sparse)
-    w = pn.interpolation_weights(d * d if sq_weights else d)
+    pointnet2_ops/pointnet2_modules.py:170-175). The squared form takes
+    the raw d2 (three_nn_sq), not a re-rounded sqrt-then-square."""
+    if sq_weights:
+        d, idx = pn.three_nn_sq(xyz_dense, xyz_sparse)
+    else:
+        d, idx = pn.three_nn(xyz_dense, xyz_sparse)
+    w = pn.interpolation_weights(d)
     interp = pn.three_interpolate(feats_sparse, idx, w)
     if feats_dense is not None:
         interp = jnp.concatenate([feats_dense, interp], axis=-1)
@@ -694,8 +698,8 @@ def _local_grouper_ref(p: Params, xyz: jax.Array, feats: jax.Array,
 def _fp_pointmlp_ref(p: Params, xyz_dense, xyz_sparse, skip, up) -> jax.Array:
     """pointMLP PointNetFeaturePropagation (pointMLP.py:278-324):
     squared-dist 3nn interp, cat([skip, interp]), fuse conv, res blocks."""
-    d, idx = pn.three_nn(xyz_dense, xyz_sparse)
-    w = pn.interpolation_weights(d * d)
+    d2, idx = pn.three_nn_sq(xyz_dense, xyz_sparse)
+    w = pn.interpolation_weights(d2)
     interp = pn.three_interpolate(up, idx, w)
     h = jnp.concatenate([skip, interp], axis=-1)
     h = jax.nn.relu(nn.linear(p["fuse"], h))

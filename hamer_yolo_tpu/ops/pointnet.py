@@ -93,9 +93,18 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 @jax.jit
 def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(B, n, 3), (B, m, 3) -> (dists (B, n, 3), idx (B, n, 3))."""
+    d2, idx = three_nn_sq(unknown, known)
+    return jnp.sqrt(d2), idx
+
+
+def three_nn_sq(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """three_nn returning SQUARED distances — the pure-torch utils
+    flavor's FP weights consume raw d2 (pointNet/pointnet2_utils.py:
+    296-303, no sqrt); exposing it avoids the sqrt->square re-rounding
+    a sq-of-three_nn would add."""
     d2 = pairwise_sqdist(unknown, known)
     neg, idx = jax.lax.top_k(-d2, 3)
-    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+    return jnp.maximum(-neg, 0.0), idx.astype(jnp.int32)
 
 
 @jax.jit

@@ -51,10 +51,12 @@ class BatchedPipeline:
         attn_impl=None,
         detect_every: int = 1,
         track_expand: float = 1.3,
+        upload_dtype=None,
     ):
         self.cfg = cfg or PipelineConfig()
         self.batch_size = batch_size
         self.bucket_hw = bucket_hw
+        self.upload_dtype = upload_dtype
         self.mesh = mesh
         self.params = jax.device_put(params)
         mano = mano_model
@@ -98,13 +100,22 @@ class BatchedPipeline:
         All-uint8 frame lists stay uint8 through the upload (the jitted
         program casts on-device): 4x fewer H2D bytes over the tunnel —
         the binding constraint of the pipelined stream path — with
-        bit-identical outputs (0..255 casts exactly)."""
+        bit-identical outputs (0..255 casts exactly). ``upload_dtype``
+        pins the choice (a dtype flip retraces the program, minutes on
+        the remote chip — pin uint8 for mixed streams where stray float
+        frames would otherwise flap the signature; they are then cast
+        on host, which is only lossy for non-0..255-integral floats).
+        Auto mode decides from the CONSUMED slice only."""
         n = len(frames)
+        frames = frames[: self.batch_size]
         hmax = max(f.shape[0] for f in frames)
         wmax = max(f.shape[1] for f in frames)
         bh, bw = self.bucket_hw or pick_bucket(hmax, wmax)
-        dtype = np.uint8 if all(f.dtype == np.uint8 for f in frames) \
-            else np.float32
+        if self.upload_dtype is not None:
+            dtype = np.dtype(self.upload_dtype)
+        else:
+            dtype = np.uint8 if all(f.dtype == np.uint8 for f in frames) \
+                else np.float32
         images = np.zeros((self.batch_size, bh, bw, 3), dtype)
         hws = np.zeros((self.batch_size, 2), np.float32)
         for i, f in enumerate(frames[: self.batch_size]):

@@ -84,6 +84,8 @@ def attempt_download(name_or_path: str,
     provided, and place it in ``dest_dir`` (default: the user cache dir).
     Partial/invalid downloads never survive at the destination.
     """
+    corrupt_cached = None  # resolver-owned bad copy; removed only AFTER
+    #                        a verified replacement lands
     found = find_weights(name_or_path, search)
     if found is not None:
         if sha256_hex and sha256(found) != sha256_hex.lower():
@@ -106,10 +108,12 @@ def attempt_download(name_or_path: str,
                      or os.environ.get("HYT_ALLOW_DOWNLOAD") == "1"))
             if refetchable and os.path.dirname(os.path.abspath(found)) in (
                     os.path.abspath(d) for d in owned):
-                # Delete the corrupt cached copy only when a replacement
-                # can actually be fetched below; otherwise the (corrupt)
-                # file is the only copy — keep it and raise.
-                os.unlink(found)
+                # Re-fetch below; the corrupt cached copy survives UNTIL
+                # the verified replacement lands (a failed download must
+                # not destroy the only copy) — the atomic os.replace
+                # overwrites it in place, or a stale different-path copy
+                # is unlinked after success.
+                corrupt_cached = os.path.abspath(found)
                 found = None
             else:
                 raise ValueError(f"checksum mismatch for {found}")
@@ -136,6 +140,9 @@ def attempt_download(name_or_path: str,
         if sha256_hex and sha256(tmp) != sha256_hex.lower():
             raise ValueError(f"checksum mismatch downloading {url}")
         os.replace(tmp, target)  # atomic: no partials at target
+        if corrupt_cached and corrupt_cached != os.path.abspath(target) \
+                and os.path.exists(corrupt_cached):
+            os.unlink(corrupt_cached)  # replacement verified: drop stale copy
         return target
     finally:
         if os.path.exists(tmp):

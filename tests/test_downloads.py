@@ -131,6 +131,26 @@ class TestAttemptDownload:
                                 allow_download=True)
         assert (tmp_path / "definitely-not-a-known-asset.pt").exists()
 
+    def test_corrupt_cache_survives_failed_refetch(self, tmp_path,
+                                                   monkeypatch):
+        # Gate open + URL resolvable, but the DOWNLOAD fails: the corrupt
+        # cached copy must survive (deletion happens only after a
+        # verified replacement lands).
+        import urllib.request
+
+        (tmp_path / "w.pt").write_bytes(b"corrupt")
+
+        def boom(url, timeout=None):
+            raise OSError("network down")
+
+        monkeypatch.setattr(urllib.request, "urlopen", boom)
+        with pytest.raises(OSError, match="network down"):
+            dl.attempt_download("w.pt", url="http://x/w.pt",
+                                sha256_hex="0" * 64, allow_download=True,
+                                search=[str(tmp_path)],
+                                dest_dir=str(tmp_path))
+        assert (tmp_path / "w.pt").read_bytes() == b"corrupt"
+
     def test_user_owned_dir_never_deleted(self, tmp_path, monkeypatch):
         # $HYT_WEIGHTS / caller search dirs are user-owned: a checksum
         # mismatch raises and the file survives (no silent data loss).

@@ -14,9 +14,13 @@ Usage: python tools/bench_upload.py [--batch 32] [--iters 6]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
