@@ -206,7 +206,8 @@ def cmd_serve(args) -> int:
         sources = [int(s) if s.isdigit() else s
                    for s in args.input.split(",")]
         pipe = BatchedPipeline(params, mano, cfg, batch_size=len(sources),
-                               detect_every=args.detect_every)
+                               detect_every=args.detect_every,
+                               upload_dtype=args.upload_dtype)
         for tick in pipe.stream_multi(sources, K,
                                       max_batches=args.max_frames):
             out = tick["outputs"]
@@ -218,7 +219,8 @@ def cmd_serve(args) -> int:
         print(f"{stats.frames} frames in {stats.total_s:.1f}s "
               f"= {stats.fps:.1f} fps")
         return 0
-    pipe = BatchedPipeline(params, mano, cfg, batch_size=args.batch)
+    pipe = BatchedPipeline(params, mano, cfg, batch_size=args.batch,
+                           upload_dtype=args.upload_dtype)
     total = 0
     for out in pipe.stream(iter_media(args.input, args.max_frames), K):
         n = int(np.asarray(out["valid"]).sum())
@@ -481,7 +483,7 @@ def main(argv: Optional[list] = None) -> int:
         p.add_argument("--calib-scales", default=None, metavar="NPZ",
                        help="static int8 activation scales from "
                             "tools/calibrate_int8.py (with --fast-path "
-                            "int8*: per-tensor static quantize, +8% e2e)")
+                            "int8*: per-tensor static quantize, +8%% e2e)")
         p.add_argument("--int8-yolo", default="off",
                        choices=["off", "1x1", "all"],
                        help="W8A8 the detector trunk with static "
@@ -529,6 +531,13 @@ def main(argv: Optional[list] = None) -> int:
                         "per source, tracking boxes from the previous "
                         "tick's keypoints in between (detector is ~1/3 "
                         "of frame cost)")
+    p.add_argument("--upload-dtype", default=None,
+                   choices=["uint8", "float32"],
+                   help="pin the frame-upload dtype (default: auto per "
+                        "batch). uint8 moves 4x fewer host->device bytes "
+                        "— the streaming bottleneck on remote chips — "
+                        "and pinning prevents a stray float frame from "
+                        "retracing the program mid-stream")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("serve-http", help="HTTP endpoint: POST /infer an "

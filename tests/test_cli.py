@@ -173,3 +173,17 @@ class TestCliRgbd:
         assert xyz.shape == (21, 3) and np.isfinite(xyz).all()
         uvd = np.asarray(payload["joint_uvd_full"])
         assert uvd.shape == (21, 3) and np.isfinite(uvd).all()
+
+
+class TestCliHelp:
+    @pytest.mark.parametrize("cmd", ["infer", "detect", "serve",
+                                     "serve-http", "rgbd", "reconstruct"])
+    def test_help_renders(self, cmd, capsys):
+        """Every subcommand's --help must format (regression: a bare
+        '+8% e2e' in a help string was parsed by argparse as a %e float
+        spec, crashing --help for every command sharing the runtime
+        options)."""
+        with pytest.raises(SystemExit) as e:
+            main([cmd, "--help"])
+        assert e.value.code == 0
+        assert cmd in capsys.readouterr().out
