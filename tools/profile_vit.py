@@ -88,4 +88,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys as _sys  # _hyt_help_guard
+    if "-h" in _sys.argv or "--help" in _sys.argv:
+        print(__doc__ or "env-configured tool; see module docstring")
+        raise SystemExit(0)
     main()
