@@ -187,3 +187,15 @@ class TestCliHelp:
             main([cmd, "--help"])
         assert e.value.code == 0
         assert cmd in capsys.readouterr().out
+
+
+class TestCliServe:
+    def test_serve_stream_over_image_dir(self, image_dir, capsys):
+        """serve end-to-end on an image-dir source (single-stream path),
+        with the uint8 upload dtype pinned."""
+        rc = main(["serve", "--tiny", "--input", image_dir, "--batch", "2",
+                   "--upload-dtype", "uint8"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "fps" in out
+        assert "2 frames" in out
