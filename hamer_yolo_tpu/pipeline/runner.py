@@ -68,6 +68,9 @@ class FrameProgram:
             # multi-GB weights into the executable as constants).
             @jax.jit
             def fn(params, image_bgr, orig_hw, K):
+                # uint8 frames cast on-device: 4x fewer H2D bytes
+                # (exact for 0..255; dtype is part of the jit signature)
+                image_bgr = image_bgr.astype(jnp.float32)
                 return infer_frame(params, mano, image_bgr, orig_hw, K, cfg,
                                    attn_impl=attn)
 
@@ -77,7 +80,8 @@ class FrameProgram:
     def __call__(self, image_bgr: np.ndarray, K: np.ndarray) -> Dict[str, np.ndarray]:
         h, w = image_bgr.shape[:2]
         bh, bw = pick_bucket(h, w)
-        padded = np.zeros((bh, bw, 3), np.float32)
+        dtype = np.uint8 if image_bgr.dtype == np.uint8 else np.float32
+        padded = np.zeros((bh, bw, 3), dtype)
         padded[:h, :w] = image_bgr
         out = self._fn_for_bucket((bh, bw))(
             self.params,
@@ -194,7 +198,7 @@ def process_image_dir(
                 stats.skipped += 1
                 continue
             Ki = K if K is not None else _default_intrinsics(image.shape)
-            out = program(image.astype(np.float32), Ki)
+            out = program(image, Ki)  # uint8 uploads as-is (cast on-device)
             write_frame(name, out)
         except Exception as e:  # per-frame robustness (reference behavior)
             stats.skipped += 1
